@@ -1,0 +1,15 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Real-TPU execution is exercised by bench.py / the driver; unit tests must
+run hermetically on CPU and still cover the multi-chip sharding paths.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
