@@ -13,3 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: the unrolled idct16/32 graphs are expensive
+# to compile on the 2-CPU test host; cache them across pytest runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_vp9_jax_cache"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
