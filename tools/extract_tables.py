@@ -245,6 +245,9 @@ def main() -> None:
     ct = load("vp9_cost.c")
     out["prob_cost"] = extract(ct, "eb_vp9_prob_cost", (256,))
 
+    se = load("vp9_subexp.c")
+    out["subexp_map_table"] = extract(se, "map_table", (254,))
+
     np.savez_compressed("tpu_vp9/bitstream/vp9_tables.npz", **out)
     total = sum(v.size for v in out.values())
     print(f"wrote {len(out)} tables, {total} values")

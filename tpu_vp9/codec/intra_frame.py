@@ -1,0 +1,348 @@
+"""Intra (key / intra-only) frame encoder — host oracle path.
+
+This is the minimum end-to-end slice (SURVEY.md §7.2 step 2): fixed-size
+partitioning, exact recon via shared ops, two passes:
+  pass A: per-block mode decision + reconstruction (decode order),
+  pass B: syntax + token serialization into the tile bool partition.
+
+The TPU batched path replaces pass A's per-block loop; pass B stays a host
+serialization.  Parity reference for the syntax walk: vendored libvpx
+``vp9_bitstream.c:360`` (write_modes_b) / ``vp9_tokenize.c`` in SVT-VP9.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tpu_vp9.bitstream import tables as T
+from tpu_vp9.bitstream import tokenize as tok
+from tpu_vp9.bitstream.bool_coder import BoolEncoder
+from tpu_vp9.bitstream.tables import (
+    BlockSize, IntraMode, Partition, TxSize, TxType,
+)
+from tpu_vp9.codec import modeinfo as MI
+from tpu_vp9.ops import intra as intra_ops
+from tpu_vp9.ops import txfm
+
+TX_PX = {TxSize.TX_4X4: 4, TxSize.TX_8X8: 8, TxSize.TX_16X16: 16,
+         TxSize.TX_32X32: 32}
+
+
+@dataclass
+class Plane:
+    recon: np.ndarray  # aligned (Hp, Wp) uint8
+    source: np.ndarray  # aligned same size
+    width: int  # real (crop) width
+    height: int
+    subsampling: int  # 0 for Y, 1 for U/V
+
+
+@dataclass
+class FrameState:
+    mi_rows: int
+    mi_cols: int
+    planes: list  # [y, u, v]
+    mig: MI.ModeInfoGrid
+    levels: dict = field(default_factory=dict)  # (plane, y4, x4) -> (N,N) int
+    eobs: dict = field(default_factory=dict)
+
+    @property
+    def sb_rows(self):
+        return (self.mi_rows + 7) >> 3
+
+    @property
+    def sb_cols(self):
+        return (self.mi_cols + 7) >> 3
+
+
+def make_frame_state(frame, mi_rows: int, mi_cols: int) -> FrameState:
+    """frame: utils.yuv.Frame420."""
+    planes = []
+    for arr, ss in ((frame.y, 0), (frame.u, 1), (frame.v, 1)):
+        h, w = arr.shape
+        # +64: blocks may legally overhang the mi grid (partition rules only
+        # check the half-way point); overhang recon is never referenced.
+        hp = ((mi_rows * 8) >> ss) + 64
+        wp = ((mi_cols * 8) >> ss) + 64
+        src = np.zeros((hp, wp), np.uint8)
+        src[:h, :w] = arr
+        # edge-extend source padding (keeps residuals small off-frame)
+        if w < wp:
+            src[:h, w:] = src[:h, w - 1 : w]
+        if h < hp:
+            src[h:, :] = src[h - 1 : h, :]
+        planes.append(
+            Plane(recon=np.zeros((hp, wp), np.uint8), source=src,
+                  width=w, height=h, subsampling=ss))
+    return FrameState(mi_rows=mi_rows, mi_cols=mi_cols, planes=planes,
+                      mig=MI.ModeInfoGrid(mi_rows, mi_cols))
+
+
+def walk_partition_fixed(mi_rows: int, mi_cols: int, target: BlockSize):
+    """Yield ('part', mi_row, mi_col, bsize, partition) and
+    ('leaf', mi_row, mi_col, bsize, None) events in decode order for a
+    fixed-size partitioning clipped to the mi grid."""
+    events = []
+
+    def node(mi_row, mi_col, bsize):
+        if mi_row >= mi_rows or mi_col >= mi_cols:
+            return
+        has_rows, has_cols = MI.partition_rule(
+            bsize, mi_row, mi_col, mi_rows, mi_cols)
+        bw = 1 << MI.MI_WIDTH_LOG2[bsize]
+        if int(bsize) > int(target) and (
+            bsize in (BlockSize.BLOCK_64X64, BlockSize.BLOCK_32X32,
+                      BlockSize.BLOCK_16X16)):
+            part = Partition.SPLIT
+        elif has_rows and has_cols:
+            part = Partition.NONE
+        else:
+            part = Partition.SPLIT  # forced descent at edges
+        events.append(("part", mi_row, mi_col, bsize, part))
+        if part == Partition.NONE:
+            events.append(("leaf", mi_row, mi_col, bsize, None))
+        else:
+            sub = T.SUBSIZE[(Partition.SPLIT, bsize)]
+            half = bw >> 1
+            node(mi_row, mi_col, sub)
+            node(mi_row, mi_col + half, sub)
+            node(mi_row + half, mi_col, sub)
+            node(mi_row + half, mi_col + half, sub)
+
+    for sb_r in range(0, mi_rows, 8):
+        for sb_c in range(0, mi_cols, 8):
+            node(sb_r, sb_c, BlockSize.BLOCK_64X64)
+    return events
+
+
+def plane_block_geometry(bsize: BlockSize, plane_ss: int):
+    """(w4, h4): plane block size in 4px units."""
+    w, h = T.BLOCK_WH[BlockSize(bsize)]
+    return max(1, (w >> plane_ss) // 4), max(1, (h >> plane_ss) // 4)
+
+
+def tx_blocks_of(bsize: BlockSize, tx: TxSize, plane_ss: int):
+    """Yield (x4, y4) tx-block origins (4px units) raster within the block."""
+    w4, h4 = plane_block_geometry(bsize, plane_ss)
+    t4 = 1 << int(tx)
+    for y4 in range(0, h4, t4):
+        for x4 in range(0, w4, t4):
+            yield x4, y4
+
+
+def _visible(st: FrameState, plane_idx: int, mi_row: int, mi_col: int,
+             x4: int, y4: int) -> bool:
+    ss = st.planes[plane_idx].subsampling
+    gx4 = ((mi_col * 2) >> ss) + x4
+    gy4 = ((mi_row * 2) >> ss) + y4
+    return gx4 < ((st.mi_cols * 2) >> ss) and gy4 < ((st.mi_rows * 2) >> ss)
+
+
+def encode_tx_block_intra(st: FrameState, plane_idx: int, mode: IntraMode,
+                          mi_row: int, mi_col: int, x4: int, y4: int,
+                          tx: TxSize, tx_type: TxType, dc_q: int, ac_q: int,
+                          block_w4: int, qbias: float = 0.38):
+    """Predict + transform + quantize + reconstruct one tx block.
+
+    Returns (levels, eob, dist).  Mutates the recon plane.
+    """
+    pl = st.planes[plane_idx]
+    n = TX_PX[tx]
+    ss = pl.subsampling
+    px = ((mi_col * 8) >> ss) + x4 * 4
+    py = ((mi_row * 8) >> ss) + y4 * 4
+    have_above = py > 0
+    have_left = px > 0
+    have_right = (x4 + (1 << int(tx))) < block_w4
+    above, al, left = intra_ops.build_ref_samples(
+        pl.recon, px, py, n, pl.width, pl.height,
+        have_above, have_left, have_right)
+    pred = intra_ops.predict_block_full(
+        mode, above, al, left, have_above, have_left, n)
+    src = pl.source[py : py + n, px : px + n].astype(np.int32)
+    resid = src - pred
+    coeffs = txfm.fwd_txfm2d(resid[None], tx, tx_type)
+    levels = txfm.quantize_block(coeffs, dc_q, ac_q, tx, bias=qbias)[0]
+    deq = txfm.dequant_block(levels[None], dc_q, ac_q, tx)
+    recon = txfm.inv_txfm_add(deq.astype(np.int64), pred[None], tx, tx_type)[0]
+    pl.recon[py : py + n, px : px + n] = recon
+    nz = np.nonzero(levels.reshape(-1)[T.scan_order(tx, tx_type)[0]])[0]
+    eob = int(nz[-1]) + 1 if nz.size else 0
+    dist = int(((recon.astype(np.int32) - src) ** 2).sum())
+    return levels, eob, dist
+
+
+def decide_block_mode(st: FrameState, mi_row: int, mi_col: int,
+                      bsize: BlockSize, dc_q: int, ac_q: int):
+    """Choose Y and UV intra modes by prediction SSE (open at tx granularity
+    for multi-tx blocks: uses the first tx block's reference samples)."""
+    pl = st.planes[0]
+    w, h = T.BLOCK_WH[bsize]
+    px, py = mi_col * 8, mi_row * 8
+    n = min(w, h, 32)
+    have_above, have_left = py > 0, px > 0
+    above, al, left = intra_ops.build_ref_samples(
+        pl.recon, px, py, n, pl.width, pl.height, have_above, have_left, False)
+    preds = intra_ops.predict_all_modes(
+        above[None], np.array([al]), left[None],
+        np.array([have_above]), np.array([have_left]), n)[0]
+    src = pl.source[py : py + n, px : px + n].astype(np.int32)
+    sse = ((preds - src[None]) ** 2).sum(axis=(1, 2))
+    y_mode = IntraMode(int(np.argmin(sse)))
+
+    # UV: joint SSE over both chroma planes at chroma block size
+    uv_bsize = T.CHROMA_BSIZE_420[bsize]
+    cw, ch = T.BLOCK_WH[uv_bsize]
+    cn = min(cw, ch, 32)
+    usse = np.zeros(10, np.int64)
+    for pidx in (1, 2):
+        cpl = st.planes[pidx]
+        cx, cy = px >> 1, py >> 1
+        ha, hl = cy > 0, cx > 0
+        a, c_al, l = intra_ops.build_ref_samples(
+            cpl.recon, cx, cy, cn, cpl.width, cpl.height, ha, hl, False)
+        cpreds = intra_ops.predict_all_modes(
+            a[None], np.array([c_al]), l[None], np.array([ha]),
+            np.array([hl]), cn)[0]
+        csrc = cpl.source[cy : cy + cn, cx : cx + cn].astype(np.int32)
+        usse += ((cpreds - csrc[None]) ** 2).sum(axis=(1, 2))
+    uv_mode = IntraMode(int(np.argmin(usse)))
+    return y_mode, uv_mode
+
+
+def encode_leaf(st: FrameState, mi_row: int, mi_col: int, bsize: BlockSize,
+                qindex: int, qbias: float = 0.38):
+    """Pass A for one leaf: decide modes, transform, recon, record."""
+    dc_q_y = T.dc_quant(qindex)
+    ac_q_y = T.ac_quant(qindex)
+    y_mode, uv_mode = decide_block_mode(st, mi_row, mi_col, bsize,
+                                        dc_q_y, ac_q_y)
+    y_tx = T.MAX_TX_SIZE[bsize]
+    mi = MI.ModeInfo(bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+                     tx_size=y_tx, skip=False, is_inter=False)
+    st.mig.set_block(mi_row, mi_col, bsize, mi)
+
+    all_zero = True
+    tx_type = MI.y_tx_type(y_mode, False, False, y_tx)
+    w4y, _ = plane_block_geometry(bsize, 0)
+    for x4, y4 in tx_blocks_of(bsize, y_tx, 0):
+        if not _visible(st, 0, mi_row, mi_col, x4, y4):
+            continue
+        levels, eob, _ = encode_tx_block_intra(
+            st, 0, y_mode, mi_row, mi_col, x4, y4, y_tx, tx_type,
+            dc_q_y, ac_q_y, w4y, qbias)
+        st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = levels
+        st.eobs[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = eob
+        all_zero &= eob == 0
+
+    uv_tx = MI.uv_tx_size(bsize, y_tx)
+    w4uv, _ = plane_block_geometry(bsize, 1)
+    for pidx in (1, 2):
+        for x4, y4 in tx_blocks_of(bsize, uv_tx, 1):
+            if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                continue
+            levels, eob, _ = encode_tx_block_intra(
+                st, pidx, uv_mode, mi_row, mi_col, x4, y4, uv_tx,
+                TxType.DCT_DCT, dc_q_y, ac_q_y, w4uv, qbias)
+            st.levels[(pidx, mi_row + y4, mi_col + x4)] = levels
+            st.eobs[(pidx, mi_row + y4, mi_col + x4)] = eob
+            all_zero &= eob == 0
+
+    mi.skip = all_zero
+    if mi.skip:
+        pass  # recon already equals prediction (all eobs zero)
+
+
+def serialize_frame(st: FrameState, events, qindex: int,
+                    fc=None) -> bytes:
+    """Pass B: write the single-tile bool partition."""
+    if fc is None:
+        fc = T.default_frame_context()
+    enc = BoolEncoder()
+    pctx = MI.PartitionContext(st.mi_rows, st.mi_cols)
+    planes_ctx = [
+        tok.PlaneContext(st.mi_cols, st.mi_rows, 0),
+        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+    ]
+    kf_part_probs = T.kf_partition_probs()
+    kf_y_probs = T.kf_y_mode_probs()
+    kf_uv_probs = T.kf_uv_mode_probs()
+    full_probs = {
+        (ts, uv): tok.full_probs_for(fc, ts, uv, is_inter=False)
+        for ts in TxSize for uv in (False, True)
+    }
+    dc_q, ac_q = T.dc_quant(qindex), T.ac_quant(qindex)
+
+    for ev, mi_row, mi_col, bsize, part in events:
+        if ev == "part":
+            has_rows, has_cols = MI.partition_rule(
+                bsize, mi_row, mi_col, st.mi_rows, st.mi_cols)
+            ctx = pctx.ctx(mi_row, mi_col, bsize)
+            MI.write_partition(enc, kf_part_probs[ctx], part,
+                               has_rows, has_cols)
+            if part != Partition.SPLIT or bsize == BlockSize.BLOCK_8X8:
+                sub = T.SUBSIZE[(part, bsize)]
+                pctx.update(mi_row, mi_col, sub, bsize)
+            continue
+        # leaf
+        mi = st.mig.get(mi_row, mi_col)
+        # skip flag
+        sctx = MI.skip_ctx(st.mig, mi_row, mi_col)
+        enc.put_bit(1 if mi.skip else 0, int(fc.skip_probs[sctx]))
+        # y mode (kf context from above/left neighbor modes)
+        am = MI.kf_above_mode(st.mig, mi_row, mi_col)
+        lm = MI.kf_left_mode(st.mig, mi_row, mi_col)
+        T.write_token(enc, "intra_mode_tree", kf_y_probs[am][lm],
+                      int(mi.y_mode))
+        T.write_token(enc, "intra_mode_tree", kf_uv_probs[int(mi.y_mode)],
+                      int(mi.uv_mode))
+        # tokens
+        y_tx = mi.tx_size
+        uv_tx = MI.uv_tx_size(bsize, y_tx)
+        if mi.skip:
+            for pidx, txs in ((0, y_tx), (1, uv_tx), (2, uv_tx)):
+                ss = st.planes[pidx].subsampling
+                pc = planes_ctx[pidx]
+                w4, h4 = plane_block_geometry(bsize, ss)
+                bx4 = (mi_col * 2) >> ss
+                by4 = (mi_row * 2) >> ss
+                pc.above[bx4 : bx4 + w4] = 0
+                pc.left[by4 : by4 + h4] = 0
+            continue
+        tx_type = MI.y_tx_type(mi.y_mode, False, False, y_tx)
+        for pidx, txs, tt in ((0, y_tx, tx_type), (1, uv_tx, TxType.DCT_DCT),
+                              (2, uv_tx, TxType.DCT_DCT)):
+            ss = st.planes[pidx].subsampling
+            pc = planes_ctx[pidx]
+            probs = full_probs[(txs, pidx > 0)]
+            for x4, y4 in tx_blocks_of(bsize, txs, ss):
+                if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                    continue
+                gx4 = ((mi_col * 2) >> ss) + x4
+                gy4 = ((mi_row * 2) >> ss) + y4
+                if pidx == 0:
+                    levels = st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)]
+                else:
+                    levels = st.levels[(pidx, mi_row + y4, mi_col + x4)]
+                ctx0 = pc.get_ctx(gx4, gy4, txs)
+                eob = tok.write_coeffs(enc, levels, txs, tt, probs, ctx0)
+                pc.set_ctx(gx4, gy4, txs, eob > 0,
+                           (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
+    return enc.finalize()
+
+
+def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
+                    qbias: float = 0.38):
+    """Encode one intra frame; returns (tile_bytes, FrameState)."""
+    h, w = frame.y.shape
+    mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
+    st = make_frame_state(frame, mi_rows, mi_cols)
+    events = walk_partition_fixed(mi_rows, mi_cols, block_size)
+    for ev, mi_row, mi_col, bsize, _ in events:
+        if ev == "leaf":
+            encode_leaf(st, mi_row, mi_col, bsize, qindex, qbias)
+    tile = serialize_frame(st, events, qindex)
+    return tile, st

@@ -1,0 +1,525 @@
+"""VP9 frame decoder (profile 0, 8-bit) — numpy host implementation.
+
+Written from the spec; structure parallels the encoder's serialization so
+that every syntax rule is exercised from both sides.  Supports key /
+intra-only frames and (progressively) inter frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tpu_vp9.bitstream import tables as T
+from tpu_vp9.bitstream import tokenize as tok
+from tpu_vp9.bitstream.bool_coder import BoolDecoder
+from tpu_vp9.bitstream.headers import (
+    BitReader, FrameHeader, LoopFilterParams, tile_log2_limits,
+)
+from tpu_vp9.bitstream.tables import (
+    BlockSize, IntraMode, Partition, TxSize, TxType,
+)
+from tpu_vp9.codec import modeinfo as MI
+from tpu_vp9.codec.intra_frame import (
+    TX_PX, plane_block_geometry, tx_blocks_of,
+)
+from tpu_vp9.ops import intra as intra_ops
+from tpu_vp9.ops import txfm
+
+DIFF_UPDATE_PROB = 252
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed header
+# ---------------------------------------------------------------------------
+
+
+def parse_uncompressed_header(data: bytes) -> tuple:
+    """Returns (FrameHeader, header_size_bytes, first_partition_size)."""
+    rb = BitReader(data)
+    h = FrameHeader()
+    marker = rb.literal(2)
+    if marker != 2:
+        raise ValueError("bad frame marker")
+    profile = rb.bit() | (rb.bit() << 1)
+    if profile != 0:
+        raise ValueError(f"unsupported profile {profile}")
+    if rb.bit():  # show_existing_frame
+        h.show_existing_frame = True
+        h.show_existing_frame_index = rb.literal(3)
+        return h, rb.bytes_read(), 0
+    h.is_keyframe = rb.bit() == 0
+    h.show_frame = rb.bit() == 1
+    h.error_resilient = rb.bit() == 1
+
+    def sync():
+        if (rb.literal(8), rb.literal(8), rb.literal(8)) != (0x49, 0x83, 0x42):
+            raise ValueError("bad sync code")
+
+    def colorspace():
+        h.color_space = rb.literal(3)
+        if h.color_space != 7:  # != SRGB
+            h.color_range = rb.bit()
+        else:
+            rb.bit()
+
+    def frame_size():
+        h.width = rb.literal(16) + 1
+        h.height = rb.literal(16) + 1
+        if rb.bit():  # render size differs
+            rb.literal(16)
+            rb.literal(16)
+
+    if h.is_keyframe:
+        sync()
+        colorspace()
+        frame_size()
+        h.refresh_frame_mask = 0xFF
+    else:
+        h.intra_only = False if h.show_frame else rb.bit() == 1
+        h.reset_frame_context = 0 if h.error_resilient else rb.literal(2)
+        if h.intra_only:
+            sync()
+            h.refresh_frame_mask = rb.literal(8)
+            frame_size()
+        else:
+            h.refresh_frame_mask = rb.literal(8)
+            idx = []
+            bias = []
+            for _ in range(3):
+                idx.append(rb.literal(3))
+                bias.append(rb.bit())
+            h.ref_dpb_index = tuple(idx)
+            h.ref_sign_bias = tuple(bias)
+            found = False
+            for _ in range(3):
+                if rb.bit():
+                    found = True
+                    raise NotImplementedError(
+                        "frame size from refs not supported")
+            if not found:
+                h.width = rb.literal(16) + 1
+                h.height = rb.literal(16) + 1
+            if rb.bit():
+                rb.literal(16)
+                rb.literal(16)
+            h.allow_high_precision_mv = rb.bit() == 1
+            if rb.bit():
+                h.interp_filter = T.InterpFilter.SWITCHABLE
+            else:
+                lit = rb.literal(2)
+                h.interp_filter = T.InterpFilter(
+                    {1: 0, 0: 1, 2: 2, 3: 3}[lit])
+    if not h.error_resilient:
+        h.refresh_frame_context = rb.bit() == 1
+        h.frame_parallel_decoding_mode = rb.bit() == 1
+    else:
+        h.refresh_frame_context = False
+        h.frame_parallel_decoding_mode = True
+    h.frame_context_idx = rb.literal(2)
+
+    lf = LoopFilterParams()
+    lf.filter_level = rb.literal(6)
+    lf.sharpness_level = rb.literal(3)
+    lf.mode_ref_delta_enabled = rb.bit() == 1
+    if lf.mode_ref_delta_enabled:
+        lf.mode_ref_delta_update = rb.bit() == 1
+        if lf.mode_ref_delta_update:
+            rd = list(lf.ref_deltas)
+            for i in range(4):
+                if rb.bit():
+                    rd[i] = rb.signed_literal(6)
+            md = list(lf.mode_deltas)
+            for i in range(2):
+                if rb.bit():
+                    md[i] = rb.signed_literal(6)
+            lf.ref_deltas, lf.mode_deltas = tuple(rd), tuple(md)
+    h.loop_filter = lf
+
+    h.base_qindex = rb.literal(8)
+
+    def delta_q():
+        return rb.signed_literal(4) if rb.bit() else 0
+
+    h.y_dc_delta_q = delta_q()
+    h.uv_dc_delta_q = delta_q()
+    h.uv_ac_delta_q = delta_q()
+
+    if rb.bit():
+        raise NotImplementedError("segmentation not supported")
+
+    min_log2, max_log2 = tile_log2_limits(h.mi_cols)
+    log2_cols = min_log2
+    while log2_cols < max_log2 and rb.bit():
+        log2_cols += 1
+    h.log2_tile_cols = log2_cols
+    h.log2_tile_rows = 0
+    if rb.bit():
+        h.log2_tile_rows = 1 + rb.bit()
+
+    header_size = rb.bytes_read()
+    first_part_size = rb.literal(16)
+    return h, rb.bytes_read(), first_part_size
+
+
+# ---------------------------------------------------------------------------
+# Compressed header
+# ---------------------------------------------------------------------------
+
+
+def _inv_recenter_nonneg(v: int, m: int) -> int:
+    if v > 2 * m:
+        return v
+    return m + ((v + 1) >> 1) if (v & 1) else m - (v >> 1)
+
+
+def _inv_remap_prob(v: int, m: int) -> int:
+    table = T.tbl("subexp_map_table")
+    inv = np.zeros(254, np.int64)
+    inv[table] = np.arange(254)
+    v = int(inv[v])
+    m = m - 1
+    if (m << 1) <= 255:
+        return 1 + _inv_recenter_nonneg(v, m)
+    return 255 - _inv_recenter_nonneg(v, 254 - m)
+
+
+def _decode_term_subexp(bd: BoolDecoder) -> int:
+    if not bd.read_bit(128):
+        return bd.read_literal(4)
+    if not bd.read_bit(128):
+        return bd.read_literal(4) + 16
+    if not bd.read_bit(128):
+        return bd.read_literal(5) + 32
+    v = bd.read_literal(7)
+    if v < 65:
+        return v + 64
+    return (v << 1) - 1 + bd.read_bit(128)
+
+
+def _diff_update_prob(bd: BoolDecoder, prob: int,
+                      upd: int = DIFF_UPDATE_PROB) -> int:
+    if bd.read_bit(upd):
+        delta = _decode_term_subexp(bd)
+        return _inv_remap_prob(delta, prob)
+    return prob
+
+
+def parse_compressed_header(h: FrameHeader, data: bytes, fc) -> None:
+    """Parse compressed header, updating FrameContext `fc` in place."""
+    bd = BoolDecoder(data)
+    if h.lossless():
+        h.tx_mode = T.TxMode.ONLY_4X4
+    else:
+        lit = bd.read_literal(2)
+        if lit == 3 and bd.read_bit(128):
+            h.tx_mode = T.TxMode.TX_MODE_SELECT
+        else:
+            h.tx_mode = T.TxMode(lit)
+        if h.tx_mode == T.TxMode.TX_MODE_SELECT:
+            for i in range(2):
+                for j in range(1):
+                    fc.tx_probs_8x8[i, j] = _diff_update_prob(
+                        bd, int(fc.tx_probs_8x8[i, j]))
+            for i in range(2):
+                for j in range(2):
+                    fc.tx_probs_16x16[i, j] = _diff_update_prob(
+                        bd, int(fc.tx_probs_16x16[i, j]))
+            for i in range(2):
+                for j in range(3):
+                    fc.tx_probs_32x32[i, j] = _diff_update_prob(
+                        bd, int(fc.tx_probs_32x32[i, j]))
+    max_tx = {T.TxMode.ONLY_4X4: 0, T.TxMode.ALLOW_8X8: 1,
+              T.TxMode.ALLOW_16X16: 2, T.TxMode.ALLOW_32X32: 3,
+              T.TxMode.TX_MODE_SELECT: 3}[h.tx_mode]
+    for ts in list(TxSize)[: max_tx + 1]:
+        if bd.read_bit(128):
+            cp = fc.coef_probs[ts]
+            for pt in range(2):
+                for ref in range(2):
+                    for band in range(6):
+                        for ctx in range(6 if band else 3):
+                            for node in range(3):
+                                cp[pt, ref, band, ctx, node] = (
+                                    _diff_update_prob(
+                                        bd, int(cp[pt, ref, band, ctx, node])))
+    for i in range(3):
+        fc.skip_probs[i] = _diff_update_prob(bd, int(fc.skip_probs[i]))
+
+    if not (h.is_keyframe or h.intra_only):
+        for i in range(7):
+            for j in range(3):
+                fc.inter_mode_probs[i, j] = _diff_update_prob(
+                    bd, int(fc.inter_mode_probs[i, j]))
+        if h.interp_filter == T.InterpFilter.SWITCHABLE:
+            for i in range(4):
+                for j in range(2):
+                    fc.interp_probs[i, j] = _diff_update_prob(
+                        bd, int(fc.interp_probs[i, j]))
+        for i in range(4):
+            fc.intra_inter_probs[i] = _diff_update_prob(
+                bd, int(fc.intra_inter_probs[i]))
+        # reference mode: compound only possible with differing sign biases
+        if len(set(h.ref_sign_bias)) > 1:
+            raise NotImplementedError("compound prediction not supported")
+        for i in range(5):
+            for j in range(2):
+                fc.single_ref_probs[i, j] = _diff_update_prob(
+                    bd, int(fc.single_ref_probs[i, j]))
+        for i in range(4):
+            for j in range(9):
+                fc.if_y_probs[i, j] = _diff_update_prob(
+                    bd, int(fc.if_y_probs[i, j]))
+        for i in range(16):
+            for j in range(3):
+                fc.partition_probs[i, j] = _diff_update_prob(
+                    bd, int(fc.partition_probs[i, j]))
+        # mv probs
+        nmv = fc.nmv
+        for i in range(3):
+            nmv.joints[i] = _diff_update_prob(bd, int(nmv.joints[i]), 252)
+        for comp in nmv.comps:
+            comp.sign = _diff_update_prob(bd, comp.sign, 252)
+            for i in range(10):
+                comp.classes[i] = _diff_update_prob(bd, int(comp.classes[i]), 252)
+            comp.class0[0] = _diff_update_prob(bd, int(comp.class0[0]), 252)
+            for i in range(10):
+                comp.bits[i] = _diff_update_prob(bd, int(comp.bits[i]), 252)
+        for comp in nmv.comps:
+            for i in range(2):
+                for j in range(3):
+                    comp.class0_fp[i, j] = _diff_update_prob(
+                        bd, int(comp.class0_fp[i, j]), 252)
+            for j in range(3):
+                comp.fp[j] = _diff_update_prob(bd, int(comp.fp[j]), 252)
+        if h.allow_high_precision_mv:
+            for comp in nmv.comps:
+                comp.class0_hp = _diff_update_prob(bd, comp.class0_hp, 252)
+                comp.hp = _diff_update_prob(bd, comp.hp, 252)
+
+
+# ---------------------------------------------------------------------------
+# Tile decode (intra frames)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DecState:
+    h: FrameHeader
+    fc: object
+    planes: list  # recon np arrays (aligned)
+    plane_dims: list  # (crop_w, crop_h, ss)
+    mig: MI.ModeInfoGrid
+    pctx: MI.PartitionContext
+    planes_ctx: list
+    counts: dict = field(default_factory=dict)
+
+
+def _decode_tx_block_intra(st: DecState, bd: BoolDecoder, plane_idx: int,
+                           mode: IntraMode, mi_row: int, mi_col: int,
+                           x4: int, y4: int, tx: TxSize, tx_type: TxType,
+                           block_w4: int, skip: bool, probs_full,
+                           dc_q: int, ac_q: int):
+    recon = st.planes[plane_idx]
+    crop_w, crop_h, ss = st.plane_dims[plane_idx]
+    n = TX_PX[tx]
+    px = ((mi_col * 8) >> ss) + x4 * 4
+    py = ((mi_row * 8) >> ss) + y4 * 4
+    have_above = py > 0
+    have_left = px > 0
+    have_right = (x4 + (1 << int(tx))) < block_w4
+    above, al, left = intra_ops.build_ref_samples(
+        recon, px, py, n, crop_w, crop_h, have_above, have_left, have_right)
+    pred = intra_ops.predict_block_full(
+        mode, above, al, left, have_above, have_left, n)
+    if skip:
+        recon[py : py + n, px : px + n] = pred.astype(np.uint8)
+        return 0
+    pc = st.planes_ctx[plane_idx]
+    gx4 = ((mi_col * 2) >> ss) + x4
+    gy4 = ((mi_row * 2) >> ss) + y4
+    ctx0 = pc.get_ctx(gx4, gy4, tx)
+    deq, eob = tok.read_coeffs(bd, tx, tx_type, probs_full, ctx0, dc_q, ac_q)
+    if eob == 0:
+        out = pred.astype(np.uint8)
+    else:
+        out = txfm.inv_txfm_add(
+            deq[None].astype(np.int64), pred[None], tx, tx_type)[0]
+    recon[py : py + n, px : px + n] = out
+    mi_cols, mi_rows = st.mig.mi_cols, st.mig.mi_rows
+    pc.set_ctx(gx4, gy4, tx, eob > 0, (mi_cols * 2) >> ss, (mi_rows * 2) >> ss)
+    return eob
+
+
+def _visible(st: DecState, ss: int, mi_row: int, mi_col: int,
+             x4: int, y4: int) -> bool:
+    gx4 = ((mi_col * 2) >> ss) + x4
+    gy4 = ((mi_row * 2) >> ss) + y4
+    return (gx4 < ((st.mig.mi_cols * 2) >> ss)
+            and gy4 < ((st.mig.mi_rows * 2) >> ss))
+
+
+def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
+                        mi_col: int, bsize: BlockSize, full_probs) -> None:
+    h = st.h
+    fc = st.fc
+    sctx = MI.skip_ctx(st.mig, mi_row, mi_col)
+    skip = bd.read_bit(int(fc.skip_probs[sctx])) == 1
+    if bsize < BlockSize.BLOCK_8X8:
+        raise NotImplementedError("sub-8x8 decode not yet supported")
+    # tx size
+    max_tx = T.MAX_TX_SIZE[bsize]
+    if h.tx_mode == T.TxMode.TX_MODE_SELECT and not skip:
+        raise NotImplementedError("TX_MODE_SELECT decode not yet supported")
+    tx_allowed = {T.TxMode.ONLY_4X4: 0, T.TxMode.ALLOW_8X8: 1,
+                  T.TxMode.ALLOW_16X16: 2, T.TxMode.ALLOW_32X32: 3,
+                  T.TxMode.TX_MODE_SELECT: 3}[h.tx_mode]
+    y_tx = TxSize(min(int(max_tx), tx_allowed))
+    if h.is_keyframe or h.intra_only:
+        am = MI.kf_above_mode(st.mig, mi_row, mi_col)
+        lm = MI.kf_left_mode(st.mig, mi_row, mi_col)
+        y_mode = IntraMode(T.read_token(
+            bd, "intra_mode_tree", T.kf_y_mode_probs()[am][lm]))
+        uv_mode = IntraMode(T.read_token(
+            bd, "intra_mode_tree", T.kf_uv_mode_probs()[int(y_mode)]))
+    else:
+        grp = T.SIZE_GROUP[bsize]
+        y_mode = IntraMode(T.read_token(
+            bd, "intra_mode_tree", fc.if_y_probs[grp]))
+        uv_mode = IntraMode(T.read_token(
+            bd, "intra_mode_tree", fc.if_uv_probs[int(y_mode)]))
+    mi = MI.ModeInfo(bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+                     tx_size=y_tx, skip=skip, is_inter=False)
+    st.mig.set_block(mi_row, mi_col, bsize, mi)
+
+    dc_q = T.dc_quant(h.base_qindex, h.y_dc_delta_q)
+    ac_q = T.ac_quant(h.base_qindex)
+    dc_q_uv = T.dc_quant(h.base_qindex, h.uv_dc_delta_q)
+    ac_q_uv = T.ac_quant(h.base_qindex, h.uv_ac_delta_q)
+    tx_type = MI.y_tx_type(y_mode, False, h.lossless(), y_tx)
+    w4y, _ = plane_block_geometry(bsize, 0)
+    for x4, y4 in tx_blocks_of(bsize, y_tx, 0):
+        if not _visible(st, 0, mi_row, mi_col, x4, y4):
+            continue
+        _decode_tx_block_intra(st, bd, 0, y_mode, mi_row, mi_col, x4, y4,
+                               y_tx, tx_type, w4y, skip,
+                               full_probs[(y_tx, False)], dc_q, ac_q)
+    uv_tx = MI.uv_tx_size(bsize, y_tx)
+    w4uv, _ = plane_block_geometry(bsize, 1)
+    for pidx in (1, 2):
+        for x4, y4 in tx_blocks_of(bsize, uv_tx, 1):
+            if not _visible(st, 1, mi_row, mi_col, x4, y4):
+                continue
+            _decode_tx_block_intra(st, bd, pidx, uv_mode, mi_row, mi_col,
+                                   x4, y4, uv_tx, TxType.DCT_DCT, w4uv, skip,
+                                   full_probs[(uv_tx, True)], dc_q_uv, ac_q_uv)
+    if skip:
+        # reset entropy contexts over the block extent
+        for pidx in (0, 1, 2):
+            ss = st.plane_dims[pidx][2]
+            pc = st.planes_ctx[pidx]
+            w4, h4 = plane_block_geometry(bsize, ss)
+            bx4 = (mi_col * 2) >> ss
+            by4 = (mi_row * 2) >> ss
+            pc.above[bx4 : bx4 + w4] = 0
+            pc.left[by4 : by4 + h4] = 0
+
+
+def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
+                      mi_col: int, bsize: BlockSize, full_probs) -> None:
+    mi_rows, mi_cols = st.mig.mi_rows, st.mig.mi_cols
+    if mi_row >= mi_rows or mi_col >= mi_cols:
+        return
+    has_rows, has_cols = MI.partition_rule(bsize, mi_row, mi_col,
+                                           mi_rows, mi_cols)
+    ctx = st.pctx.ctx(mi_row, mi_col, bsize)
+    if st.h.is_keyframe or st.h.intra_only:
+        probs = T.kf_partition_probs()[ctx]
+    else:
+        probs = st.fc.partition_probs[ctx]
+    part = MI.read_partition(bd, probs, has_rows, has_cols)
+    sub = T.SUBSIZE[(part, bsize)]
+    bw = 1 << MI.MI_WIDTH_LOG2[bsize]
+    half = bw >> 1
+    if part == Partition.NONE:
+        _decode_intra_block(st, bd, mi_row, mi_col, bsize, full_probs)
+    elif part == Partition.HORZ:
+        _decode_intra_block(st, bd, mi_row, mi_col, sub, full_probs)
+        if mi_row + half < mi_rows:
+            _decode_intra_block(st, bd, mi_row + half, mi_col, sub, full_probs)
+    elif part == Partition.VERT:
+        _decode_intra_block(st, bd, mi_row, mi_col, sub, full_probs)
+        if mi_col + half < mi_cols:
+            _decode_intra_block(st, bd, mi_row, mi_col + half, sub, full_probs)
+    else:
+        if bsize == BlockSize.BLOCK_8X8:
+            raise NotImplementedError("4x4 split decode not yet supported")
+        _decode_partition(st, bd, mi_row, mi_col, sub, full_probs)
+        _decode_partition(st, bd, mi_row, mi_col + half, sub, full_probs)
+        _decode_partition(st, bd, mi_row + half, mi_col, sub, full_probs)
+        _decode_partition(st, bd, mi_row + half, mi_col + half, sub, full_probs)
+    if part != Partition.SPLIT or bsize == BlockSize.BLOCK_8X8:
+        st.pctx.update(mi_row, mi_col, sub, bsize)
+
+
+def decode_frame(payload: bytes, fc=None):
+    """Decode one frame payload. Returns (y, u, v, FrameHeader) with crop
+    applied, or (None, None, None, header) for show_existing_frame."""
+    h, hdr_size, first_part = parse_uncompressed_header(payload)
+    if h.show_existing_frame:
+        return None, None, None, h
+    if fc is None:
+        fc = T.default_frame_context()
+    else:
+        fc = fc.copy()
+    compressed = payload[hdr_size : hdr_size + first_part]
+    parse_compressed_header(h, compressed, fc)
+    tile_data = payload[hdr_size + first_part :]
+    if h.log2_tile_cols or h.log2_tile_rows:
+        raise NotImplementedError("multi-tile decode not yet supported")
+    if not (h.is_keyframe or h.intra_only):
+        raise NotImplementedError("inter frame decode not yet supported")
+
+    mi_rows, mi_cols = h.mi_rows, h.mi_cols
+    planes = []
+    plane_dims = []
+    for ss in (0, 1, 1):
+        # +64 overhang padding: see make_frame_state
+        hp = ((mi_rows * 8) >> ss) + 64
+        wp = ((mi_cols * 8) >> ss) + 64
+        planes.append(np.zeros((hp, wp), np.uint8))
+        crop_w = (h.width + ss) >> ss
+        crop_h = (h.height + ss) >> ss
+        plane_dims.append((crop_w, crop_h, ss))
+    st = DecState(
+        h=h, fc=fc, planes=planes, plane_dims=plane_dims,
+        mig=MI.ModeInfoGrid(mi_rows, mi_cols),
+        pctx=MI.PartitionContext(mi_rows, mi_cols),
+        planes_ctx=[tok.PlaneContext(mi_cols, mi_rows, 0),
+                    tok.PlaneContext(mi_cols, mi_rows, 1),
+                    tok.PlaneContext(mi_cols, mi_rows, 1)],
+    )
+    full_probs = {
+        (ts, uv): tok.full_probs_for(fc, ts, uv, is_inter=False)
+        for ts in TxSize for uv in (False, True)
+    }
+    bd = BoolDecoder(tile_data)
+    for sb_r in range(0, mi_rows, 8):
+        for sb_c in range(0, mi_cols, 8):
+            _decode_partition(st, bd, sb_r, sb_c, BlockSize.BLOCK_64X64,
+                              full_probs)
+    if h.loop_filter.filter_level:
+        raise NotImplementedError("loop filter decode not yet supported")
+    y = planes[0][: h.height, : h.width]
+    u = planes[1][: (h.height + 1) >> 1, : (h.width + 1) >> 1]
+    v = planes[2][: (h.height + 1) >> 1, : (h.width + 1) >> 1]
+    return y, u, v, h
+
+
+def decode_ivf(fh):
+    """Decode all frames of an IVF stream; yields (y, u, v, header)."""
+    from tpu_vp9.bitstream.ivf import read_ivf
+
+    for pkt in read_ivf(fh):
+        yield decode_frame(pkt.payload)
