@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark: prints ONE JSON line with the current headline number.
+
+Current headline (round 1): end-to-end conformant intra CIF encode fps
+(host serialization still Python; the TPU analysis step is reported as a
+secondary field).  vs_baseline = fraction of 30 fps real time.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from tpu_vp9.bitstream.headers import FrameHeader, assemble_frame
+    from tpu_vp9.bitstream.tables import TxMode
+    from tpu_vp9.codec.intra_frame import encode_keyframe
+    from tpu_vp9.pipeline.tpu_intra import intra_encode_step
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    # --- TPU analysis step throughput at 1080p ---
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    plane_1080 = jnp.asarray(rng.integers(0, 255, (1088, 1920)), jnp.uint8)
+    q = jnp.asarray(100, jnp.int32)
+    step = jax.jit(lambda p, qq: intra_encode_step(p, qq, 32))
+    jax.block_until_ready(step(plane_1080, q))  # compile
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        out = step(plane_1080, q)
+    jax.block_until_ready(out)
+    analysis_fps_1080 = iters / (time.perf_counter() - t0)
+
+    # --- end-to-end conformant CIF intra encode ---
+    frames = list(synthetic_frames(352, 288, 4, seed=0))
+    # warm table caches
+    encode_keyframe(frames[0], 100)
+    t0 = time.perf_counter()
+    total_bytes = 0
+    for fr in frames:
+        tile, st = encode_keyframe(fr, 100)
+        h = FrameHeader(width=352, height=288, is_keyframe=True,
+                        error_resilient=True, base_qindex=100,
+                        tx_mode=TxMode.ALLOW_32X32)
+        payload = assemble_frame(h, tile)
+        total_bytes += len(payload)
+    e2e_fps = len(frames) / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "cif_intra_e2e_fps",
+        "value": round(e2e_fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(e2e_fps / 30.0, 4),
+        "tpu_1080p_intra_analysis_fps": round(analysis_fps_1080, 1),
+        "bitstream_bytes_per_frame": total_bytes // len(frames),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -213,12 +213,15 @@ def decide_block_mode(st: FrameState, mi_row: int, mi_col: int,
 
 
 def encode_leaf(st: FrameState, mi_row: int, mi_col: int, bsize: BlockSize,
-                qindex: int, qbias: float = 0.38):
+                qindex: int, qbias: float = 0.38, mode_hint=None):
     """Pass A for one leaf: decide modes, transform, recon, record."""
     dc_q_y = T.dc_quant(qindex)
     ac_q_y = T.ac_quant(qindex)
-    y_mode, uv_mode = decide_block_mode(st, mi_row, mi_col, bsize,
-                                        dc_q_y, ac_q_y)
+    if mode_hint is not None:
+        y_mode, uv_mode = mode_hint
+    else:
+        y_mode, uv_mode = decide_block_mode(st, mi_row, mi_col, bsize,
+                                            dc_q_y, ac_q_y)
     y_tx = T.MAX_TX_SIZE[bsize]
     mi = MI.ModeInfo(bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
                      tx_size=y_tx, skip=False, is_inter=False)
@@ -335,14 +338,27 @@ def serialize_frame(st: FrameState, events, qindex: int,
 
 
 def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
-                    qbias: float = 0.38):
-    """Encode one intra frame; returns (tile_bytes, FrameState)."""
+                    qbias: float = 0.38, y_mode_hints=None):
+    """Encode one intra frame; returns (tile_bytes, FrameState).
+
+    y_mode_hints: optional (R, C) array of IntraMode per target-size block
+    (from the TPU open-loop analysis); edge/odd-size leaves fall back to
+    the local search.
+    """
     h, w = frame.y.shape
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
     events = walk_partition_fixed(mi_rows, mi_cols, block_size)
+    n_px = T.BLOCK_WH[block_size][0]
     for ev, mi_row, mi_col, bsize, _ in events:
         if ev == "leaf":
-            encode_leaf(st, mi_row, mi_col, bsize, qindex, qbias)
+            hint = None
+            if y_mode_hints is not None and bsize == block_size:
+                br, bc = (mi_row * 8) // n_px, (mi_col * 8) // n_px
+                hints = np.asarray(y_mode_hints)
+                if br < hints.shape[0] and bc < hints.shape[1]:
+                    m = IntraMode(int(hints[br, bc]))
+                    hint = (m, m)
+            encode_leaf(st, mi_row, mi_col, bsize, qindex, qbias, hint)
     tile = serialize_frame(st, events, qindex)
     return tile, st
