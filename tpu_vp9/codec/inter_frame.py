@@ -1,0 +1,351 @@
+"""Inter (P) frame encoder — host oracle path.
+
+Single-reference (LAST) low-delay P frames: per-block candidate search
+over {NEARESTMV, NEARMV, ZEROMV, NEWMV(ME), intra DC} with exact MC
+prediction, then conformant serialization.  Parity reference for the
+syntax: vendored libvpx ``vp9_bitstream.c`` pack_inter_mode_mvs in
+SVT-VP9; candidate structure mirrors ``EbModeDecision.c`` candidate
+injection, re-expressed per SURVEY.md §7.
+
+MVs use q3 (1/8 luma pel) units everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_vp9.bitstream import tables as T
+from tpu_vp9.bitstream import tokenize as tok
+from tpu_vp9.bitstream.bool_coder import BoolEncoder
+from tpu_vp9.bitstream.tables import (
+    BlockSize, IntraMode, Partition, RefFrame, TxSize, TxType,
+)
+from tpu_vp9.codec import modeinfo as MI
+from tpu_vp9.codec import mv as MV
+from tpu_vp9.codec.intra_frame import (
+    TX_PX, FrameState, _visible, encode_tx_block_intra, make_frame_state,
+    plane_block_geometry, tx_blocks_of, walk_partition_fixed,
+)
+from tpu_vp9.ops import inter as inter_ops
+from tpu_vp9.ops import me as me_ops
+from tpu_vp9.ops import txfm
+from tpu_vp9.ops.inter import BORDER
+
+
+def intra_inter_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
+    a = mig.above(mi_row, mi_col)
+    l = mig.left(mi_row, mi_col)
+    if a is not None and l is not None:
+        ai, li = not a.is_inter, not l.is_inter
+        return 3 if (ai and li) else int(ai or li)
+    if a is not None or l is not None:
+        e = a if a is not None else l
+        return 2 * int(not e.is_inter)
+    return 0
+
+
+def single_ref_p1_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
+    """vp9_pred_common.c:158 (single-reference streams: no compound)."""
+    a = mig.above(mi_row, mi_col)
+    l = mig.left(mi_row, mi_col)
+    LAST = int(RefFrame.LAST)
+    if a is not None and l is not None:
+        ai, li = not a.is_inter, not l.is_inter
+        if ai and li:
+            return 2
+        if ai or li:
+            edge = l if ai else a
+            return 4 * int(edge.ref_frame[0] == LAST)
+        return 2 * int(a.ref_frame[0] == LAST) + 2 * int(l.ref_frame[0] == LAST)
+    if a is not None or l is not None:
+        edge = a if a is not None else l
+        if not edge.is_inter:
+            return 2
+        return 4 * int(edge.ref_frame[0] == LAST)
+    return 2
+
+
+def predict_inter_planes(st: FrameState, refs, mi_row: int, mi_col: int,
+                         bsize: BlockSize, mv_q3):
+    """MC prediction for Y/U/V; returns list of (pred, px, py)."""
+    out = []
+    for pidx in range(3):
+        ss = st.planes[pidx].subsampling
+        w, h = T.BLOCK_WH[bsize]
+        bw, bh = w >> ss, h >> ss
+        pred = inter_ops.predict_inter_block(
+            refs[pidx], mi_row, mi_col, 0, 0, bw, bh, mv_q3, ss,
+            st.mi_rows, st.mi_cols)
+        px = (mi_col * 8) >> ss
+        py = (mi_row * 8) >> ss
+        out.append((pred, px, py))
+    return out
+
+
+def encode_tx_block_inter(st: FrameState, plane_idx: int, pred_full,
+                          mi_row: int, mi_col: int, x4: int, y4: int,
+                          tx: TxSize, dc_q: int, ac_q: int,
+                          qbias: float = 0.38):
+    """Transform/quant/recon one tx block given the MC prediction."""
+    pl = st.planes[plane_idx]
+    n = TX_PX[tx]
+    ss = pl.subsampling
+    px = ((mi_col * 8) >> ss) + x4 * 4
+    py = ((mi_row * 8) >> ss) + y4 * 4
+    pred = pred_full[y4 * 4 : y4 * 4 + n, x4 * 4 : x4 * 4 + n].astype(np.int32)
+    src = pl.source[py : py + n, px : px + n].astype(np.int32)
+    resid = src - pred
+    coeffs = txfm.fwd_txfm2d(resid[None], tx, TxType.DCT_DCT)
+    levels = txfm.quantize_block(coeffs, dc_q, ac_q, tx, bias=qbias)[0]
+    deq = txfm.dequant_block(levels[None], dc_q, ac_q, tx)
+    recon = txfm.inv_txfm_add(deq.astype(np.int64), pred[None], tx,
+                              TxType.DCT_DCT)[0]
+    pl.recon[py : py + n, px : px + n] = recon
+    nz = np.nonzero(levels.reshape(-1)[T.scan_order(tx, TxType.DCT_DCT)[0]])[0]
+    eob = int(nz[-1]) + 1 if nz.size else 0
+    return levels, eob
+
+
+def encode_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
+                      bsize: BlockSize, qindex: int, search_range: int = 16,
+                      qbias: float = 0.38, do_subpel: bool = True):
+    """Pass A for one leaf of a P frame."""
+    dc_q = T.dc_quant(qindex)
+    ac_q = T.ac_quant(qindex)
+    pl = st.planes[0]
+    w, h = T.BLOCK_WH[bsize]
+    px, py = mi_col * 8, mi_row * 8
+    src = pl.source[py : py + h, px : px + w]
+
+    mv_list, mode_context = MV.find_mv_refs(
+        st.mig, mi_row, mi_col, bsize, int(RefFrame.LAST))
+    nearest, near = MV.find_best_ref_mvs(
+        mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
+
+    lam = max(1, (ac_q * ac_q) >> 6)
+
+    def mc_sad(mv_q3):
+        pred = inter_ops.predict_inter_block(
+            refs[0], mi_row, mi_col, 0, 0, w, h, mv_q3, 0,
+            st.mi_rows, st.mi_cols)
+        return int(np.abs(pred.astype(np.int32) - src.astype(np.int32)).sum())
+
+    # ME: full-pel around nearest, then subpel refine
+    center = (int(np.clip(nearest[0] // 8, -64, 64)),
+              int(np.clip(nearest[1] // 8, -64, 64)))
+    dy, dx, _ = me_ops.full_pel_search(
+        src, refs[0], px, py, BORDER, search_range, center)
+    if do_subpel:
+        filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
+        new_mv, _ = me_ops.subpel_refine(
+            src, refs[0], px, py, BORDER, (dy, dx), filters)
+    else:
+        new_mv = (dy * 8, dx * 8)
+
+    candidates = [
+        (0, nearest, 2),  # NEARESTMV offset 0
+        (1, near, 3),  # NEARMV
+        (2, (0, 0), 1),  # ZEROMV
+        (3, new_mv, 10),  # NEWMV (mv-bits proxy)
+    ]
+    best = None
+    for offset, mvv, rate in candidates:
+        cost = mc_sad(mvv) + rate * lam
+        if best is None or cost < best[0]:
+            best = (cost, offset, mvv)
+
+    # intra DC fallback
+    from tpu_vp9.ops import intra as intra_ops
+
+    n = min(w, h, 32)
+    ha, hl = py > 0, px > 0
+    above, al, left = intra_ops.build_ref_samples(
+        pl.recon, px, py, n, pl.width, pl.height, ha, hl, False)
+    dc_pred = intra_ops.predict_block_full(IntraMode.DC_PRED, above, al,
+                                           left, ha, hl, n)
+    intra_cost = int(np.abs(
+        dc_pred - src[:n, :n].astype(np.int32)).sum()) + 15 * lam
+
+    if intra_cost < best[0]:
+        mi = MI.ModeInfo(bsize=bsize, y_mode=IntraMode.DC_PRED,
+                         uv_mode=IntraMode.DC_PRED,
+                         tx_size=T.MAX_TX_SIZE[bsize], skip=False,
+                         is_inter=False)
+        st.mig.set_block(mi_row, mi_col, bsize, mi)
+        _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias)
+        return
+
+    _, offset, mvv = best
+    mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize], skip=False,
+                     is_inter=True, ref_frame=(int(RefFrame.LAST), -1),
+                     mv=(tuple(mvv), (0, 0)), inter_mode=offset)
+    mi.mode_context = mode_context
+    mi.best_ref_mv = nearest
+    st.mig.set_block(mi_row, mi_col, bsize, mi)
+
+    preds = predict_inter_planes(st, refs, mi_row, mi_col, bsize, mvv)
+    all_zero = True
+    y_tx = mi.tx_size
+    for x4, y4 in tx_blocks_of(bsize, y_tx, 0):
+        if not _visible(st, 0, mi_row, mi_col, x4, y4):
+            continue
+        levels, eob = encode_tx_block_inter(
+            st, 0, preds[0][0], mi_row, mi_col, x4, y4, y_tx, dc_q, ac_q,
+            qbias)
+        st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = levels
+        st.eobs[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = eob
+        all_zero &= eob == 0
+    uv_tx = MI.uv_tx_size(bsize, y_tx)
+    for pidx in (1, 2):
+        for x4, y4 in tx_blocks_of(bsize, uv_tx, 1):
+            if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                continue
+            levels, eob = encode_tx_block_inter(
+                st, pidx, preds[pidx][0], mi_row, mi_col, x4, y4, uv_tx,
+                dc_q, ac_q, qbias)
+            st.levels[(pidx, mi_row + y4, mi_col + x4)] = levels
+            st.eobs[(pidx, mi_row + y4, mi_col + x4)] = eob
+            all_zero &= eob == 0
+    mi.skip = all_zero
+    if mi.skip:
+        # recon must equal prediction exactly (it does: all eobs zero)
+        pass
+
+
+def _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias):
+    dc_q = T.dc_quant(qindex)
+    ac_q = T.ac_quant(qindex)
+    all_zero = True
+    y_tx = mi.tx_size
+    tx_type = MI.y_tx_type(mi.y_mode, False, False, y_tx)
+    w4y, _ = plane_block_geometry(bsize, 0)
+    for x4, y4 in tx_blocks_of(bsize, y_tx, 0):
+        if not _visible(st, 0, mi_row, mi_col, x4, y4):
+            continue
+        levels, eob, _ = encode_tx_block_intra(
+            st, 0, mi.y_mode, mi_row, mi_col, x4, y4, y_tx, tx_type,
+            dc_q, ac_q, w4y, qbias)
+        st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = levels
+        st.eobs[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = eob
+        all_zero &= eob == 0
+    uv_tx = MI.uv_tx_size(bsize, y_tx)
+    w4uv, _ = plane_block_geometry(bsize, 1)
+    for pidx in (1, 2):
+        for x4, y4 in tx_blocks_of(bsize, uv_tx, 1):
+            if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                continue
+            levels, eob, _ = encode_tx_block_intra(
+                st, pidx, mi.uv_mode, mi_row, mi_col, x4, y4, uv_tx,
+                TxType.DCT_DCT, dc_q, ac_q, w4uv, qbias)
+            st.levels[(pidx, mi_row + y4, mi_col + x4)] = levels
+            st.eobs[(pidx, mi_row + y4, mi_col + x4)] = eob
+            all_zero &= eob == 0
+    mi.skip = all_zero
+
+
+def serialize_pframe(st: FrameState, events, qindex: int, fc=None) -> bytes:
+    """Pass B for a P frame (single tile)."""
+    if fc is None:
+        fc = T.default_frame_context()
+    enc = BoolEncoder()
+    pctx = MI.PartitionContext(st.mi_rows, st.mi_cols)
+    planes_ctx = [
+        tok.PlaneContext(st.mi_cols, st.mi_rows, 0),
+        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+    ]
+    full_probs = {
+        (ts, uv, ref): tok.full_probs_for(fc, ts, uv, is_inter=ref)
+        for ts in TxSize for uv in (False, True) for ref in (False, True)
+    }
+    dc_q, ac_q = T.dc_quant(qindex), T.ac_quant(qindex)
+
+    for ev, mi_row, mi_col, bsize, part in events:
+        if ev == "part":
+            has_rows, has_cols = MI.partition_rule(
+                bsize, mi_row, mi_col, st.mi_rows, st.mi_cols)
+            ctx = pctx.ctx(mi_row, mi_col, bsize)
+            MI.write_partition(enc, fc.partition_probs[ctx], part,
+                               has_rows, has_cols)
+            if part != Partition.SPLIT or bsize == BlockSize.BLOCK_8X8:
+                sub = T.SUBSIZE[(part, bsize)]
+                pctx.update(mi_row, mi_col, sub, bsize)
+            continue
+        mi = st.mig.get(mi_row, mi_col)
+        sctx = MI.skip_ctx(st.mig, mi_row, mi_col)
+        enc.put_bit(1 if mi.skip else 0, int(fc.skip_probs[sctx]))
+        # is_inter
+        iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
+        enc.put_bit(1 if mi.is_inter else 0,
+                    int(fc.intra_inter_probs[iictx]))
+        if not mi.is_inter:
+            grp = T.SIZE_GROUP[bsize]
+            T.write_token(enc, "intra_mode_tree", fc.if_y_probs[grp],
+                          int(mi.y_mode))
+            T.write_token(enc, "intra_mode_tree",
+                          fc.if_uv_probs[int(mi.y_mode)], int(mi.uv_mode))
+        else:
+            # single reference: bit0 = (ref != LAST) = 0
+            rctx = single_ref_p1_ctx(st.mig, mi_row, mi_col)
+            enc.put_bit(0, int(fc.single_ref_probs[rctx, 0]))
+            # inter mode
+            T.write_token(enc, "inter_mode_tree",
+                          fc.inter_mode_probs[mi.mode_context],
+                          int(mi.inter_mode))
+            if mi.inter_mode == 3:  # NEWMV
+                MV.write_mv(enc, mi.mv[0], mi.best_ref_mv, fc.nmv, False)
+        # tokens
+        y_tx = mi.tx_size
+        uv_tx = MI.uv_tx_size(bsize, y_tx)
+        if mi.skip:
+            for pidx in (0, 1, 2):
+                ss = st.planes[pidx].subsampling
+                pc = planes_ctx[pidx]
+                w4, h4 = plane_block_geometry(bsize, ss)
+                bx4 = (mi_col * 2) >> ss
+                by4 = (mi_row * 2) >> ss
+                pc.above[bx4 : bx4 + w4] = 0
+                pc.left[by4 : by4 + h4] = 0
+            continue
+        if mi.is_inter:
+            tx_type = TxType.DCT_DCT
+        else:
+            tx_type = MI.y_tx_type(mi.y_mode, False, False, y_tx)
+        for pidx, txs, tt in ((0, y_tx, tx_type), (1, uv_tx, TxType.DCT_DCT),
+                              (2, uv_tx, TxType.DCT_DCT)):
+            ss = st.planes[pidx].subsampling
+            pc = planes_ctx[pidx]
+            probs = full_probs[(txs, pidx > 0, mi.is_inter)]
+            for x4, y4 in tx_blocks_of(bsize, txs, ss):
+                if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                    continue
+                gx4 = ((mi_col * 2) >> ss) + x4
+                gy4 = ((mi_row * 2) >> ss) + y4
+                if pidx == 0:
+                    levels = st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)]
+                else:
+                    levels = st.levels[(pidx, mi_row + y4, mi_col + x4)]
+                ctx0 = pc.get_ctx(gx4, gy4, txs)
+                eob = tok.write_coeffs(enc, levels, txs, tt, probs, ctx0)
+                pc.set_ctx(gx4, gy4, txs, eob > 0,
+                           (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
+    return enc.finalize()
+
+
+def encode_pframe(frame, refs, qindex: int,
+                  block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
+                  qbias: float = 0.38, do_subpel: bool = True):
+    """Encode one P frame against border-extended refs [y, u, v].
+
+    Returns (tile_bytes, FrameState).
+    """
+    h, w = frame.y.shape
+    mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
+    st = make_frame_state(frame, mi_rows, mi_cols)
+    events = walk_partition_fixed(mi_rows, mi_cols, block_size)
+    for ev, mi_row, mi_col, bsize, _ in events:
+        if ev == "leaf":
+            encode_leaf_inter(st, refs, mi_row, mi_col, bsize, qindex,
+                              search_range, qbias, do_subpel)
+    tile = serialize_pframe(st, events, qindex)
+    return tile, st

@@ -313,6 +313,7 @@ class DecState:
     mig: MI.ModeInfoGrid
     pctx: MI.PartitionContext
     planes_ctx: list
+    refs: list = None  # border-extended [y, u, v] of the LAST reference
     counts: dict = field(default_factory=dict)
 
 
@@ -360,6 +361,34 @@ def _visible(st: DecState, ss: int, mi_row: int, mi_col: int,
             and gy4 < ((st.mig.mi_rows * 2) >> ss))
 
 
+def _decode_tx_block_inter(st: DecState, bd: BoolDecoder, plane_idx: int,
+                           pred_full, mi_row: int, mi_col: int,
+                           x4: int, y4: int, tx: TxSize, probs_full,
+                           dc_q: int, ac_q: int):
+    recon = st.planes[plane_idx]
+    _, _, ss = st.plane_dims[plane_idx]
+    n = TX_PX[tx]
+    px = ((mi_col * 8) >> ss) + x4 * 4
+    py = ((mi_row * 8) >> ss) + y4 * 4
+    pred = pred_full[y4 * 4 : y4 * 4 + n, x4 * 4 : x4 * 4 + n]
+    pc = st.planes_ctx[plane_idx]
+    gx4 = ((mi_col * 2) >> ss) + x4
+    gy4 = ((mi_row * 2) >> ss) + y4
+    ctx0 = pc.get_ctx(gx4, gy4, tx)
+    deq, eob = tok.read_coeffs(bd, tx, TxType.DCT_DCT, probs_full, ctx0,
+                               dc_q, ac_q)
+    if eob == 0:
+        out = pred.astype(np.uint8)
+    else:
+        out = txfm.inv_txfm_add(
+            deq[None].astype(np.int64), pred[None].astype(np.int32),
+            tx, TxType.DCT_DCT)[0]
+    recon[py : py + n, px : px + n] = out
+    mi_cols, mi_rows = st.mig.mi_cols, st.mig.mi_rows
+    pc.set_ctx(gx4, gy4, tx, eob > 0, (mi_cols * 2) >> ss,
+               (mi_rows * 2) >> ss)
+
+
 def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
                         mi_col: int, bsize: BlockSize, full_probs) -> None:
     h = st.h
@@ -376,6 +405,21 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
                   T.TxMode.ALLOW_16X16: 2, T.TxMode.ALLOW_32X32: 3,
                   T.TxMode.TX_MODE_SELECT: 3}[h.tx_mode]
     y_tx = TxSize(min(int(max_tx), tx_allowed))
+
+    is_inter = False
+    if not (h.is_keyframe or h.intra_only):
+        from tpu_vp9.codec.inter_frame import intra_inter_ctx
+
+        iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
+        is_inter = bd.read_bit(int(fc.intra_inter_probs[iictx])) == 1
+
+    if is_inter:
+        _decode_inter_block_body(st, bd, mi_row, mi_col, bsize, y_tx, skip,
+                                 full_probs)
+        if skip:
+            _reset_skip_ctx(st, mi_row, mi_col, bsize)
+        return
+
     if h.is_keyframe or h.intra_only:
         am = MI.kf_above_mode(st.mig, mi_row, mi_col)
         lm = MI.kf_left_mode(st.mig, mi_row, mi_col)
@@ -404,7 +448,7 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
             continue
         _decode_tx_block_intra(st, bd, 0, y_mode, mi_row, mi_col, x4, y4,
                                y_tx, tx_type, w4y, skip,
-                               full_probs[(y_tx, False)], dc_q, ac_q)
+                               full_probs[(y_tx, False, False)], dc_q, ac_q)
     uv_tx = MI.uv_tx_size(bsize, y_tx)
     w4uv, _ = plane_block_geometry(bsize, 1)
     for pidx in (1, 2):
@@ -413,17 +457,85 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
                 continue
             _decode_tx_block_intra(st, bd, pidx, uv_mode, mi_row, mi_col,
                                    x4, y4, uv_tx, TxType.DCT_DCT, w4uv, skip,
-                                   full_probs[(uv_tx, True)], dc_q_uv, ac_q_uv)
+                                   full_probs[(uv_tx, True, False)],
+                                   dc_q_uv, ac_q_uv)
     if skip:
-        # reset entropy contexts over the block extent
-        for pidx in (0, 1, 2):
-            ss = st.plane_dims[pidx][2]
-            pc = st.planes_ctx[pidx]
-            w4, h4 = plane_block_geometry(bsize, ss)
-            bx4 = (mi_col * 2) >> ss
-            by4 = (mi_row * 2) >> ss
-            pc.above[bx4 : bx4 + w4] = 0
-            pc.left[by4 : by4 + h4] = 0
+        _reset_skip_ctx(st, mi_row, mi_col, bsize)
+
+
+def _reset_skip_ctx(st: DecState, mi_row: int, mi_col: int,
+                    bsize: BlockSize) -> None:
+    for pidx in (0, 1, 2):
+        ss = st.plane_dims[pidx][2]
+        pc = st.planes_ctx[pidx]
+        w4, h4 = plane_block_geometry(bsize, ss)
+        bx4 = (mi_col * 2) >> ss
+        by4 = (mi_row * 2) >> ss
+        pc.above[bx4 : bx4 + w4] = 0
+        pc.left[by4 : by4 + h4] = 0
+
+
+def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
+                             mi_col: int, bsize: BlockSize, y_tx: TxSize,
+                             skip: bool, full_probs) -> None:
+    from tpu_vp9.bitstream.tables import RefFrame
+    from tpu_vp9.codec import inter_frame as IF
+    from tpu_vp9.codec import mv as MV
+    from tpu_vp9.ops import inter as inter_ops
+
+    h = st.h
+    fc = st.fc
+    # single reference only (all sign biases equal)
+    rctx = IF.single_ref_p1_ctx(st.mig, mi_row, mi_col)
+    not_last = bd.read_bit(int(fc.single_ref_probs[rctx, 0]))
+    if not_last:
+        raise NotImplementedError("GOLDEN/ALTREF decode not yet supported")
+    ref_frame = int(RefFrame.LAST)
+    mv_list, mode_context = MV.find_mv_refs(
+        st.mig, mi_row, mi_col, bsize, ref_frame)
+    inter_mode = T.read_token(bd, "inter_mode_tree",
+                              fc.inter_mode_probs[mode_context])
+    nearest, near = MV.find_best_ref_mvs(
+        mv_list, h.allow_high_precision_mv, mi_row, mi_col, bsize,
+        st.mig.mi_rows, st.mig.mi_cols)
+    if inter_mode == 0:
+        mvv = nearest
+    elif inter_mode == 1:
+        mvv = near
+    elif inter_mode == 2:
+        mvv = (0, 0)
+    else:
+        mvv = MV.read_mv(bd, nearest, fc.nmv, h.allow_high_precision_mv)
+    mi = MI.ModeInfo(bsize=bsize, tx_size=y_tx, skip=skip, is_inter=True,
+                     ref_frame=(ref_frame, -1), mv=(mvv, (0, 0)),
+                     inter_mode=inter_mode)
+    st.mig.set_block(mi_row, mi_col, bsize, mi)
+
+    dc_q = T.dc_quant(h.base_qindex, h.y_dc_delta_q)
+    ac_q = T.ac_quant(h.base_qindex)
+    dc_q_uv = T.dc_quant(h.base_qindex, h.uv_dc_delta_q)
+    ac_q_uv = T.ac_quant(h.base_qindex, h.uv_ac_delta_q)
+    for pidx in range(3):
+        _, _, ss = st.plane_dims[pidx]
+        w, hh = T.BLOCK_WH[bsize]
+        bw, bh = w >> ss, hh >> ss
+        pred = inter_ops.predict_inter_block(
+            st.refs[pidx], mi_row, mi_col, 0, 0, bw, bh, mvv, ss,
+            st.mig.mi_rows, st.mig.mi_cols,
+            h.interp_filter)
+        px = (mi_col * 8) >> ss
+        py = (mi_row * 8) >> ss
+        if skip:
+            st.planes[pidx][py : py + bh, px : px + bw] = pred
+            continue
+        txs = y_tx if pidx == 0 else MI.uv_tx_size(bsize, y_tx)
+        probs = full_probs[(txs, pidx > 0, True)]
+        dq, aq = (dc_q, ac_q) if pidx == 0 else (dc_q_uv, ac_q_uv)
+        for x4, y4 in tx_blocks_of(bsize, txs, ss):
+            if not _visible(st, ss, mi_row, mi_col, x4, y4):
+                continue
+            _decode_tx_block_inter(st, bd, pidx, pred, mi_row, mi_col,
+                                   x4, y4, txs, probs, dq, aq)
 
 
 def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
@@ -463,9 +575,12 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
         st.pctx.update(mi_row, mi_col, sub, bsize)
 
 
-def decode_frame(payload: bytes, fc=None):
+def decode_frame(payload: bytes, fc=None, dpb=None):
     """Decode one frame payload. Returns (y, u, v, FrameHeader) with crop
-    applied, or (None, None, None, header) for show_existing_frame."""
+    applied, or (None, None, None, header) for show_existing_frame.
+
+    dpb: list of 8 slots, each (refs_padded [y,u,v], crop_w, crop_h) or
+    None; required for inter frames."""
     h, hdr_size, first_part = parse_uncompressed_header(payload)
     if h.show_existing_frame:
         return None, None, None, h
@@ -478,8 +593,14 @@ def decode_frame(payload: bytes, fc=None):
     tile_data = payload[hdr_size + first_part :]
     if h.log2_tile_cols or h.log2_tile_rows:
         raise NotImplementedError("multi-tile decode not yet supported")
+    refs = None
     if not (h.is_keyframe or h.intra_only):
-        raise NotImplementedError("inter frame decode not yet supported")
+        if dpb is None:
+            raise ValueError("inter frame requires a DPB")
+        last_slot = dpb[h.ref_dpb_index[0]]
+        if last_slot is None:
+            raise ValueError("LAST reference slot is empty")
+        refs = last_slot[0]
 
     mi_rows, mi_cols = h.mi_rows, h.mi_cols
     planes = []
@@ -499,10 +620,11 @@ def decode_frame(payload: bytes, fc=None):
         planes_ctx=[tok.PlaneContext(mi_cols, mi_rows, 0),
                     tok.PlaneContext(mi_cols, mi_rows, 1),
                     tok.PlaneContext(mi_cols, mi_rows, 1)],
+        refs=refs,
     )
     full_probs = {
-        (ts, uv): tok.full_probs_for(fc, ts, uv, is_inter=False)
-        for ts in TxSize for uv in (False, True)
+        (ts, uv, ref): tok.full_probs_for(fc, ts, uv, is_inter=ref)
+        for ts in TxSize for uv in (False, True) for ref in (False, True)
     }
     bd = BoolDecoder(tile_data)
     for sb_r in range(0, mi_rows, 8):
@@ -518,8 +640,29 @@ def decode_frame(payload: bytes, fc=None):
 
 
 def decode_ivf(fh):
-    """Decode all frames of an IVF stream; yields (y, u, v, header)."""
+    """Decode all frames of an IVF stream with DPB management;
+    yields (y, u, v, header) for shown frames."""
     from tpu_vp9.bitstream.ivf import read_ivf
+    from tpu_vp9.ops.inter import extend_borders
 
+    dpb = [None] * 8
     for pkt in read_ivf(fh):
-        yield decode_frame(pkt.payload)
+        y, u, v, h = decode_frame(pkt.payload, dpb=dpb)
+        if h.show_existing_frame:
+            slot = dpb[h.show_existing_frame_index]
+            yield slot[3][0], slot[3][1], slot[3][2], h
+            continue
+        # store into DPB per refresh mask (planes trimmed to mi-aligned)
+        mi_w, mi_h = h.mi_cols * 8, h.mi_rows * 8
+        planes = [y, u, v]
+        padded = []
+        for pidx, pl in enumerate(planes):
+            ss = 0 if pidx == 0 else 1
+            full = np.zeros(((mi_h >> ss), (mi_w >> ss)), np.uint8)
+            full[: pl.shape[0], : pl.shape[1]] = pl
+            padded.append(extend_borders(full, pl.shape[1], pl.shape[0]))
+        entry = (padded, h.width, h.height, (y, u, v))
+        for slot in range(8):
+            if h.refresh_frame_mask & (1 << slot):
+                dpb[slot] = entry
+        yield y, u, v, h

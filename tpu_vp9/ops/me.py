@@ -1,0 +1,74 @@
+"""Motion estimation kernels.
+
+v1: vectorized full-pel exhaustive SAD search (numpy host; JAX batched
+variant for the TPU path).  Mirrors the *capability* of the reference's
+``full_pel_search_sb`` (``EbMotionEstimation.c:951``); the TPU design
+batches all blocks x all candidate offsets instead of per-SB loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def full_pel_search(src_block, ref_padded, px: int, py: int, border: int,
+                    search_range: int = 16, center=(0, 0)):
+    """Exhaustive SAD over +-search_range around `center` (full-pel).
+
+    src_block: (n, n) uint8; ref_padded: border-extended reference plane;
+    (px, py): block position in plane coords. center: full-pel (dy, dx).
+    Returns (best_dy, best_dx, best_sad) relative to (0,0) (absolute
+    displacement incl. center).
+    """
+    n = src_block.shape[0]
+    r = search_range
+    cy, cx = center
+    y0 = border + py + cy - r
+    x0 = border + px + cx - r
+    region = ref_padded[y0 : y0 + n + 2 * r, x0 : x0 + n + 2 * r]
+    src = src_block.astype(np.int32)
+    # sliding windows via stride tricks
+    win = np.lib.stride_tricks.sliding_window_view(region, (n, n))
+    sads = np.abs(win.astype(np.int32) - src[None, None]).sum(axis=(2, 3))
+    idx = np.unravel_index(np.argmin(sads), sads.shape)
+    best_dy = cy + int(idx[0]) - r
+    best_dx = cx + int(idx[1]) - r
+    return best_dy, best_dx, int(sads[idx])
+
+
+def subpel_refine(src_block, ref_padded, px: int, py: int, border: int,
+                  mv_full, filters, steps=(4, 2)):
+    """Refine a full-pel mv at half- then quarter-pel (q3 units).
+
+    Returns mv_q3 (row, col).  Uses the exact 8-tap interpolation so the
+    cost reflects the real prediction.
+    """
+    from tpu_vp9.ops.inter import convolve8_2d
+
+    n = src_block.shape[0]
+    src = src_block.astype(np.int32)
+    best_mv = (mv_full[0] * 8, mv_full[1] * 8)
+
+    def sad_at(mv_q3):
+        # build prediction window at this subpel mv
+        x_q4 = ((px) << 4) + mv_q3[1] * 2
+        y_q4 = ((py) << 4) + mv_q3[0] * 2
+        x0, y0 = x_q4 >> 4, y_q4 >> 4
+        sx, sy = x_q4 & 15, y_q4 & 15
+        window = ref_padded[border + y0 - 3 : border + y0 + n + 4,
+                            border + x0 - 3 : border + x0 + n + 4]
+        pred = convolve8_2d(window, filters, filters, sx, sy, n, n)
+        return int(np.abs(pred.astype(np.int32) - src).sum())
+
+    best_sad = sad_at(best_mv)
+    for step in steps:  # 4 = half-pel in q3, 2 = quarter-pel
+        improved = True
+        while improved:
+            improved = False
+            for dy, dx in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                cand = (best_mv[0] + dy, best_mv[1] + dx)
+                s = sad_at(cand)
+                if s < best_sad:
+                    best_sad, best_mv = s, cand
+                    improved = True
+    return best_mv, best_sad

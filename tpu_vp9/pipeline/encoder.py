@@ -1,0 +1,85 @@
+"""Top-level encoder orchestration (host path).
+
+Collapses the reference's pipeline stages (SURVEY.md §2.3) into phases:
+picture decision (keyframe placement) -> per-frame encode (intra or
+inter pass A) -> serialization -> packetization (IVF payloads), with
+DPB management mirroring the decoder's.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tpu_vp9.bitstream.headers import FrameHeader, assemble_frame
+from tpu_vp9.bitstream.tables import BlockSize, TxMode
+from tpu_vp9.codec.intra_frame import encode_keyframe
+from tpu_vp9.codec.inter_frame import encode_pframe
+from tpu_vp9.ops.inter import extend_borders
+
+
+@dataclass
+class EncodedFrame:
+    payload: bytes
+    is_keyframe: bool
+    qindex: int
+    state: object  # FrameState (recon access for tests/PSNR)
+
+
+def _make_refs(st, width: int, height: int):
+    """Border-extended reference planes from a FrameState's recon."""
+    refs = []
+    mi_w, mi_h = st.mi_cols * 8, st.mi_rows * 8
+    for pidx in range(3):
+        ss = st.planes[pidx].subsampling
+        crop_w = (width + ss) >> ss
+        crop_h = (height + ss) >> ss
+        plane = st.planes[pidx].recon[: mi_h >> ss, : mi_w >> ss]
+        refs.append(extend_borders(plane, crop_w, crop_h))
+    return refs
+
+
+def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
+                  block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
+                  do_subpel: bool = True, use_tpu_hints: bool = False):
+    """Encode frames as IPPP... CQP. Returns list[EncodedFrame].
+
+    intra_period: -1 = only first frame is key; else a keyframe every
+    `intra_period + 1` frames.
+    """
+    out = []
+    refs = None
+    for idx, frame in enumerate(frames):
+        h, w = frame.y.shape
+        is_key = idx == 0 or (
+            intra_period >= 0 and idx % (intra_period + 1) == 0)
+        hints = None
+        if is_key:
+            if use_tpu_hints and w % 32 == 0 and h % 32 == 0:
+                import jax.numpy as jnp
+
+                from tpu_vp9.pipeline.tpu_intra import decide_modes_openloop
+
+                modes, _, _ = decide_modes_openloop(
+                    jnp.asarray(frame.y), jnp.asarray(qindex), 32)
+                hints = np.asarray(modes)
+            tile, st = encode_keyframe(frame, qindex, block_size,
+                                       y_mode_hints=hints)
+            hdr = FrameHeader(
+                width=w, height=h, is_keyframe=True, error_resilient=True,
+                base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32)
+        else:
+            tile, st = encode_pframe(frame, refs, qindex, block_size,
+                                     search_range, do_subpel=do_subpel)
+            hdr = FrameHeader(
+                width=w, height=h, is_keyframe=False, error_resilient=True,
+                base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
+                refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0),
+                allow_high_precision_mv=False)
+        hdr.loop_filter.filter_level = 0
+        payload = assemble_frame(hdr, tile)
+        out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
+                                qindex=qindex, state=st))
+        refs = _make_refs(st, w, h)
+    return out
