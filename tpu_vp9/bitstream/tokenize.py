@@ -112,6 +112,14 @@ def write_coeffs(enc, levels2d, tx_size: TxSize, tx_type: TxType,
     return eob
 
 
+def write_coeffs_any(enc, levels2d, tx_size, tx_type, probs_full,
+                     ctx0: int) -> int:
+    """Dispatch to the native tokenizer when `enc` supports it."""
+    if hasattr(enc, "write_coeffs"):
+        return enc.write_coeffs(levels2d, tx_size, tx_type, probs_full, ctx0)
+    return write_coeffs(enc, levels2d, tx_size, tx_type, probs_full, ctx0)
+
+
 def read_coeffs(dec, tx_size: TxSize, tx_type: TxType, probs_full,
                 ctx0: int, dc_q: int, ac_q: int):
     """Decode one transform block; returns (dequantized (N,N) int32, eob)."""

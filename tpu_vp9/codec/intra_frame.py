@@ -263,7 +263,9 @@ def serialize_frame(st: FrameState, events, qindex: int,
     """Pass B: write the single-tile bool partition."""
     if fc is None:
         fc = T.default_frame_context()
-    enc = BoolEncoder()
+    from tpu_vp9.native import make_bool_encoder
+
+    enc = make_bool_encoder()
     pctx = MI.PartitionContext(st.mi_rows, st.mi_cols)
     planes_ctx = [
         tok.PlaneContext(st.mi_cols, st.mi_rows, 0),
@@ -331,7 +333,7 @@ def serialize_frame(st: FrameState, events, qindex: int,
                 else:
                     levels = st.levels[(pidx, mi_row + y4, mi_col + x4)]
                 ctx0 = pc.get_ctx(gx4, gy4, txs)
-                eob = tok.write_coeffs(enc, levels, txs, tt, probs, ctx0)
+                eob = tok.write_coeffs_any(enc, levels, txs, tt, probs, ctx0)
                 pc.set_ctx(gx4, gy4, txs, eob > 0,
                            (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
     return enc.finalize()

@@ -1,0 +1,177 @@
+"""ctypes bindings for the native C++ serialization kernels.
+
+Auto-builds ``native/libvp9native.so`` on first use (g++ is baked into the
+image); falls back to the pure-Python implementations if the build fails.
+Byte-identical output is asserted by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from tpu_vp9.bitstream import tables as T
+from tpu_vp9.bitstream.tables import TxSize, TxType
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "native", "libvp9native.so")
+_SRC = os.path.join(_REPO, "native", "vp9_native.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or (
+        os.path.exists(_SRC)
+        and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.boolenc_new.restype = ctypes.c_void_p
+    lib.boolenc_free.argtypes = [ctypes.c_void_p]
+    lib.boolenc_put.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.boolenc_literal.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int]
+    lib.boolenc_start.argtypes = [ctypes.c_void_p]
+    lib.boolenc_size.argtypes = [ctypes.c_void_p]
+    lib.boolenc_size.restype = ctypes.c_int64
+    lib.boolenc_finalize.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_uint8),
+                                     ctypes.c_int64]
+    lib.boolenc_finalize.restype = ctypes.c_int64
+    lib.boolenc_write_coeffs.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.boolenc_write_coeffs.restype = ctypes.c_int
+    lib.vp9n_register_tx.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int]
+    lib.vp9n_register_misc.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.sad_full_search.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32)]
+    _register_tables(lib)
+    _lib = lib
+    return _lib
+
+
+def _as_i32(a):
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _as_u8(a):
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _register_tables(lib) -> None:
+    keep = []
+    for ts in TxSize:
+        for tt in TxType:
+            scan, _, nbrs = T.scan_order(ts, tt)
+            band = T.coefband(ts)
+            s, sp = _as_i32(scan)
+            nb, nbp = _as_i32(nbrs.reshape(-1))
+            b, bp = _as_i32(band)
+            keep.extend([s, nb, b])
+            lib.vp9n_register_tx(int(ts), int(tt), sp, nbp, bp, scan.size)
+    energy, ep = _as_i32(T.tbl("pt_energy_class"))
+    cat = np.zeros((6, 14), np.uint8)
+    for i, tokv in enumerate(range(5, 11)):
+        probs = T.cat_probs(T.Token(tokv))
+        cat[i, : probs.size] = probs
+    c, cp = _as_u8(cat)
+    con, conp = _as_i32(T.tbl("coef_con_tree"))
+    lib.vp9n_register_misc(ep, cp, conp)
+
+
+class NativeBoolEncoder:
+    """Drop-in replacement for bitstream.bool_coder.BoolEncoder."""
+
+    def __init__(self) -> None:
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._enc = self._lib.boolenc_new()
+        self._lib.boolenc_start(self._enc)
+
+    def put_bit(self, bit: int, prob: int) -> None:
+        self._lib.boolenc_put(self._enc, bit, prob)
+
+    def put_literal(self, value: int, bits: int) -> None:
+        self._lib.boolenc_literal(self._enc, value, bits)
+
+    def write_coeffs(self, levels2d, tx_size, tx_type, probs_full,
+                     ctx0: int) -> int:
+        lv, lvp = _as_i32(np.asarray(levels2d).reshape(-1))
+        pf = np.ascontiguousarray(probs_full, dtype=np.uint8)
+        pfp = pf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        return self._lib.boolenc_write_coeffs(
+            self._enc, lvp, int(tx_size), int(tx_type), pfp, ctx0,
+            None, None)
+
+    def finalize(self) -> bytes:
+        cap = self._lib.boolenc_size(self._enc) + 64
+        out = np.zeros(int(cap), np.uint8)
+        n = self._lib.boolenc_finalize(
+            self._enc, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap)
+        assert n > 0
+        data = bytes(out[:n].tobytes())
+        self._lib.boolenc_free(self._enc)
+        self._enc = None
+        return data
+
+    def __len__(self) -> int:
+        return int(self._lib.boolenc_size(self._enc))
+
+
+def make_bool_encoder():
+    """Factory: native encoder if available, else the Python reference."""
+    if get_lib() is not None:
+        return NativeBoolEncoder()
+    from tpu_vp9.bitstream.bool_coder import BoolEncoder
+
+    return BoolEncoder()
+
+
+def native_sad_search(src_block, region, region_stride: int, r: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    s, sp = _as_u8(np.asarray(src_block))
+    reg = np.ascontiguousarray(region, dtype=np.uint8)
+    rp = reg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    best = np.zeros(3, np.int32)
+    lib.sad_full_search(sp, src_block.shape[0], rp, region_stride, r,
+                        best.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return int(best[0]), int(best[1]), int(best[2])

@@ -96,6 +96,10 @@ def predict_inter_block(ref_plane, mi_row: int, mi_col: int,
     y0 = y_q4 >> SUBPEL_BITS
     subpel_x = x_q4 & SUBPEL_MASK
     subpel_y = y_q4 & SUBPEL_MASK
+    if subpel_x == 0 and subpel_y == 0:
+        # full-pel: phase-0 kernel is the identity (normatively exact)
+        return ref_plane[BORDER + y0 : BORDER + y0 + bh,
+                         BORDER + x0 : BORDER + x0 + bw].astype(np.uint8)
     filters = T.subpel_filters(filter_type)
     window = ref_plane[BORDER + y0 - 3 : BORDER + y0 + bh + 4,
                        BORDER + x0 - 3 : BORDER + x0 + bw + 4]

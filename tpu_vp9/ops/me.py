@@ -25,9 +25,17 @@ def full_pel_search(src_block, ref_padded, px: int, py: int, border: int,
     cy, cx = center
     y0 = border + py + cy - r
     x0 = border + px + cx - r
-    region = ref_padded[y0 : y0 + n + 2 * r, x0 : x0 + n + 2 * r]
+    region = np.ascontiguousarray(
+        ref_padded[y0 : y0 + n + 2 * r, x0 : x0 + n + 2 * r])
+    from tpu_vp9.native import native_sad_search
+
+    res = native_sad_search(np.ascontiguousarray(src_block), region,
+                            region.shape[1], r)
+    if res is not None:
+        dy, dx, sad = res
+        return cy + dy, cx + dx, sad
     src = src_block.astype(np.int32)
-    # sliding windows via stride tricks
+    # sliding windows via stride tricks (fallback)
     win = np.lib.stride_tricks.sliding_window_view(region, (n, n))
     sads = np.abs(win.astype(np.int32) - src[None, None]).sum(axis=(2, 3))
     idx = np.unravel_index(np.argmin(sads), sads.shape)
