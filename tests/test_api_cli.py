@@ -1,0 +1,117 @@
+"""Public API lifecycle + CLI + rate control tests."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu_vp9.api import Vp9Encoder
+from tpu_vp9.config import EncoderConfig, RateControlMode
+from tpu_vp9.decoder.decoder import decode_ivf
+from tpu_vp9.bitstream.ivf import (
+    patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
+)
+from tpu_vp9.utils.yuv import synthetic_frames, write_y4m
+
+
+def small_cfg(**kw):
+    base = dict(source_width=96, source_height=80, frame_rate=30, qp=40,
+                enc_mode=9)
+    base.update(kw)
+    return EncoderConfig(**base)
+
+
+def test_seven_step_lifecycle():
+    frames = list(synthetic_frames(96, 80, 4, seed=0))
+    with Vp9Encoder() as enc:
+        enc.set_parameter(small_cfg())
+        enc.init()
+        pkts = []
+        for fr in frames:
+            enc.send_picture(fr)
+            p = enc.get_packet()
+            assert p is not None
+            pkts.append(p)
+        enc.flush()
+    assert pkts[0].is_keyframe and not pkts[1].is_keyframe
+    assert enc.get_recon() is not None
+    # decodes end to end
+    buf = io.BytesIO()
+    write_ivf_header(buf, 96, 80, 30, 1)
+    for p in pkts:
+        write_ivf_frame(buf, p.data, p.pts)
+    patch_ivf_frame_count(buf, len(pkts))
+    buf.seek(0)
+    dec = list(decode_ivf(buf))
+    assert len(dec) == 4
+
+
+def test_uninitialized_errors():
+    enc = Vp9Encoder()
+    with pytest.raises(RuntimeError):
+        enc.send_picture(next(synthetic_frames(96, 80, 1)))
+    with pytest.raises(RuntimeError):
+        enc.init()
+
+
+def test_qp_file_override():
+    frames = list(synthetic_frames(96, 80, 3, seed=1))
+    enc = Vp9Encoder()
+    enc.set_parameter(small_cfg())
+    enc.init()
+    enc.set_frame_qp(1, 20)
+    enc.set_frame_qp(2, 60)
+    for fr in frames:
+        enc.send_picture(fr)
+    p0, p1, p2 = (enc.get_packet() for _ in range(3))
+    assert p1.qindex == 80 and p2.qindex == 240
+    assert len(p1.data) > len(p2.data)
+
+
+def test_vbr_converges():
+    frames = list(synthetic_frames(96, 80, 30, seed=2, motion=True))
+    target = 200_000  # bits/s at 30 fps
+    enc = Vp9Encoder()
+    enc.set_parameter(small_cfg(
+        rate_control_mode=RateControlMode.VBR, target_bit_rate=target,
+        qp=40, min_qp_allowed=0, max_qp_allowed=63))
+    enc.init()
+    sizes = []
+    for fr in frames:
+        enc.send_picture(fr)
+        sizes.append(len(enc.get_packet().data))
+    bits = sum(sizes) * 8
+    rate = bits / (len(frames) / 30.0)
+    assert 0.4 * target < rate < 2.5 * target, rate
+
+
+def test_cli_smoke(tmp_path):
+    clip = tmp_path / "c.y4m"
+    out = tmp_path / "o.ivf"
+    with open(clip, "wb") as fh:
+        write_y4m(fh, synthetic_frames(96, 80, 3, seed=3), 30, 1)
+    res = subprocess.run(
+        [sys.executable, "-m", "tpu_vp9.app", "-i", str(clip), "-b",
+         str(out), "-q", "45", "-enc-mode", "9", "-n", "3"],
+        capture_output=True, text=True, timeout=300,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stderr
+    assert "SUMMARY: 3 frames" in res.stdout
+    with open(out, "rb") as fh:
+        dec = list(decode_ivf(fh))
+    assert len(dec) == 3
+
+
+def test_cli_bad_args(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "tpu_vp9.app", "-i", "/nonexistent.y4m",
+         "-b", str(tmp_path / "x.ivf")],
+        capture_output=True, text=True, timeout=60,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert res.returncode == 1
+    assert "error" in res.stderr.lower()

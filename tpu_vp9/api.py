@@ -1,0 +1,144 @@
+"""Public encoder API — the reference's 7-step lifecycle, Pythonic.
+
+Mirrors ``Source/API/EbSvtVp9Enc.h``:
+  eb_vp9_svt_init_handle        -> Vp9Encoder()
+  eb_vp9_svt_enc_set_parameter  -> .set_parameter(cfg)
+  eb_vp9_init_encoder           -> .init()
+  eb_vp9_svt_enc_send_picture   -> .send_picture(frame) / .flush()
+  eb_vp9_svt_get_packet         -> .get_packet()
+  eb_vp9_svt_release_out_buffer -> (packets are plain bytes; GC handles it)
+  eb_vp9_svt_get_recon          -> .get_recon()
+  eb_vp9_deinit_encoder/handle  -> .close() / context manager
+
+The streaming surface accepts pictures one at a time and emits packets as
+soon as they are ready (1-frame latency in the current low-delay mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from tpu_vp9.bitstream.headers import FrameHeader, assemble_frame
+from tpu_vp9.bitstream.tables import TxMode
+from tpu_vp9.codec.intra_frame import encode_keyframe
+from tpu_vp9.codec.inter_frame import encode_pframe
+from tpu_vp9.config import EncoderConfig
+from tpu_vp9.pipeline.encoder import _make_refs
+from tpu_vp9.pipeline.presets import derive_signals
+from tpu_vp9.pipeline.rate_control import RateControlState
+from tpu_vp9.utils.yuv import Frame420
+
+
+@dataclass
+class Packet:
+    data: bytes
+    pts: int
+    dts: int
+    is_keyframe: bool
+    qindex: int
+
+
+class Vp9Encoder:
+    """Streaming VP9 encoder handle."""
+
+    def __init__(self) -> None:
+        self._cfg: Optional[EncoderConfig] = None
+        self._initialized = False
+        self._rc = None
+        self._sig = None
+        self._refs = None
+        self._frame_idx = 0
+        self._packets: list = []
+        self._last_recon = None
+        self._eos = False
+        self._qp_overrides: dict = {}
+
+    # -- lifecycle ---------------------------------------------------------
+    def set_parameter(self, cfg: EncoderConfig) -> None:
+        cfg = cfg.derive()
+        cfg.validate()
+        self._cfg = cfg
+
+    def init(self) -> None:
+        if self._cfg is None:
+            raise RuntimeError("set_parameter must be called before init")
+        self._sig = derive_signals(self._cfg)
+        self._rc = RateControlState.create(self._cfg)
+        self._initialized = True
+
+    def close(self) -> None:
+        self._initialized = False
+        self._refs = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- data path ---------------------------------------------------------
+    def set_frame_qp(self, frame_idx: int, qp: int) -> None:
+        """qp-file equivalent (EbAppProcessCmd.c:179)."""
+        self._qp_overrides[frame_idx] = qp
+
+    def send_picture(self, frame: Frame420, force_keyframe: bool = False):
+        if not self._initialized:
+            raise RuntimeError("encoder not initialized")
+        if self._eos:
+            raise RuntimeError("send_picture after flush")
+        cfg, sig, rc = self._cfg, self._sig, self._rc
+        idx = self._frame_idx
+        self._frame_idx += 1
+        is_key = force_keyframe or idx == 0 or (
+            cfg.intra_period >= 0 and idx % (cfg.intra_period + 1) == 0)
+        if idx in self._qp_overrides:
+            from tpu_vp9.pipeline.presets import qp_to_qindex
+
+            qindex = qp_to_qindex(self._qp_overrides[idx])
+        else:
+            qindex = rc.frame_qindex(is_key)
+        h, w = frame.y.shape
+        if is_key:
+            tile, st = encode_keyframe(frame, qindex, sig.block_size,
+                                       qbias=sig.qbias)
+            hdr = FrameHeader(width=w, height=h, is_keyframe=True,
+                              error_resilient=True, base_qindex=qindex,
+                              tx_mode=TxMode.ALLOW_32X32)
+        else:
+            tile, st = encode_pframe(frame, self._refs, qindex,
+                                     sig.block_size, sig.search_range,
+                                     qbias=sig.qbias,
+                                     do_subpel=sig.do_subpel)
+            hdr = FrameHeader(width=w, height=h, is_keyframe=False,
+                              error_resilient=True, base_qindex=qindex,
+                              tx_mode=TxMode.ALLOW_32X32,
+                              refresh_frame_mask=0xFF,
+                              ref_dpb_index=(0, 0, 0))
+        hdr.loop_filter.filter_level = 0
+        payload = assemble_frame(hdr, tile)
+        rc.update(len(payload) * 8, is_key)
+        self._refs = _make_refs(st, w, h)
+        self._last_recon = (
+            st.planes[0].recon[:h, :w].copy(),
+            st.planes[1].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
+            st.planes[2].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
+        )
+        self._packets.append(Packet(data=payload, pts=idx, dts=idx,
+                                    is_keyframe=is_key, qindex=qindex))
+
+    def flush(self) -> None:
+        """Signal end of stream (EB_BUFFERFLAG_EOS analogue)."""
+        self._eos = True
+
+    def get_packet(self, blocking: bool = False) -> Optional[Packet]:
+        if self._packets:
+            return self._packets.pop(0)
+        return None
+
+    def get_recon(self):
+        """Last encoded picture's reconstruction (y, u, v) or None."""
+        return self._last_recon

@@ -1,0 +1,191 @@
+"""Command-line encoder app — SvtVp9EncApp-compatible flag surface.
+
+Token parity with the reference CLI (``Source/App/EbAppConfig.c:20-70``):
+``-i -b -o -w -h -n -q -fps -fps-num -fps-denom -enc-mode -tune
+-intra-period -rc -tbr -max-qp -min-qp -vbv-bufsize -use-q-file -qp-file
+-loop-filter -hme -search-w -search-h -nch`` etc.  Reads raw YUV or Y4M
+(incl. stdin pipes), writes IVF, optional recon output, per-channel fps
+and latency stats (``EbAppProcessCmd.c:577``).
+
+Usage:  python -m tpu_vp9.app -i in.y4m -b out.ivf -q 40 -enc-mode 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from tpu_vp9.api import Vp9Encoder
+from tpu_vp9.bitstream.ivf import (
+    patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
+)
+from tpu_vp9.config import EncoderConfig, PredStructure, RateControlMode, Tune
+from tpu_vp9.utils.yuv import Frame420, read_y4m, read_yuv_frames
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="SvtVp9EncApp (tpu_vp9)", add_help=False,
+        description="TPU-native VP9 encoder")
+    p.add_argument("--help", action="help")
+    p.add_argument("-i", dest="input", required=True,
+                   help="input file (.y4m/.yuv or 'stdin')")
+    p.add_argument("-b", dest="bitstream", help="output IVF bitstream")
+    p.add_argument("-o", dest="recon", help="output recon YUV")
+    p.add_argument("-errlog", dest="errlog", help="error log file")
+    p.add_argument("-w", dest="width", type=int, default=0)
+    p.add_argument("-h", dest="height", type=int, default=0)
+    p.add_argument("-n", dest="frames", type=int, default=0,
+                   help="number of frames to encode (0 = all)")
+    p.add_argument("-q", dest="qp", type=int, default=50)
+    p.add_argument("-fps", dest="fps", type=int, default=30)
+    p.add_argument("-fps-num", dest="fps_num", type=int, default=0)
+    p.add_argument("-fps-denom", dest="fps_denom", type=int, default=0)
+    p.add_argument("-enc-mode", dest="enc_mode", type=int, default=9)
+    p.add_argument("-tune", dest="tune", type=int, default=1)
+    p.add_argument("-intra-period", dest="intra_period", type=int, default=-2)
+    p.add_argument("-pred-struct", dest="pred_struct", type=int, default=0)
+    p.add_argument("-rc", dest="rc", type=int, default=0)
+    p.add_argument("-tbr", dest="tbr", type=int, default=7_000_000)
+    p.add_argument("-max-qp", dest="max_qp", type=int, default=63)
+    p.add_argument("-min-qp", dest="min_qp", type=int, default=10)
+    p.add_argument("-vbv-bufsize", dest="vbv_bufsize", type=int, default=0)
+    p.add_argument("-loop-filter", dest="loop_filter", type=int, default=1)
+    p.add_argument("-use-q-file", dest="use_q_file", type=int, default=0)
+    p.add_argument("-qp-file", dest="qp_file")
+    p.add_argument("-hme", dest="hme", type=int, default=1)
+    p.add_argument("-use-default-me-hme", dest="default_me", type=int,
+                   default=1)
+    p.add_argument("-search-w", dest="search_w", type=int, default=16)
+    p.add_argument("-search-h", dest="search_h", type=int, default=9)
+    p.add_argument("-bit-depth", dest="bit_depth", type=int, default=8)
+    p.add_argument("-profile", dest="profile", type=int, default=0)
+    p.add_argument("-level", dest="level", type=int, default=0)
+    p.add_argument("-nch", dest="channels", type=int, default=1)
+    p.add_argument("-speed-ctrl", dest="speed_ctrl", type=int, default=0)
+    return p
+
+
+def config_from_args(args, width: int, height: int) -> EncoderConfig:
+    return EncoderConfig(
+        enc_mode=args.enc_mode,
+        tune=Tune(args.tune),
+        intra_period=args.intra_period,
+        pred_structure=PredStructure(min(args.pred_struct, 2)),
+        source_width=width,
+        source_height=height,
+        frame_rate=args.fps,
+        frame_rate_numerator=args.fps_num,
+        frame_rate_denominator=args.fps_denom,
+        encoder_bit_depth=args.bit_depth,
+        qp=args.qp,
+        use_qp_file=bool(args.use_q_file),
+        loop_filter=bool(args.loop_filter),
+        use_default_me_hme=bool(args.default_me),
+        enable_hme=bool(args.hme),
+        search_area_width=args.search_w,
+        search_area_height=args.search_h,
+        rate_control_mode=RateControlMode(args.rc),
+        target_bit_rate=args.tbr,
+        max_qp_allowed=args.max_qp,
+        min_qp_allowed=args.min_qp,
+        vbv_buf_size=args.vbv_bufsize,
+        profile=args.profile,
+        level=args.level,
+    )
+
+
+def open_input(args):
+    if args.input == "stdin":
+        fh = sys.stdin.buffer
+        peek = fh.peek(9) if hasattr(fh, "peek") else b""
+        if peek.startswith(b"YUV4MPEG2") or args.width == 0:
+            header, frames = read_y4m(fh)
+            return header.width, header.height, \
+                (header.fps_num, header.fps_den), frames
+        return args.width, args.height, (args.fps, 1), \
+            read_yuv_frames(fh, args.width, args.height)
+    if args.input.endswith(".y4m"):
+        fh = open(args.input, "rb")
+        header, frames = read_y4m(fh)
+        return header.width, header.height, \
+            (header.fps_num, header.fps_den), frames
+    if args.width <= 0 or args.height <= 0:
+        raise SystemExit("raw YUV input requires -w and -h")
+    fh = open(args.input, "rb")
+    return args.width, args.height, (args.fps, 1), \
+        read_yuv_frames(fh, args.width, args.height)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        width, height, (fps_num, fps_den), frames = open_input(args)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    cfg = config_from_args(args, width, height)
+    if args.fps_num == 0:
+        cfg.frame_rate_numerator = fps_num
+        cfg.frame_rate_denominator = fps_den
+
+    enc = Vp9Encoder()
+    try:
+        enc.set_parameter(cfg)
+    except ValueError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 1
+    enc.init()
+
+    if args.qp_file and args.use_q_file:
+        with open(args.qp_file) as fh:
+            for idx, line in enumerate(fh):
+                line = line.strip()
+                if line:
+                    enc.set_frame_qp(idx, int(line))
+
+    out_fh = open(args.bitstream, "wb") if args.bitstream else None
+    recon_fh = open(args.recon, "wb") if args.recon else None
+    if out_fh:
+        write_ivf_header(out_fh, width, height, fps_num, fps_den)
+
+    n_coded = 0
+    total_bytes = 0
+    t0 = time.time()
+    max_latency = 0.0
+    for frame in frames:
+        if args.frames and n_coded >= args.frames:
+            break
+        tf = time.time()
+        enc.send_picture(frame)
+        pkt = enc.get_packet()
+        max_latency = max(max_latency, time.time() - tf)
+        if out_fh and pkt:
+            write_ivf_frame(out_fh, pkt.data, pkt.pts)
+        if recon_fh:
+            y, u, v = enc.get_recon()
+            recon_fh.write(y.tobytes() + u.tobytes() + v.tobytes())
+        if pkt:
+            total_bytes += len(pkt.data)
+        n_coded += 1
+    enc.flush()
+    elapsed = max(time.time() - t0, 1e-9)
+    if out_fh:
+        patch_ivf_frame_count(out_fh, n_coded)
+        out_fh.close()
+    if recon_fh:
+        recon_fh.close()
+    fps_val = n_coded / elapsed
+    kbps = total_bytes * 8 * (fps_num / max(fps_den, 1)) / max(n_coded, 1) / 1000
+    print(f"SUMMARY: {n_coded} frames, {fps_val:.2f} fps, "
+          f"{kbps:.1f} kbps, avg {total_bytes // max(n_coded, 1)} B/frame, "
+          f"max latency {max_latency * 1000:.1f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,7 @@ class EncodedFrame:
     is_keyframe: bool
     qindex: int
     state: object  # FrameState (recon access for tests/PSNR)
+    pts: int = 0
 
 
 def _make_refs(st, width: int, height: int):
@@ -80,6 +81,66 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
         hdr.loop_filter.filter_level = 0
         payload = assemble_frame(hdr, tile)
         out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
-                                qindex=qindex, state=st))
+                                qindex=qindex, state=st, pts=idx))
+        refs = _make_refs(st, w, h)
+    return out
+
+
+def encode_video(frames, cfg):
+    """Config-driven encode: presets + rate control + GOP placement.
+
+    frames: iterable of Frame420.  Returns list[EncodedFrame].
+    This is the orchestration behind the public 7-step API and the CLI.
+    """
+    from tpu_vp9.pipeline.presets import derive_signals
+    from tpu_vp9.pipeline.rate_control import RateControlState
+
+    cfg = cfg.derive()
+    cfg.validate()
+    sig = derive_signals(cfg)
+    rc = RateControlState.create(cfg)
+    out = []
+    refs = None
+    for idx, frame in enumerate(frames):
+        h, w = frame.y.shape
+        is_key = idx == 0 or (
+            cfg.intra_period >= 0 and cfg.intra_period != -1
+            and idx % (cfg.intra_period + 1) == 0)
+        if cfg.intra_period == -1:
+            is_key = idx == 0
+        qindex = rc.frame_qindex(is_key)
+        hints = None
+        if is_key:
+            if sig.use_tpu_hints and w % 32 == 0 and h % 32 == 0:
+                try:
+                    import jax.numpy as jnp
+
+                    from tpu_vp9.pipeline.tpu_intra import (
+                        decide_modes_openloop,
+                    )
+
+                    modes, _, _ = decide_modes_openloop(
+                        jnp.asarray(frame.y), jnp.asarray(qindex), 32)
+                    hints = np.asarray(modes)
+                except Exception:
+                    hints = None
+            tile, st = encode_keyframe(frame, qindex, sig.block_size,
+                                       qbias=sig.qbias, y_mode_hints=hints)
+            hdr = FrameHeader(
+                width=w, height=h, is_keyframe=True, error_resilient=True,
+                base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32)
+        else:
+            tile, st = encode_pframe(frame, refs, qindex, sig.block_size,
+                                     sig.search_range, qbias=sig.qbias,
+                                     do_subpel=sig.do_subpel)
+            hdr = FrameHeader(
+                width=w, height=h, is_keyframe=False, error_resilient=True,
+                base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
+                refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0))
+        hdr.loop_filter.filter_level = 0
+        payload = assemble_frame(hdr, tile)
+        rc.update(len(payload) * 8, is_key)
+        out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
+                                qindex=qindex, state=st, pts=idx))
         refs = _make_refs(st, w, h)
     return out

@@ -1,0 +1,62 @@
+"""Preset ladder M0-M9 and tune handling.
+
+The reference derives dozens of per-kernel signals from (enc_mode, tune,
+resolution) — HME levels, search areas, NFL counts, depth modes
+(``EbEncDecProcess.c:4912-5181`` etc.).  This maps the same M0-M9 /
+SQ-OQ-VMAF surface onto the TPU encoder's current knobs; the ladder
+widens as more tools land (adaptive partitioning, BDP analogues).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from tpu_vp9.bitstream.tables import BlockSize
+from tpu_vp9.config import EncoderConfig, Tune
+
+
+@dataclass
+class PresetSignals:
+    block_size: BlockSize  # fixed partition target (adaptive later)
+    search_range: int  # full-pel ME range
+    do_subpel: bool  # half/quarter-pel refinement
+    qbias: float  # quantizer deadzone (lower = more zeros)
+    use_tpu_hints: bool  # open-loop TPU mode decision for keyframes
+
+
+_LADDER = {
+    0: PresetSignals(BlockSize.BLOCK_16X16, 32, True, 0.42, False),
+    1: PresetSignals(BlockSize.BLOCK_16X16, 28, True, 0.42, False),
+    2: PresetSignals(BlockSize.BLOCK_16X16, 24, True, 0.40, False),
+    3: PresetSignals(BlockSize.BLOCK_32X32, 24, True, 0.40, False),
+    4: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.40, False),
+    5: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False),
+    6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False),
+    7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False),
+    8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True),
+    9: PresetSignals(BlockSize.BLOCK_32X32, 8, False, 0.34, True),
+}
+
+
+def derive_signals(cfg: EncoderConfig) -> PresetSignals:
+    sig = _LADDER[int(cfg.enc_mode)]
+    if cfg.tune == Tune.SQ:
+        # visual tune: slightly wider deadzone on high-energy coeffs
+        sig = PresetSignals(sig.block_size, sig.search_range, sig.do_subpel,
+                            max(sig.qbias - 0.02, 0.3), sig.use_tpu_hints)
+    if not cfg.enable_hme:
+        sig = PresetSignals(sig.block_size, min(sig.search_range, 8),
+                            sig.do_subpel, sig.qbias, sig.use_tpu_hints)
+    if not cfg.use_default_me_hme:
+        sig = PresetSignals(sig.block_size,
+                            max(cfg.search_area_width, cfg.search_area_height),
+                            sig.do_subpel, sig.qbias, sig.use_tpu_hints)
+    return sig
+
+
+# quantizer (0-63) to qindex (0-255): spec quantizer_to_qindex ladder
+QUANTIZER_TO_QINDEX = [q * 4 for q in range(64)]
+
+
+def qp_to_qindex(qp: int) -> int:
+    return QUANTIZER_TO_QINDEX[max(0, min(63, qp))]
