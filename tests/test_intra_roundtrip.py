@@ -27,7 +27,7 @@ def encode_one(frame, qindex, block_size=BlockSize.BLOCK_32X32):
         error_resilient=True, base_qindex=qindex,
         tx_mode=TxMode.ALLOW_32X32)
     h.loop_filter.filter_level = 0
-    payload = assemble_frame(h, tile)
+    payload = assemble_frame(h, tile, st.header_updates)
     return payload, st
 
 

@@ -119,7 +119,7 @@ class Vp9Encoder:
                               refresh_frame_mask=0xFF,
                               ref_dpb_index=(0, 0, 0))
         hdr.loop_filter.filter_level = 0
-        payload = assemble_frame(hdr, tile)
+        payload = assemble_frame(hdr, tile, st.header_updates)
         rc.update(len(payload) * 8, is_key)
         self._refs = _make_refs(st, w, h)
         self._last_recon = (

@@ -291,12 +291,18 @@ def _cond_no_update(enc: BoolEncoder, n: int, prob: int = DIFF_UPDATE_PROB) -> N
         enc.put_bit(0, prob)
 
 
-def write_compressed_header(h: FrameHeader) -> bytes:
-    """Compressed header with no probability updates (defaults/backward only).
+def write_compressed_header(h: FrameHeader, updates=None) -> bytes:
+    """Compressed header, optionally carrying forward probability updates.
 
-    Forward prob updates are a later optimization; 'no update' is always
-    conformant.  Layout per spec 6.3 / reference write_compressed_header.
+    updates: None (no updates) or a dict with keys
+      "coef": {TxSize: (old_probs, new_probs, do_flag)}
+      "skip": (old, new) arrays
+    Layout per spec 6.3 / reference write_compressed_header.
     """
+    from tpu_vp9.bitstream.prob_update import (
+        write_binary_updates, write_coef_updates,
+    )
+
     enc = BoolEncoder()
     # --- tx mode (encode_txfm_probs, vp9_bitstream.c:806) ---
     if h.lossless():
@@ -310,7 +316,7 @@ def write_compressed_header(h: FrameHeader) -> bytes:
             _cond_no_update(enc, 2 * 1)  # p8x8: 2 ctx x 1 node
             _cond_no_update(enc, 2 * 2)  # p16x16
             _cond_no_update(enc, 2 * 3)  # p32x32
-    # --- coef prob updates: one 'no update' bit per coded tx size ---
+    # --- coef prob updates per coded tx size ---
     max_tx = {
         T.TxMode.ONLY_4X4: 0,
         T.TxMode.ALLOW_8X8: 1,
@@ -318,10 +324,19 @@ def write_compressed_header(h: FrameHeader) -> bytes:
         T.TxMode.ALLOW_32X32: 3,
         T.TxMode.TX_MODE_SELECT: 3,
     }[T.TxMode(tx_mode)]
-    for _ in range(max_tx + 1):
-        enc.put_bit(0, 128)
+    coef_updates = (updates or {}).get("coef")
+    for ts in list(T.TxSize)[: max_tx + 1]:
+        if coef_updates and ts in coef_updates:
+            old, new, flag = coef_updates[ts]
+            write_coef_updates(enc, old, new, flag)
+        else:
+            enc.put_bit(0, 128)
     # --- skip probs ---
-    _cond_no_update(enc, 3)
+    skip_upd = (updates or {}).get("skip")
+    if skip_upd is not None:
+        write_binary_updates(enc, skip_upd[0], skip_upd[1])
+    else:
+        _cond_no_update(enc, 3)
 
     if not (h.is_keyframe or h.intra_only):
         _cond_no_update(enc, 7 * 3)  # inter mode probs
@@ -345,14 +360,14 @@ def write_compressed_header(h: FrameHeader) -> bytes:
     return enc.finalize()
 
 
-def assemble_frame(h: FrameHeader, tile_data: bytes) -> bytes:
+def assemble_frame(h: FrameHeader, tile_data: bytes, updates=None) -> bytes:
     """Uncompressed header | first_part_size(16) | compressed hdr | tiles."""
     wb = write_uncompressed_header(h)
     if h.show_existing_frame:
         return wb.data()
     size_bit_pos = wb.bit_pos
     wb.literal(0, 16)  # placeholder for first partition size
-    compressed = write_compressed_header(h)
+    compressed = write_compressed_header(h, updates)
     assert len(compressed) <= 0xFFFF
     wb.patch_literal(size_bit_pos, len(compressed), 16)
     return wb.data() + compressed + tile_data

@@ -113,11 +113,13 @@ def write_coeffs(enc, levels2d, tx_size: TxSize, tx_type: TxType,
 
 
 def write_coeffs_any(enc, levels2d, tx_size, tx_type, probs_full,
-                     ctx0: int) -> int:
+                     ctx0: int, counts=None, eob_counts=None) -> int:
     """Dispatch to the native tokenizer when `enc` supports it."""
     if hasattr(enc, "write_coeffs"):
-        return enc.write_coeffs(levels2d, tx_size, tx_type, probs_full, ctx0)
-    return write_coeffs(enc, levels2d, tx_size, tx_type, probs_full, ctx0)
+        return enc.write_coeffs(levels2d, tx_size, tx_type, probs_full, ctx0,
+                                counts, eob_counts)
+    return write_coeffs(enc, levels2d, tx_size, tx_type, probs_full, ctx0,
+                        counts, eob_counts)
 
 
 def read_coeffs(dec, tx_size: TxSize, tx_type: TxType, probs_full,

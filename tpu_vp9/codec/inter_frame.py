@@ -243,7 +243,8 @@ def _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias):
     mi.skip = all_zero
 
 
-def serialize_pframe(st: FrameState, events, qindex: int, fc=None) -> bytes:
+def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
+                     counts_sink=None) -> bytes:
     """Pass B for a P frame (single tile)."""
     if fc is None:
         fc = T.default_frame_context()
@@ -276,6 +277,8 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None) -> bytes:
         mi = st.mig.get(mi_row, mi_col)
         sctx = MI.skip_ctx(st.mig, mi_row, mi_col)
         enc.put_bit(1 if mi.skip else 0, int(fc.skip_probs[sctx]))
+        if counts_sink is not None:
+            counts_sink["skip"][sctx, 1 if mi.skip else 0] += 1
         # is_inter
         iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
         enc.put_bit(1 if mi.is_inter else 0,
@@ -328,7 +331,14 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None) -> bytes:
                 else:
                     levels = st.levels[(pidx, mi_row + y4, mi_col + x4)]
                 ctx0 = pc.get_ctx(gx4, gy4, txs)
-                eob = tok.write_coeffs_any(enc, levels, txs, tt, probs, ctx0)
+                cnt = ecnt = None
+                if counts_sink is not None:
+                    pt_i = 1 if pidx else 0
+                    ref_i = 1 if mi.is_inter else 0
+                    cnt = counts_sink[("coef", txs)][pt_i, ref_i]
+                    ecnt = counts_sink[("eob", txs)][pt_i, ref_i]
+                eob = tok.write_coeffs_any(enc, levels, txs, tt, probs, ctx0,
+                                           cnt, ecnt)
                 pc.set_ctx(gx4, gy4, txs, eob > 0,
                            (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
     return enc.finalize()
@@ -336,7 +346,8 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None) -> bytes:
 
 def encode_pframe(frame, refs, qindex: int,
                   block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
-                  qbias: float = 0.38, do_subpel: bool = True):
+                  qbias: float = 0.38, do_subpel: bool = True,
+                  prob_update: bool = True):
     """Encode one P frame against border-extended refs [y, u, v].
 
     Returns (tile_bytes, FrameState).
@@ -349,5 +360,11 @@ def encode_pframe(frame, refs, qindex: int,
         if ev == "leaf":
             encode_leaf_inter(st, refs, mi_row, mi_col, bsize, qindex,
                               search_range, qbias, do_subpel)
-    tile = serialize_pframe(st, events, qindex)
+    if prob_update:
+        from tpu_vp9.codec.fwd_update import serialize_with_updates
+
+        tile, st.header_updates = serialize_with_updates(
+            st, events, qindex, serialize_pframe)
+    else:
+        tile = serialize_pframe(st, events, qindex)
     return tile, st

@@ -47,6 +47,7 @@ class FrameState:
     mig: MI.ModeInfoGrid
     levels: dict = field(default_factory=dict)  # (plane, y4, x4) -> (N,N) int
     eobs: dict = field(default_factory=dict)
+    header_updates: object = None  # forward prob updates for assemble_frame
 
     @property
     def sb_rows(self):
@@ -258,9 +259,24 @@ def encode_leaf(st: FrameState, mi_row: int, mi_col: int, bsize: BlockSize,
         pass  # recon already equals prediction (all eobs zero)
 
 
+def new_counts_sink():
+    """Empty symbol-count accumulator for forward prob updates."""
+    return {
+        **{("coef", ts): np.zeros((2, 2, 6, 6, 12), np.int64)
+           for ts in TxSize},
+        **{("eob", ts): np.zeros((2, 2, 6, 6), np.int64) for ts in TxSize},
+        "skip": np.zeros((3, 2), np.int64),
+    }
+
+
 def serialize_frame(st: FrameState, events, qindex: int,
-                    fc=None) -> bytes:
-    """Pass B: write the single-tile bool partition."""
+                    fc=None, counts_sink=None) -> bytes:
+    """Pass B: write the single-tile bool partition.
+
+    counts_sink: optional dict from new_counts_sink(); when provided,
+    symbol counts are accumulated (used by the forward-update pass; the
+    emitted bytes are then discarded).
+    """
     if fc is None:
         fc = T.default_frame_context()
     from tpu_vp9.native import make_bool_encoder
@@ -297,6 +313,8 @@ def serialize_frame(st: FrameState, events, qindex: int,
         # skip flag
         sctx = MI.skip_ctx(st.mig, mi_row, mi_col)
         enc.put_bit(1 if mi.skip else 0, int(fc.skip_probs[sctx]))
+        if counts_sink is not None:
+            counts_sink["skip"][sctx, 1 if mi.skip else 0] += 1
         # y mode (kf context from above/left neighbor modes)
         am = MI.kf_above_mode(st.mig, mi_row, mi_col)
         lm = MI.kf_left_mode(st.mig, mi_row, mi_col)
@@ -333,14 +351,20 @@ def serialize_frame(st: FrameState, events, qindex: int,
                 else:
                     levels = st.levels[(pidx, mi_row + y4, mi_col + x4)]
                 ctx0 = pc.get_ctx(gx4, gy4, txs)
-                eob = tok.write_coeffs_any(enc, levels, txs, tt, probs, ctx0)
+                cnt = ecnt = None
+                if counts_sink is not None:
+                    cnt = counts_sink[("coef", txs)][1 if pidx else 0, 0]
+                    ecnt = counts_sink[("eob", txs)][1 if pidx else 0, 0]
+                eob = tok.write_coeffs_any(enc, levels, txs, tt, probs, ctx0,
+                                           cnt, ecnt)
                 pc.set_ctx(gx4, gy4, txs, eob > 0,
                            (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
     return enc.finalize()
 
 
 def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
-                    qbias: float = 0.38, y_mode_hints=None):
+                    qbias: float = 0.38, y_mode_hints=None,
+                    prob_update: bool = True):
     """Encode one intra frame; returns (tile_bytes, FrameState).
 
     y_mode_hints: optional (R, C) array of IntraMode per target-size block
@@ -362,5 +386,11 @@ def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
                     m = IntraMode(int(hints[br, bc]))
                     hint = (m, m)
             encode_leaf(st, mi_row, mi_col, bsize, qindex, qbias, hint)
-    tile = serialize_frame(st, events, qindex)
+    if prob_update:
+        from tpu_vp9.codec.fwd_update import serialize_with_updates
+
+        tile, st.header_updates = serialize_with_updates(
+            st, events, qindex, serialize_frame)
+    else:
+        tile = serialize_frame(st, events, qindex)
     return tile, st

@@ -171,18 +171,23 @@ def parse_uncompressed_header(data: bytes) -> tuple:
 def _inv_recenter_nonneg(v: int, m: int) -> int:
     if v > 2 * m:
         return v
-    return m + ((v + 1) >> 1) if (v & 1) else m - (v >> 1)
+    return m - ((v + 1) >> 1) if (v & 1) else m + (v >> 1)
+
+
+_INV_MAP = None
 
 
 def _inv_remap_prob(v: int, m: int) -> int:
-    table = T.tbl("subexp_map_table")
-    inv = np.zeros(254, np.int64)
-    inv[table] = np.arange(254)
-    v = int(inv[v])
+    global _INV_MAP
+    if _INV_MAP is None:
+        table = T.tbl("subexp_map_table")
+        _INV_MAP = np.zeros(254, np.int64)
+        _INV_MAP[table] = np.arange(254)
+    v = int(_INV_MAP[v])
     m = m - 1
     if (m << 1) <= 255:
-        return 1 + _inv_recenter_nonneg(v, m)
-    return 255 - _inv_recenter_nonneg(v, 254 - m)
+        return 1 + _inv_recenter_nonneg(v + 1, m)
+    return 255 - _inv_recenter_nonneg(v + 1, 254 - m)
 
 
 def _decode_term_subexp(bd: BoolDecoder) -> int:

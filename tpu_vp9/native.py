@@ -131,13 +131,20 @@ class NativeBoolEncoder:
         self._lib.boolenc_literal(self._enc, value, bits)
 
     def write_coeffs(self, levels2d, tx_size, tx_type, probs_full,
-                     ctx0: int) -> int:
+                     ctx0: int, counts=None, eob_counts=None) -> int:
         lv, lvp = _as_i32(np.asarray(levels2d).reshape(-1))
         pf = np.ascontiguousarray(probs_full, dtype=np.uint8)
         pfp = pf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        cp = ep = None
+        if counts is not None:
+            assert counts.dtype == np.int64 and counts.flags.c_contiguous
+            cp = counts.ctypes.data_as(ctypes.c_void_p)
+        if eob_counts is not None:
+            assert (eob_counts.dtype == np.int64
+                    and eob_counts.flags.c_contiguous)
+            ep = eob_counts.ctypes.data_as(ctypes.c_void_p)
         return self._lib.boolenc_write_coeffs(
-            self._enc, lvp, int(tx_size), int(tx_type), pfp, ctx0,
-            None, None)
+            self._enc, lvp, int(tx_size), int(tx_type), pfp, ctx0, cp, ep)
 
     def finalize(self) -> bytes:
         cap = self._lib.boolenc_size(self._enc) + 64

@@ -79,7 +79,7 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
                 refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0),
                 allow_high_precision_mv=False)
         hdr.loop_filter.filter_level = 0
-        payload = assemble_frame(hdr, tile)
+        payload = assemble_frame(hdr, tile, st.header_updates)
         out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
                                 qindex=qindex, state=st, pts=idx))
         refs = _make_refs(st, w, h)
@@ -138,7 +138,7 @@ def encode_video(frames, cfg):
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
                 refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0))
         hdr.loop_filter.filter_level = 0
-        payload = assemble_frame(hdr, tile)
+        payload = assemble_frame(hdr, tile, st.header_updates)
         rc.update(len(payload) * 8, is_key)
         out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
                                 qindex=qindex, state=st, pts=idx))
