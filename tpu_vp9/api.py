@@ -118,7 +118,9 @@ class Vp9Encoder:
                               tx_mode=TxMode.ALLOW_32X32,
                               refresh_frame_mask=0xFF,
                               ref_dpb_index=(0, 0, 0))
-        hdr.loop_filter.filter_level = 0
+        from tpu_vp9.pipeline.encoder import _apply_loop_filter
+
+        _apply_loop_filter(st, hdr, qindex, is_key, enabled=cfg.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         rc.update(len(payload) * 8, is_key)
         self._refs = _make_refs(st, w, h)

@@ -637,7 +637,16 @@ def decode_frame(payload: bytes, fc=None, dpb=None):
             _decode_partition(st, bd, sb_r, sb_c, BlockSize.BLOCK_64X64,
                               full_probs)
     if h.loop_filter.filter_level:
-        raise NotImplementedError("loop filter decode not yet supported")
+        from tpu_vp9.ops.loopfilter import loop_filter_frame
+
+        lf = h.loop_filter
+        # +8 slack: see encoder _apply_loop_filter
+        views = [planes[0][: mi_rows * 8 + 8, : mi_cols * 8 + 8],
+                 planes[1][: mi_rows * 4 + 8, : mi_cols * 4 + 8],
+                 planes[2][: mi_rows * 4 + 8, : mi_cols * 4 + 8]]
+        loop_filter_frame(views, st.mig, lf.filter_level,
+                          lf.sharpness_level, lf.ref_deltas, lf.mode_deltas,
+                          lf.mode_ref_delta_enabled)
     y = planes[0][: h.height, : h.width]
     u = planes[1][: (h.height + 1) >> 1, : (h.width + 1) >> 1]
     v = planes[2][: (h.height + 1) >> 1, : (h.width + 1) >> 1]

@@ -78,12 +78,31 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
                 refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0),
                 allow_high_precision_mv=False)
-        hdr.loop_filter.filter_level = 0
+        _apply_loop_filter(st, hdr, qindex, is_key, enabled=True)
         payload = assemble_frame(hdr, tile, st.header_updates)
         out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
                                 qindex=qindex, state=st, pts=idx))
         refs = _make_refs(st, w, h)
     return out
+
+
+def _apply_loop_filter(st, hdr, qindex, is_key, enabled=True):
+    """Pick the frame filter level and filter the recon in place."""
+    from tpu_vp9.ops.loopfilter import loop_filter_frame, pick_filter_level
+
+    lvl = pick_filter_level(qindex, is_key) if enabled else 0
+    hdr.loop_filter.filter_level = lvl
+    if lvl:
+        # +8 slack: edge-SB chroma bands legally extend past the nominal
+        # plane (identical overhang recon on encoder and decoder sides)
+        mi_w, mi_h = st.mi_cols * 8 + 8, st.mi_rows * 8 + 8
+        views = [st.planes[0].recon[:mi_h, :mi_w],
+                 st.planes[1].recon[:mi_h >> 1, :mi_w >> 1],
+                 st.planes[2].recon[:mi_h >> 1, :mi_w >> 1]]
+        lf = hdr.loop_filter
+        loop_filter_frame(views, st.mig, lvl, lf.sharpness_level,
+                          lf.ref_deltas, lf.mode_deltas,
+                          lf.mode_ref_delta_enabled)
 
 
 def encode_video(frames, cfg):
@@ -137,7 +156,7 @@ def encode_video(frames, cfg):
                 width=w, height=h, is_keyframe=False, error_resilient=True,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
                 refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0))
-        hdr.loop_filter.filter_level = 0
+        _apply_loop_filter(st, hdr, qindex, is_key, enabled=cfg.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         rc.update(len(payload) * 8, is_key)
         out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
