@@ -106,11 +106,14 @@ def encode_tx_block_inter(st: FrameState, plane_idx: int, pred_full,
     return levels, eob
 
 
-def encode_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
+def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                       bsize: BlockSize, qindex: int, search_range: int = 16,
-                      qbias: float = 0.38, do_subpel: bool = True):
-    """Pass A for one leaf of a P frame."""
-    dc_q = T.dc_quant(qindex)
+                      do_subpel: bool = True):
+    """Phase 1: mode/MV decision for one leaf (no reconstruction yet).
+
+    Returns a pending-work entry for the batched transform phase, or None
+    for leaves that chose intra (reconstructed in decode-order phase 3).
+    """
     ac_q = T.ac_quant(qindex)
     pl = st.planes[0]
     w, h = T.BLOCK_WH[bsize]
@@ -154,13 +157,14 @@ def encode_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         if best is None or cost < best[0]:
             best = (cost, offset, mvv)
 
-    # intra DC fallback
+    # intra DC fallback — decided open-loop (source-based references);
+    # exact recon happens in decode-order phase 3
     from tpu_vp9.ops import intra as intra_ops
 
     n = min(w, h, 32)
     ha, hl = py > 0, px > 0
     above, al, left = intra_ops.build_ref_samples(
-        pl.recon, px, py, n, pl.width, pl.height, ha, hl, False)
+        pl.source, px, py, n, pl.width, pl.height, ha, hl, False)
     dc_pred = intra_ops.predict_block_full(IntraMode.DC_PRED, above, al,
                                            left, ha, hl, n)
     intra_cost = int(np.abs(
@@ -172,8 +176,7 @@ def encode_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                          tx_size=T.MAX_TX_SIZE[bsize], skip=False,
                          is_inter=False)
         st.mig.set_block(mi_row, mi_col, bsize, mi)
-        _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias)
-        return
+        return None
 
     _, offset, mvv = best
     mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize], skip=False,
@@ -182,34 +185,76 @@ def encode_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     mi.mode_context = mode_context
     mi.best_ref_mv = nearest
     st.mig.set_block(mi_row, mi_col, bsize, mi)
-
     preds = predict_inter_planes(st, refs, mi_row, mi_col, bsize, mvv)
-    all_zero = True
-    y_tx = mi.tx_size
-    for x4, y4 in tx_blocks_of(bsize, y_tx, 0):
-        if not _visible(st, 0, mi_row, mi_col, x4, y4):
-            continue
-        levels, eob = encode_tx_block_inter(
-            st, 0, preds[0][0], mi_row, mi_col, x4, y4, y_tx, dc_q, ac_q,
-            qbias)
-        st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = levels
-        st.eobs[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = eob
-        all_zero &= eob == 0
-    uv_tx = MI.uv_tx_size(bsize, y_tx)
-    for pidx in (1, 2):
-        for x4, y4 in tx_blocks_of(bsize, uv_tx, 1):
-            if not _visible(st, pidx, mi_row, mi_col, x4, y4):
-                continue
-            levels, eob = encode_tx_block_inter(
-                st, pidx, preds[pidx][0], mi_row, mi_col, x4, y4, uv_tx,
-                dc_q, ac_q, qbias)
-            st.levels[(pidx, mi_row + y4, mi_col + x4)] = levels
-            st.eobs[(pidx, mi_row + y4, mi_col + x4)] = eob
-            all_zero &= eob == 0
-    mi.skip = all_zero
-    if mi.skip:
-        # recon must equal prediction exactly (it does: all eobs zero)
-        pass
+    return (mi, mi_row, mi_col, bsize, preds)
+
+
+def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
+                              qbias: float = 0.38) -> None:
+    """Phase 2: transform/quant/recon ALL inter blocks batched per tx size.
+
+    Inter blocks are mutually independent (prediction comes from the
+    reference frame), so this is one batched tensor op per tx size — the
+    TPU-native formulation of the reference's EncDec thread pool.
+    """
+    dc_q = T.dc_quant(qindex)
+    ac_q = T.ac_quant(qindex)
+    jobs = {}  # tx -> list of (mi, key, pidx, py, px, pred)
+    for mi, mi_row, mi_col, bsize, preds in pending:
+        y_tx = mi.tx_size
+        uv_tx = MI.uv_tx_size(bsize, y_tx)
+        for pidx, txs in ((0, y_tx), (1, uv_tx), (2, uv_tx)):
+            ss = st.planes[pidx].subsampling
+            pred_full = preds[pidx][0]
+            for x4, y4 in tx_blocks_of(bsize, txs, ss):
+                if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                    continue
+                n = TX_PX[txs]
+                px = ((mi_col * 8) >> ss) + x4 * 4
+                py = ((mi_row * 8) >> ss) + y4 * 4
+                if pidx == 0:
+                    key = (0, mi_row * 2 + y4, mi_col * 2 + x4)
+                else:
+                    key = (pidx, mi_row + y4, mi_col + x4)
+                pred = pred_full[y4 * 4 : y4 * 4 + n, x4 * 4 : x4 * 4 + n]
+                jobs.setdefault(txs, []).append((mi, key, pidx, py, px, pred))
+    for txs, items in jobs.items():
+        n = TX_PX[txs]
+        preds = np.stack([it[5] for it in items]).astype(np.int32)
+        srcs = np.stack([
+            st.planes[it[2]].source[it[3] : it[3] + n, it[4] : it[4] + n]
+            for it in items]).astype(np.int32)
+        resid = srcs - preds
+        coeffs = txfm.fwd_txfm2d(resid, txs, TxType.DCT_DCT)
+        levels = txfm.quantize_block(coeffs, dc_q, ac_q, txs, bias=qbias)
+        deq = txfm.dequant_block(levels, dc_q, ac_q, txs)
+        recon = txfm.inv_txfm_add(deq.astype(np.int64), preds, txs,
+                                  TxType.DCT_DCT)
+        scan = T.scan_order(txs, TxType.DCT_DCT)[0]
+        lv_scan = levels.reshape(levels.shape[0], -1)[:, scan]
+        nz = lv_scan != 0
+        eobs = np.where(nz.any(axis=1),
+                        n * n - np.argmax(nz[:, ::-1], axis=1), 0)
+        for i, (mi, key, pidx, py, px, _) in enumerate(items):
+            st.planes[pidx].recon[py : py + n, px : px + n] = recon[i]
+            st.levels[key] = levels[i]
+            st.eobs[key] = int(eobs[i])
+    # skip determination: a block skips iff all its tx blocks are empty
+    for mi, mi_row, mi_col, bsize, _ in pending:
+        y_tx = mi.tx_size
+        uv_tx = MI.uv_tx_size(bsize, y_tx)
+        all_zero = True
+        for pidx, txs in ((0, y_tx), (1, uv_tx), (2, uv_tx)):
+            ss = st.planes[pidx].subsampling
+            for x4, y4 in tx_blocks_of(bsize, txs, ss):
+                if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                    continue
+                if pidx == 0:
+                    key = (0, mi_row * 2 + y4, mi_col * 2 + x4)
+                else:
+                    key = (pidx, mi_row + y4, mi_col + x4)
+                all_zero &= st.eobs[key] == 0
+        mi.skip = all_zero
 
 
 def _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias):
@@ -356,10 +401,24 @@ def encode_pframe(frame, refs, qindex: int,
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
     events = walk_partition_fixed(mi_rows, mi_cols, block_size)
+    # phase 1: decisions (decode order; mvrefs see final neighbor choices)
+    pending = []
+    intra_leaves = []
     for ev, mi_row, mi_col, bsize, _ in events:
-        if ev == "leaf":
-            encode_leaf_inter(st, refs, mi_row, mi_col, bsize, qindex,
-                              search_range, qbias, do_subpel)
+        if ev != "leaf":
+            continue
+        entry = decide_leaf_inter(st, refs, mi_row, mi_col, bsize, qindex,
+                                  search_range, do_subpel)
+        if entry is None:
+            intra_leaves.append((mi_row, mi_col, bsize))
+        else:
+            pending.append(entry)
+    # phase 2: all inter blocks batched (independent of each other)
+    batch_encode_inter_blocks(st, pending, qindex, qbias)
+    # phase 3: intra-fallback leaves, exact recon in decode order
+    for mi_row, mi_col, bsize in intra_leaves:
+        mi = st.mig.get(mi_row, mi_col)
+        _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias)
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates
 
