@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cmath>
 #include <vector>
 
 namespace {
@@ -259,6 +260,211 @@ void sad_full_search(const uint8_t* src, int n, const uint8_t* region,
     best[0] = best_dy;
     best[1] = best_dx;
     best[2] = best_sad;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Loop filter (exact spec kernels; decisions precomputed in Python)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static inline int clamp_i(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+static inline int c8(int t) { return clamp_i(t, -128, 127); }
+
+static void lf_filter_line(uint8_t* px[16], int taps, int width, int lvl,
+                           int lim, int blim) {
+    // px[k] points at pixel offset k-8 from the edge (px[8] = q0).
+    // Only `taps` pixels per side are valid to read (4 unless width 16).
+    int p[8] = {0}, q[8] = {0};
+    for (int k = 0; k < taps; ++k) {
+        p[k] = *px[7 - k];
+        q[k] = *px[8 + k];
+    }
+    int thresh = lvl >> 4;
+    bool mask = true;
+    for (int k = 0; k < 3; ++k) {
+        if (std::abs(p[k + 1] - p[k]) > lim) mask = false;
+        if (std::abs(q[k + 1] - q[k]) > lim) mask = false;
+    }
+    if (std::abs(p[0] - q[0]) * 2 + std::abs(p[1] - q[1]) / 2 > blim)
+        mask = false;
+    // filter4 core
+    bool hev = std::abs(p[1] - p[0]) > thresh || std::abs(q[1] - q[0]) > thresh;
+    int ps1 = p[1] - 128, ps0 = p[0] - 128, qs0 = q[0] - 128, qs1 = q[1] - 128;
+    int f = hev ? c8(ps1 - qs1) : 0;
+    f = mask ? c8(f + 3 * (qs0 - ps0)) : 0;
+    int f1 = c8(f + 4) >> 3;
+    int f2 = c8(f + 3) >> 3;
+    int nq0 = c8(qs0 - f1) + 128;
+    int np0 = c8(ps0 + f2) + 128;
+    int fa = hev ? 0 : ((f1 + 1) >> 1);
+    int nq1 = c8(qs1 - fa) + 128;
+    int np1 = c8(ps1 + fa) + 128;
+    if (width == 4) {
+        *px[7] = (uint8_t)np0; *px[6] = (uint8_t)np1;
+        *px[8] = (uint8_t)nq0; *px[9] = (uint8_t)nq1;
+        return;
+    }
+    bool flat = mask;
+    for (int k = 1; k <= 3 && flat; ++k) {
+        if (std::abs(p[k] - p[0]) > 1 || std::abs(q[k] - q[0]) > 1)
+            flat = false;
+    }
+    if (!(flat && mask)) {
+        *px[7] = (uint8_t)np0; *px[6] = (uint8_t)np1;
+        *px[8] = (uint8_t)nq0; *px[9] = (uint8_t)nq1;
+        return;
+    }
+    if (width == 8) {
+        int o[6];
+        o[0] = (p[3] + p[3] + p[3] + 2 * p[2] + p[1] + p[0] + q[0] + 4) >> 3;
+        o[1] = (p[3] + p[3] + p[2] + 2 * p[1] + p[0] + q[0] + q[1] + 4) >> 3;
+        o[2] = (p[3] + p[2] + p[1] + 2 * p[0] + q[0] + q[1] + q[2] + 4) >> 3;
+        o[3] = (p[2] + p[1] + p[0] + 2 * q[0] + q[1] + q[2] + q[3] + 4) >> 3;
+        o[4] = (p[1] + p[0] + q[0] + 2 * q[1] + q[2] + q[3] + q[3] + 4) >> 3;
+        o[5] = (p[0] + q[0] + q[1] + 2 * q[2] + q[3] + q[3] + q[3] + 4) >> 3;
+        *px[5] = (uint8_t)o[0]; *px[6] = (uint8_t)o[1]; *px[7] = (uint8_t)o[2];
+        *px[8] = (uint8_t)o[3]; *px[9] = (uint8_t)o[4]; *px[10] = (uint8_t)o[5];
+        return;
+    }
+    // width 16
+    bool flat2 = true;
+    for (int k = 4; k <= 7 && flat2; ++k) {
+        if (std::abs(p[k] - p[0]) > 1 || std::abs(q[k] - q[0]) > 1)
+            flat2 = false;
+    }
+    if (!flat2) {
+        // fall back to the 8 path
+        int o[6];
+        o[0] = (p[3] + p[3] + p[3] + 2 * p[2] + p[1] + p[0] + q[0] + 4) >> 3;
+        o[1] = (p[3] + p[3] + p[2] + 2 * p[1] + p[0] + q[0] + q[1] + 4) >> 3;
+        o[2] = (p[3] + p[2] + p[1] + 2 * p[0] + q[0] + q[1] + q[2] + 4) >> 3;
+        o[3] = (p[2] + p[1] + p[0] + 2 * q[0] + q[1] + q[2] + q[3] + 4) >> 3;
+        o[4] = (p[1] + p[0] + q[0] + 2 * q[1] + q[2] + q[3] + q[3] + 4) >> 3;
+        o[5] = (p[0] + q[0] + q[1] + 2 * q[2] + q[3] + q[3] + q[3] + 4) >> 3;
+        *px[5] = (uint8_t)o[0]; *px[6] = (uint8_t)o[1]; *px[7] = (uint8_t)o[2];
+        *px[8] = (uint8_t)o[3]; *px[9] = (uint8_t)o[4]; *px[10] = (uint8_t)o[5];
+        return;
+    }
+    int np[7], nq[7];
+    for (int k = 0; k < 7; ++k) {
+        int acc = p[7] * (k + 1) + 2 * p[k];
+        for (int j = k + 1; j < 7; ++j) acc += p[j];
+        for (int j = 0; j < k; ++j) acc += p[j];
+        for (int j = 0; j < 7 - k; ++j) acc += q[j];
+        np[k] = (acc + 8) >> 4;
+        acc = q[7] * (k + 1) + 2 * q[k];
+        for (int j = k + 1; j < 7; ++j) acc += q[j];
+        for (int j = 0; j < k; ++j) acc += q[j];
+        for (int j = 0; j < 7 - k; ++j) acc += p[j];
+        nq[k] = (acc + 8) >> 4;
+    }
+    for (int k = 0; k < 7; ++k) {
+        *px[7 - k] = (uint8_t)np[k];
+        *px[8 + k] = (uint8_t)nq[k];
+    }
+}
+
+static void lf_vert_seg(uint8_t* plane, int stride, int x, int y0, int nrows,
+                        int width, int lvl, int lim, int blim) {
+    for (int r = 0; r < nrows; ++r) {
+        uint8_t* row = plane + (int64_t)(y0 + r) * stride + x;
+        int taps = width == 16 ? 8 : 4;
+        uint8_t* px[16];
+        for (int k = 8 - taps; k < 8 + taps; ++k) px[k] = row + (k - 8);
+        lf_filter_line(px, taps, width, lvl, lim, blim);
+    }
+}
+
+static void lf_horz_seg(uint8_t* plane, int stride, int y, int x0, int ncols,
+                        int width, int lvl, int lim, int blim) {
+    for (int ccc = 0; ccc < ncols; ++ccc) {
+        uint8_t* col = plane + (int64_t)y * stride + x0 + ccc;
+        int taps = width == 16 ? 8 : 4;
+        uint8_t* px[16];
+        for (int k = 8 - taps; k < 8 + taps; ++k)
+            px[k] = col + (int64_t)(k - 8) * stride;
+        lf_filter_line(px, taps, width, lvl, lim, blim);
+    }
+}
+
+// decisions: per mi step: [lvl, vw, vint, hw, hint] int32, laid out
+// (n_rows_steps, n_col_steps, 5).  mi coordinates/step in plane space.
+void lf_plane(uint8_t* plane, int stride, const int32_t* dec,
+              int n_row_steps, int n_col_steps, int sb_span,
+              int px_per_step, const int32_t* lim_lut,
+              const int32_t* mblim_lut) {
+    // process per SB in raster order: vert edges then horz edges
+    for (int sb_r = 0; sb_r < n_row_steps; sb_r += sb_span) {
+        for (int sb_c = 0; sb_c < n_col_steps; sb_c += sb_span) {
+            int r1 = sb_r + sb_span < n_row_steps ? sb_r + sb_span
+                                                  : n_row_steps;
+            int c1 = sb_c + sb_span < n_col_steps ? sb_c + sb_span
+                                                  : n_col_steps;
+            for (int ci = sb_c; ci < c1; ++ci) {
+                int x = ci * px_per_step;
+                for (int ri = sb_r; ri < r1; ++ri) {
+                    const int32_t* d = dec + ((int64_t)ri * n_col_steps + ci) * 5;
+                    int lvl = d[0], vw = d[1], vint = d[2];
+                    if (!lvl) continue;
+                    int y0 = ri * px_per_step;
+                    if (vw && x > 0)
+                        lf_vert_seg(plane, stride, x, y0, px_per_step, vw,
+                                    lvl, lim_lut[lvl], mblim_lut[lvl]);
+                    if (vint)
+                        lf_vert_seg(plane, stride, x + 4, y0, px_per_step, 4,
+                                    lvl, lim_lut[lvl], mblim_lut[lvl]);
+                }
+            }
+            for (int ri = sb_r; ri < r1; ++ri) {
+                int y = ri * px_per_step;
+                for (int ci = sb_c; ci < c1; ++ci) {
+                    const int32_t* d = dec + ((int64_t)ri * n_col_steps + ci) * 5;
+                    int lvl = d[0], hw = d[3], hint = d[4];
+                    if (!lvl) continue;
+                    int x0 = ci * px_per_step;
+                    if (hw && y > 0)
+                        lf_horz_seg(plane, stride, y, x0, px_per_step, hw,
+                                    lvl, lim_lut[lvl], mblim_lut[lvl]);
+                    if (hint)
+                        lf_horz_seg(plane, stride, y + 4, x0, px_per_step, 4,
+                                    lvl, lim_lut[lvl], mblim_lut[lvl]);
+                }
+            }
+        }
+    }
+}
+
+// sub-pel SAD probe: 8-tap 2-stage convolve of an (n+7)x(n+7) window.
+int64_t subpel_sad(const uint8_t* ref, int stride, const uint8_t* src, int n,
+                   int sx, int sy, const int16_t* fx, const int16_t* fy) {
+    // ref points at (y0-3, x0-3)
+    int inter[71 * 64];
+    int ih = n + 7;
+    for (int y = 0; y < ih; ++y) {
+        const uint8_t* row = ref + (int64_t)y * stride;
+        for (int x = 0; x < n; ++x) {
+            int sum = 0;
+            for (int k = 0; k < 8; ++k) sum += row[x + k] * fx[k];
+            sum = (sum + 64) >> 7;
+            inter[y * 64 + x] = clamp_i(sum, 0, 255);
+        }
+    }
+    int64_t sad = 0;
+    for (int y = 0; y < n; ++y) {
+        for (int x = 0; x < n; ++x) {
+            int sum = 0;
+            for (int k = 0; k < 8; ++k) sum += inter[(y + k) * 64 + x] * fy[k];
+            sum = clamp_i((sum + 64) >> 7, 0, 255);
+            int d = sum - (int)src[y * n + x];
+            sad += d < 0 ? -d : d;
+        }
+    }
+    return sad;
 }
 
 }  // extern "C"

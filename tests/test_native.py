@@ -73,3 +73,64 @@ def test_native_sad_matches_numpy():
     idx = np.unravel_index(np.argmin(sads), sads.shape)
     assert sad == sads[idx]
     assert (dy + r, dx + r) == idx or sads[dy + r, dx + r] == sads[idx]
+
+
+def test_native_loopfilter_matches_python(monkeypatch):
+    from tpu_vp9.codec import modeinfo as MI
+    from tpu_vp9.bitstream.tables import BlockSize, IntraMode, TxSize
+    from tpu_vp9.ops import loopfilter as LFM
+    import tpu_vp9.native as nat
+
+    rng = np.random.default_rng(0)
+    mi_rows, mi_cols = 12, 14
+    mig = MI.ModeInfoGrid(mi_rows, mi_cols)
+    # random mosaic of blocks with varied skip/inter/tx
+    r = 0
+    while r < mi_rows:
+        c = 0
+        h_mi = int(rng.choice([2, 4]))
+        while c < mi_cols:
+            w_mi = h_mi  # square blocks
+            bs = {2: BlockSize.BLOCK_16X16, 4: BlockSize.BLOCK_32X32}[w_mi]
+            mi = MI.ModeInfo(
+                bsize=bs, tx_size=TxSize(int(rng.integers(0, 3))),
+                skip=bool(rng.integers(0, 2)),
+                is_inter=bool(rng.integers(0, 2)),
+                inter_mode=int(rng.integers(0, 4)))
+            if mi.is_inter:
+                mi.ref_frame = (int(rng.integers(1, 4)), -1)
+            mig.set_block(r, c, bs, mi)
+            c += w_mi
+        r += h_mi
+
+    planes_a = [rng.integers(0, 256, (mi_rows * 8 + 16, mi_cols * 8 + 16)
+                             ).astype(np.uint8) for _ in range(1)]
+    planes_a += [rng.integers(0, 256, (mi_rows * 4 + 16, mi_cols * 4 + 16)
+                              ).astype(np.uint8) for _ in range(2)]
+    planes_b = [p.copy() for p in planes_a]
+
+    LFM.loop_filter_frame(planes_a, mig, 32)  # native path
+    monkeypatch.setattr(nat, "get_lib", lambda: None)
+    LFM.loop_filter_frame(planes_b, mig, 32)  # python path
+    for a, b in zip(planes_a, planes_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_subpel_sad_matches_convolve():
+    from tpu_vp9.bitstream import tables as T
+    from tpu_vp9.native import native_subpel_sad
+    from tpu_vp9.ops.inter import convolve8_2d
+
+    rng = np.random.default_rng(1)
+    n = 32
+    ref = rng.integers(0, 256, (n + 40, n + 40)).astype(np.uint8)
+    src = rng.integers(0, 256, (n, n)).astype(np.uint8)
+    filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
+    for sx, sy in ((0, 0), (4, 0), (0, 12), (7, 9), (15, 15)):
+        window = ref[5 : 5 + n + 7, 6 : 6 + n + 7]
+        want = convolve8_2d(window, filters, filters, sx, sy, n, n)
+        want_sad = int(np.abs(want.astype(np.int32)
+                              - src.astype(np.int32)).sum())
+        got = native_subpel_sad(window, ref.strides[0], src, sx, sy,
+                                filters[sx], filters[sy])
+        assert got == want_sad, (sx, sy)

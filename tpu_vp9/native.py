@@ -78,6 +78,17 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.lf_plane.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.subpel_sad.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16)]
+    lib.subpel_sad.restype = ctypes.c_int64
     _register_tables(lib)
     _lib = lib
     return _lib
@@ -169,6 +180,44 @@ def make_bool_encoder():
     from tpu_vp9.bitstream.bool_coder import BoolEncoder
 
     return BoolEncoder()
+
+
+def native_lf_plane(plane_view, dec, sb_span: int, px_per_step: int,
+                    lim, mblim) -> bool:
+    """Run the C++ loop filter on a plane view (rows may be strided)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert plane_view.dtype == np.uint8 and plane_view.strides[1] == 1
+    dec = np.ascontiguousarray(dec, np.int32)
+    lim32, limp = _as_i32(lim)
+    mblim32, mblimp = _as_i32(mblim)
+    lib.lf_plane(
+        plane_view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        plane_view.strides[0],
+        dec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dec.shape[0], dec.shape[1], sb_span, px_per_step, limp, mblimp)
+    return True
+
+
+def native_subpel_sad(ref_window, stride: int, src_block, sx: int, sy: int,
+                      fx, fy):
+    """SAD of the exact 8-tap interpolated prediction vs src, in C++.
+
+    ref_window: pointer base at (y0-3, x0-3) within a strided uint8 array.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = src_block.shape[0]
+    s, sp = _as_u8(np.ascontiguousarray(src_block))
+    fx = np.ascontiguousarray(fx, np.int16)
+    fy = np.ascontiguousarray(fy, np.int16)
+    return int(lib.subpel_sad(
+        ref_window.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride,
+        sp, n, sx, sy,
+        fx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        fy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
 
 
 def native_sad_search(src_block, region, region_stride: int, r: int):

@@ -322,6 +322,26 @@ def loop_filter_frame(planes, mig, filter_level: int, sharpness: int = 0,
     lut = build_level_lut(filter_level, ref_deltas, mode_deltas,
                           delta_enabled)
     mi_rows, mi_cols = mig.mi_rows, mig.mi_cols
+
+    # native fast path (bit-identical; validated by tests)
+    from tpu_vp9.native import get_lib, native_lf_plane
+
+    if get_lib() is not None:
+        for pidx, plane in enumerate(planes):
+            ss = 0 if pidx == 0 else 1
+            step = 1 << ss
+            rs = list(range(0, mi_rows, step))
+            cs = list(range(0, mi_cols, step))
+            dec = np.zeros((len(rs), len(cs), 5), np.int32)
+            for ri, r in enumerate(rs):
+                for ci, c in enumerate(cs):
+                    lvl, vw, vint, hw, hint = _edges_for_mi(mig, lut, r, c,
+                                                            ss)
+                    dec[ri, ci] = (lvl, vw, 1 if vint else 0, hw,
+                                   1 if hint else 0)
+            native_lf_plane(plane, dec, 8 >> ss, 8, lim, mblim)
+        return
+
     for sb_r in range(0, mi_rows, 8):
         for sb_c in range(0, mi_cols, 8):
             for pidx, plane in enumerate(planes):

@@ -51,11 +51,13 @@ def subpel_refine(src_block, ref_padded, px: int, py: int, border: int,
     Returns mv_q3 (row, col).  Uses the exact 8-tap interpolation so the
     cost reflects the real prediction.
     """
+    from tpu_vp9.native import native_subpel_sad
     from tpu_vp9.ops.inter import convolve8_2d
 
     n = src_block.shape[0]
     src = src_block.astype(np.int32)
     best_mv = (mv_full[0] * 8, mv_full[1] * 8)
+    use_native = native_subpel_sad is not None
 
     def sad_at(mv_q3):
         # build prediction window at this subpel mv
@@ -65,6 +67,10 @@ def subpel_refine(src_block, ref_padded, px: int, py: int, border: int,
         sx, sy = x_q4 & 15, y_q4 & 15
         window = ref_padded[border + y0 - 3 : border + y0 + n + 4,
                             border + x0 - 3 : border + x0 + n + 4]
+        s = native_subpel_sad(window, ref_padded.strides[0], src_block,
+                              sx, sy, filters[sx], filters[sy])
+        if s is not None:
+            return s
         pred = convolve8_2d(window, filters, filters, sx, sy, n, n)
         return int(np.abs(pred.astype(np.int32) - src).sum())
 
