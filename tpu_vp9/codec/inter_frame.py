@@ -121,7 +121,8 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     src = pl.source[py : py + h, px : px + w]
 
     mv_list, mode_context = MV.find_mv_refs(
-        st.mig, mi_row, mi_col, bsize, int(RefFrame.LAST))
+        st.mig, mi_row, mi_col, bsize, int(RefFrame.LAST),
+        st.mig.tile_mi_start, st.mig.tile_mi_end)
     nearest, near = MV.find_best_ref_mvs(
         mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
 
@@ -162,7 +163,7 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     from tpu_vp9.ops import intra as intra_ops
 
     n = min(w, h, 32)
-    ha, hl = py > 0, px > 0
+    ha, hl = py > 0, px > st.tile_mi_start * 8
     above, al, left = intra_ops.build_ref_samples(
         pl.source, px, py, n, pl.width, pl.height, ha, hl, False)
     dc_pred = intra_ops.predict_block_full(IntraMode.DC_PRED, above, al,
@@ -175,6 +176,7 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                          uv_mode=IntraMode.DC_PRED,
                          tx_size=T.MAX_TX_SIZE[bsize], skip=False,
                          is_inter=False)
+        mi.tile_mi_start = st.tile_mi_start
         st.mig.set_block(mi_row, mi_col, bsize, mi)
         return None
 
@@ -293,15 +295,13 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
     """Pass B for a P frame (single tile)."""
     if fc is None:
         fc = T.default_frame_context()
+    from tpu_vp9.codec.intra_frame import pack_tiles
     from tpu_vp9.native import make_bool_encoder
 
-    enc = make_bool_encoder()
+    tiles = []
+    enc = None
     pctx = MI.PartitionContext(st.mi_rows, st.mi_cols)
-    planes_ctx = [
-        tok.PlaneContext(st.mi_cols, st.mi_rows, 0),
-        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
-        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
-    ]
+    planes_ctx = None
     full_probs = {
         (ts, uv, ref): tok.full_probs_for(fc, ts, uv, is_inter=ref)
         for ts in TxSize for uv in (False, True) for ref in (False, True)
@@ -309,6 +309,18 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
     dc_q, ac_q = T.dc_quant(qindex), T.ac_quant(qindex)
 
     for ev, mi_row, mi_col, bsize, part in events:
+        if ev == "tile":
+            if enc is not None:
+                tiles.append(enc.finalize())
+            enc = make_bool_encoder()
+            st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
+            pctx.left[:] = 0
+            planes_ctx = [
+                tok.PlaneContext(st.mi_cols, st.mi_rows, 0),
+                tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+                tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+            ]
+            continue
         if ev == "part":
             has_rows, has_cols = MI.partition_rule(
                 bsize, mi_row, mi_col, st.mi_rows, st.mi_cols)
@@ -386,13 +398,14 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
                                            cnt, ecnt)
                 pc.set_ctx(gx4, gy4, txs, eob > 0,
                            (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
-    return enc.finalize()
+    tiles.append(enc.finalize())
+    return pack_tiles(tiles)
 
 
 def encode_pframe(frame, refs, qindex: int,
                   block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
                   qbias: float = 0.38, do_subpel: bool = True,
-                  prob_update: bool = True):
+                  prob_update: bool = True, log2_tile_cols: int = 0):
     """Encode one P frame against border-extended refs [y, u, v].
 
     Returns (tile_bytes, FrameState).
@@ -400,11 +413,16 @@ def encode_pframe(frame, refs, qindex: int,
     h, w = frame.y.shape
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
-    events = walk_partition_fixed(mi_rows, mi_cols, block_size)
+    events = walk_partition_fixed(mi_rows, mi_cols, block_size,
+                                  log2_tile_cols)
     # phase 1: decisions (decode order; mvrefs see final neighbor choices)
     pending = []
     intra_leaves = []
     for ev, mi_row, mi_col, bsize, _ in events:
+        if ev == "tile":
+            st.tile_mi_start = mi_row
+            st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
+            continue
         if ev != "leaf":
             continue
         entry = decide_leaf_inter(st, refs, mi_row, mi_col, bsize, qindex,
@@ -418,6 +436,7 @@ def encode_pframe(frame, refs, qindex: int,
     # phase 3: intra-fallback leaves, exact recon in decode order
     for mi_row, mi_col, bsize in intra_leaves:
         mi = st.mig.get(mi_row, mi_col)
+        st.tile_mi_start = getattr(mi, "tile_mi_start", 0)
         _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias)
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates

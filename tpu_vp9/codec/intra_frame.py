@@ -48,6 +48,7 @@ class FrameState:
     levels: dict = field(default_factory=dict)  # (plane, y4, x4) -> (N,N) int
     eobs: dict = field(default_factory=dict)
     header_updates: object = None  # forward prob updates for assemble_frame
+    tile_mi_start: int = 0  # current tile column origin (encode walk)
 
     @property
     def sb_rows(self):
@@ -81,10 +82,21 @@ def make_frame_state(frame, mi_rows: int, mi_cols: int) -> FrameState:
                       mig=MI.ModeInfoGrid(mi_rows, mi_cols))
 
 
-def walk_partition_fixed(mi_rows: int, mi_cols: int, target: BlockSize):
-    """Yield ('part', mi_row, mi_col, bsize, partition) and
-    ('leaf', mi_row, mi_col, bsize, None) events in decode order for a
-    fixed-size partitioning clipped to the mi grid."""
+def tile_mi_offsets(mi_cols: int, log2_tile_cols: int):
+    """Tile column mi boundaries (spec get_tile_offset)."""
+    sb_cols = (mi_cols + 7) >> 3
+    n = 1 << log2_tile_cols
+    return [min(((sb_cols * i) >> log2_tile_cols) << 3, mi_cols)
+            for i in range(n + 1)]
+
+
+def walk_partition_fixed(mi_rows: int, mi_cols: int, target: BlockSize,
+                         log2_tile_cols: int = 0):
+    """Decode-order event list for a fixed-size partitioning.
+
+    Events: ('tile', tile_start_mi, tile_end_mi, ...), then per node
+    ('part', mi_row, mi_col, bsize, partition) / ('leaf', ...).
+    """
     events = []
 
     def node(mi_row, mi_col, bsize):
@@ -112,9 +124,12 @@ def walk_partition_fixed(mi_rows: int, mi_cols: int, target: BlockSize):
             node(mi_row + half, mi_col, sub)
             node(mi_row + half, mi_col + half, sub)
 
-    for sb_r in range(0, mi_rows, 8):
-        for sb_c in range(0, mi_cols, 8):
-            node(sb_r, sb_c, BlockSize.BLOCK_64X64)
+    offs = tile_mi_offsets(mi_cols, log2_tile_cols)
+    for t in range(len(offs) - 1):
+        events.append(("tile", offs[t], offs[t + 1], None, None))
+        for sb_r in range(0, mi_rows, 8):
+            for sb_c in range(offs[t], offs[t + 1], 8):
+                node(sb_r, sb_c, BlockSize.BLOCK_64X64)
     return events
 
 
@@ -155,7 +170,7 @@ def encode_tx_block_intra(st: FrameState, plane_idx: int, mode: IntraMode,
     px = ((mi_col * 8) >> ss) + x4 * 4
     py = ((mi_row * 8) >> ss) + y4 * 4
     have_above = py > 0
-    have_left = px > 0
+    have_left = px > ((st.tile_mi_start * 8) >> ss)
     have_right = (x4 + (1 << int(tx))) < block_w4
     above, al, left = intra_ops.build_ref_samples(
         pl.recon, px, py, n, pl.width, pl.height,
@@ -183,7 +198,7 @@ def decide_block_mode(st: FrameState, mi_row: int, mi_col: int,
     w, h = T.BLOCK_WH[bsize]
     px, py = mi_col * 8, mi_row * 8
     n = min(w, h, 32)
-    have_above, have_left = py > 0, px > 0
+    have_above, have_left = py > 0, px > st.tile_mi_start * 8
     above, al, left = intra_ops.build_ref_samples(
         pl.recon, px, py, n, pl.width, pl.height, have_above, have_left, False)
     preds = intra_ops.predict_all_modes(
@@ -281,13 +296,10 @@ def serialize_frame(st: FrameState, events, qindex: int,
         fc = T.default_frame_context()
     from tpu_vp9.native import make_bool_encoder
 
-    enc = make_bool_encoder()
+    tiles = []
+    enc = None
     pctx = MI.PartitionContext(st.mi_rows, st.mi_cols)
-    planes_ctx = [
-        tok.PlaneContext(st.mi_cols, st.mi_rows, 0),
-        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
-        tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
-    ]
+    planes_ctx = None
     kf_part_probs = T.kf_partition_probs()
     kf_y_probs = T.kf_y_mode_probs()
     kf_uv_probs = T.kf_uv_mode_probs()
@@ -298,6 +310,19 @@ def serialize_frame(st: FrameState, events, qindex: int,
     dc_q, ac_q = T.dc_quant(qindex), T.ac_quant(qindex)
 
     for ev, mi_row, mi_col, bsize, part in events:
+        if ev == "tile":
+            if enc is not None:
+                tiles.append(enc.finalize())
+            enc = make_bool_encoder()
+            st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
+            # left contexts reset at each tile (entropy independence)
+            pctx.left[:] = 0
+            planes_ctx = [
+                tok.PlaneContext(st.mi_cols, st.mi_rows, 0),
+                tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+                tok.PlaneContext(st.mi_cols, st.mi_rows, 1),
+            ]
+            continue
         if ev == "part":
             has_rows, has_cols = MI.partition_rule(
                 bsize, mi_row, mi_col, st.mi_rows, st.mi_cols)
@@ -359,12 +384,23 @@ def serialize_frame(st: FrameState, events, qindex: int,
                                            cnt, ecnt)
                 pc.set_ctx(gx4, gy4, txs, eob > 0,
                            (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
-    return enc.finalize()
+    tiles.append(enc.finalize())
+    return pack_tiles(tiles)
+
+
+def pack_tiles(tiles) -> bytes:
+    """Concatenate tile partitions (4-byte big-endian size, last bare)."""
+    out = bytearray()
+    for i, t in enumerate(tiles):
+        if i != len(tiles) - 1:
+            out += len(t).to_bytes(4, "big")
+        out += t
+    return bytes(out)
 
 
 def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
                     qbias: float = 0.38, y_mode_hints=None,
-                    prob_update: bool = True):
+                    prob_update: bool = True, log2_tile_cols: int = 0):
     """Encode one intra frame; returns (tile_bytes, FrameState).
 
     y_mode_hints: optional (R, C) array of IntraMode per target-size block
@@ -374,9 +410,14 @@ def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
     h, w = frame.y.shape
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
-    events = walk_partition_fixed(mi_rows, mi_cols, block_size)
+    events = walk_partition_fixed(mi_rows, mi_cols, block_size,
+                                  log2_tile_cols)
     n_px = T.BLOCK_WH[block_size][0]
     for ev, mi_row, mi_col, bsize, _ in events:
+        if ev == "tile":
+            st.tile_mi_start = mi_row  # ('tile', start, end, ...)
+            st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
+            continue
         if ev == "leaf":
             hint = None
             if y_mode_hints is not None and bsize == block_size:

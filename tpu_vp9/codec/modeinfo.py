@@ -93,11 +93,18 @@ class ModeInfo:
 
 
 class ModeInfoGrid:
-    """mi_rows x mi_cols grid of shared ModeInfo references."""
+    """mi_rows x mi_cols grid of shared ModeInfo references.
+
+    tile_mi_start/end bound the *current* tile column while walking:
+    left-neighbor availability (intra refs, contexts, mvrefs) stops at the
+    tile boundary (spec: tiles are entropy/prediction independent).
+    """
 
     def __init__(self, mi_rows: int, mi_cols: int):
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
+        self.tile_mi_start = 0
+        self.tile_mi_end = mi_cols
         self.grid = np.empty((mi_rows, mi_cols), dtype=object)
 
     def set_block(self, mi_row: int, mi_col: int, bsize: BlockSize,
@@ -116,6 +123,8 @@ class ModeInfoGrid:
         return self.get(mi_row - 1, mi_col)
 
     def left(self, mi_row: int, mi_col: int):
+        if mi_col <= self.tile_mi_start:
+            return None
         return self.get(mi_row, mi_col - 1)
 
 

@@ -333,7 +333,7 @@ def _decode_tx_block_intra(st: DecState, bd: BoolDecoder, plane_idx: int,
     px = ((mi_col * 8) >> ss) + x4 * 4
     py = ((mi_row * 8) >> ss) + y4 * 4
     have_above = py > 0
-    have_left = px > 0
+    have_left = px > ((st.mig.tile_mi_start * 8) >> ss)
     have_right = (x4 + (1 << int(tx))) < block_w4
     above, al, left = intra_ops.build_ref_samples(
         recon, px, py, n, crop_w, crop_h, have_above, have_left, have_right)
@@ -497,7 +497,8 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
         raise NotImplementedError("GOLDEN/ALTREF decode not yet supported")
     ref_frame = int(RefFrame.LAST)
     mv_list, mode_context = MV.find_mv_refs(
-        st.mig, mi_row, mi_col, bsize, ref_frame)
+        st.mig, mi_row, mi_col, bsize, ref_frame,
+        st.mig.tile_mi_start, st.mig.tile_mi_end)
     inter_mode = T.read_token(bd, "inter_mode_tree",
                               fc.inter_mode_probs[mode_context])
     nearest, near = MV.find_best_ref_mvs(
@@ -596,8 +597,8 @@ def decode_frame(payload: bytes, fc=None, dpb=None):
     compressed = payload[hdr_size : hdr_size + first_part]
     parse_compressed_header(h, compressed, fc)
     tile_data = payload[hdr_size + first_part :]
-    if h.log2_tile_cols or h.log2_tile_rows:
-        raise NotImplementedError("multi-tile decode not yet supported")
+    if h.log2_tile_rows:
+        raise NotImplementedError("tile rows not supported")
     refs = None
     if not (h.is_keyframe or h.intra_only):
         if dpb is None:
@@ -631,11 +632,29 @@ def decode_frame(payload: bytes, fc=None, dpb=None):
         (ts, uv, ref): tok.full_probs_for(fc, ts, uv, is_inter=ref)
         for ts in TxSize for uv in (False, True) for ref in (False, True)
     }
-    bd = BoolDecoder(tile_data)
-    for sb_r in range(0, mi_rows, 8):
-        for sb_c in range(0, mi_cols, 8):
-            _decode_partition(st, bd, sb_r, sb_c, BlockSize.BLOCK_64X64,
-                              full_probs)
+    from tpu_vp9.codec.intra_frame import tile_mi_offsets
+
+    offs = tile_mi_offsets(mi_cols, h.log2_tile_cols)
+    n_tiles = len(offs) - 1
+    pos = 0
+    for t in range(n_tiles):
+        if t != n_tiles - 1:
+            tsize = int.from_bytes(tile_data[pos : pos + 4], "big")
+            pos += 4
+        else:
+            tsize = len(tile_data) - pos
+        tdata = tile_data[pos : pos + tsize]
+        pos += tsize
+        st.mig.tile_mi_start, st.mig.tile_mi_end = offs[t], offs[t + 1]
+        st.pctx.left[:] = 0
+        st.planes_ctx = [tok.PlaneContext(mi_cols, mi_rows, 0),
+                         tok.PlaneContext(mi_cols, mi_rows, 1),
+                         tok.PlaneContext(mi_cols, mi_rows, 1)]
+        bd = BoolDecoder(tdata)
+        for sb_r in range(0, mi_rows, 8):
+            for sb_c in range(offs[t], offs[t + 1], 8):
+                _decode_partition(st, bd, sb_r, sb_c, BlockSize.BLOCK_64X64,
+                                  full_probs)
     if h.loop_filter.filter_level:
         from tpu_vp9.ops.loopfilter import loop_filter_frame
 

@@ -43,7 +43,8 @@ def _make_refs(st, width: int, height: int):
 
 def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
                   block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
-                  do_subpel: bool = True, use_tpu_hints: bool = False):
+                  do_subpel: bool = True, use_tpu_hints: bool = False,
+                  log2_tile_cols: int = 0):
     """Encode frames as IPPP... CQP. Returns list[EncodedFrame].
 
     intra_period: -1 = only first frame is key; else a keyframe every
@@ -66,18 +67,22 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
                     jnp.asarray(frame.y), jnp.asarray(qindex), 32)
                 hints = np.asarray(modes)
             tile, st = encode_keyframe(frame, qindex, block_size,
-                                       y_mode_hints=hints)
+                                       y_mode_hints=hints,
+                                       log2_tile_cols=log2_tile_cols)
             hdr = FrameHeader(
                 width=w, height=h, is_keyframe=True, error_resilient=True,
-                base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32)
+                base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
+                log2_tile_cols=log2_tile_cols)
         else:
             tile, st = encode_pframe(frame, refs, qindex, block_size,
-                                     search_range, do_subpel=do_subpel)
+                                     search_range, do_subpel=do_subpel,
+                                     log2_tile_cols=log2_tile_cols)
             hdr = FrameHeader(
                 width=w, height=h, is_keyframe=False, error_resilient=True,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
                 refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0),
-                allow_high_precision_mv=False)
+                allow_high_precision_mv=False,
+                log2_tile_cols=log2_tile_cols)
         _apply_loop_filter(st, hdr, qindex, is_key, enabled=True)
         payload = assemble_frame(hdr, tile, st.header_updates)
         out.append(EncodedFrame(payload=payload, is_keyframe=is_key,
