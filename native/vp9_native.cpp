@@ -468,3 +468,47 @@ int64_t subpel_sad(const uint8_t* ref, int stride, const uint8_t* src, int n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Iterative half- then quarter-pel refinement (4-neighbour descent),
+// mirroring tpu_vp9.ops.me.subpel_refine.  base = plane pointer at the
+// block origin (full-pel); filters: 16 phases x 8 taps int16.
+void subpel_refine_c(const uint8_t* base, int stride, const uint8_t* src,
+                     int n, int mv_row_q3, int mv_col_q3,
+                     const int16_t* filters, int32_t* out) {
+    auto sad_at = [&](int row_q3, int col_q3) -> int64_t {
+        int x_q4 = col_q3 * 2, y_q4 = row_q3 * 2;
+        int x0 = x_q4 >> 4, y0 = y_q4 >> 4;
+        int sx = x_q4 & 15, sy = y_q4 & 15;
+        const uint8_t* win = base + (int64_t)(y0 - 3) * stride + (x0 - 3);
+        return subpel_sad(win, stride, src, n, sx, sy, filters + sx * 8,
+                          filters + sy * 8);
+    };
+    int br = mv_row_q3, bc = mv_col_q3;
+    int64_t best = sad_at(br, bc);
+    static const int steps[2] = {4, 2};
+    for (int si = 0; si < 2; ++si) {
+        int st = steps[si];
+        bool improved = true;
+        while (improved) {
+            improved = false;
+            const int cand[4][2] = {{-st, 0}, {st, 0}, {0, -st}, {0, st}};
+            for (int k = 0; k < 4; ++k) {
+                int rr = br + cand[k][0], cc = bc + cand[k][1];
+                int64_t s = sad_at(rr, cc);
+                if (s < best) {
+                    best = s;
+                    br = rr;
+                    bc = cc;
+                    improved = true;
+                }
+            }
+        }
+    }
+    out[0] = br;
+    out[1] = bc;
+    out[2] = (int32_t)best;
+}
+
+}  // extern "C"

@@ -134,3 +134,26 @@ def test_native_subpel_sad_matches_convolve():
         got = native_subpel_sad(window, ref.strides[0], src, sx, sy,
                                 filters[sx], filters[sy])
         assert got == want_sad, (sx, sy)
+
+
+def test_native_subpel_refine_matches_python(monkeypatch):
+    import tpu_vp9.native as nat
+    from tpu_vp9.bitstream import tables as T
+    from tpu_vp9.ops import me as me_ops
+    from tpu_vp9.ops.inter import extend_borders, BORDER
+
+    rng = np.random.default_rng(2)
+    plane = rng.integers(0, 256, (96, 128)).astype(np.uint8)
+    # smooth it so subpel interpolation matters
+    plane = ((plane.astype(np.int32) + np.roll(plane, 1, 0)
+              + np.roll(plane, 1, 1)) // 3).astype(np.uint8)
+    ref = extend_borders(plane, 128, 96)
+    filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
+    for px, py, mv in ((32, 32, (0, 0)), (64, 16, (2, -3)), (0, 0, (1, 1))):
+        src = np.ascontiguousarray(plane[py + 1 : py + 33, px + 2 : px + 34])
+        got = me_ops.subpel_refine(src, ref, px, py, BORDER, mv, filters)
+        monkeypatch.setattr(nat, "native_subpel_refine",
+                            lambda *a, **k: None)
+        want = me_ops.subpel_refine(src, ref, px, py, BORDER, mv, filters)
+        monkeypatch.undo()
+        assert got == want, (px, py, mv)

@@ -51,13 +51,16 @@ def subpel_refine(src_block, ref_padded, px: int, py: int, border: int,
     Returns mv_q3 (row, col).  Uses the exact 8-tap interpolation so the
     cost reflects the real prediction.
     """
-    from tpu_vp9.native import native_subpel_sad
+    from tpu_vp9.native import native_subpel_refine, native_subpel_sad
     from tpu_vp9.ops.inter import convolve8_2d
+
+    res = native_subpel_refine(ref_padded, border, px, py, src_block, mv_full)
+    if res is not None:
+        return res
 
     n = src_block.shape[0]
     src = src_block.astype(np.int32)
     best_mv = (mv_full[0] * 8, mv_full[1] * 8)
-    use_native = native_subpel_sad is not None
 
     def sad_at(mv_q3):
         # build prediction window at this subpel mv
