@@ -106,6 +106,15 @@ class ModeInfoGrid:
         self.tile_mi_start = 0
         self.tile_mi_end = mi_cols
         self.grid = np.empty((mi_rows, mi_cols), dtype=object)
+        # parallel per-mi field arrays for vectorized consumers (loop
+        # filter decisions, future temporal-MV storage)
+        shape = (mi_rows, mi_cols)
+        self.f_bsize = np.zeros(shape, np.int8)
+        self.f_tx = np.zeros(shape, np.int8)
+        self.f_skip = np.zeros(shape, bool)
+        self.f_inter = np.zeros(shape, bool)
+        self.f_ref0 = np.zeros(shape, np.int8)
+        self.f_mode = np.zeros(shape, np.int8)  # combined mode 0..13
 
     def set_block(self, mi_row: int, mi_col: int, bsize: BlockSize,
                   mi: ModeInfo) -> None:
@@ -113,6 +122,25 @@ class ModeInfoGrid:
         r1 = min(mi_row + bh, self.mi_rows)
         c1 = min(mi_col + bw, self.mi_cols)
         self.grid[mi_row:r1, mi_col:c1] = mi
+        sl = (slice(mi_row, r1), slice(mi_col, c1))
+        self.f_bsize[sl] = int(bsize)
+        self.f_tx[sl] = int(mi.tx_size)
+        self.f_skip[sl] = mi.skip
+        self.f_inter[sl] = mi.is_inter
+        self.f_ref0[sl] = mi.ref_frame[0] if mi.is_inter else 0
+        self.f_mode[sl] = (10 + int(mi.inter_mode)) if mi.is_inter \
+            else int(mi.y_mode)
+
+    def refresh_fields(self) -> None:
+        """Re-derive field arrays from the object grid (after mutating
+        ModeInfo objects in place, e.g. skip flags set post-hoc)."""
+        for r in range(self.mi_rows):
+            row = self.grid[r]
+            for c in range(self.mi_cols):
+                mi = row[c]
+                if mi is None:
+                    continue
+                self.f_skip[r, c] = mi.skip
 
     def get(self, mi_row: int, mi_col: int):
         if 0 <= mi_row < self.mi_rows and 0 <= mi_col < self.mi_cols:

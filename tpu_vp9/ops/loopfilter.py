@@ -267,6 +267,79 @@ def _apply_horz(plane, y: int, x0: int, ncols: int, width: int, lvl: int,
         plane[y + k, x0 : x0 + ncols] = arr.astype(np.uint8)
 
 
+@functools.cache
+def _bsize_luts():
+    """Per-bsize lookup arrays: w4, h4, w8, h8 and uv_tx[bsize][ytx]."""
+    n = 13
+    w4 = np.zeros(n, np.int32)
+    h4 = np.zeros(n, np.int32)
+    uv_tx = np.zeros((n, 4), np.int32)
+    for bs in BlockSize:
+        w, h = T.BLOCK_WH[bs]
+        w4[int(bs)] = w // 4
+        h4[int(bs)] = h // 4
+        for tx in TxSize:
+            if bs >= BlockSize.BLOCK_8X8:
+                uv_tx[int(bs), int(tx)] = int(MI.uv_tx_size(bs, tx))
+            else:
+                uv_tx[int(bs), int(tx)] = 0
+    w8 = np.maximum(w4 // 2, 1)
+    h8 = np.maximum(h4 // 2, 1)
+    return w4, h4, w8, h8, uv_tx
+
+
+def _decisions_vectorized(mig, lut, ss: int):
+    """(n_row_steps, n_col_steps, 5) int32 decisions, == _edges_for_mi."""
+    step = 1 << ss
+    bs = mig.f_bsize[::step, ::step].astype(np.int32)
+    skip = mig.f_skip[::step, ::step]
+    inter = mig.f_inter[::step, ::step]
+    ref0 = mig.f_ref0[::step, ::step].astype(np.int32)
+    mode = mig.f_mode[::step, ::step].astype(np.int32)
+    ytx = mig.f_tx[::step, ::step].astype(np.int32)
+    w4l, h4l, w8l, h8l, uvtxl = _bsize_luts()
+    mlut = np.asarray(MODE_LF_LUT, np.int32)
+    lvl = np.where(inter, lut[ref0, mlut[mode]], lut[0, 0])
+    tx = ytx if ss == 0 else uvtxl[bs, ytx]
+    rows = np.arange(0, mig.mi_rows, step)[:, None]
+    cols = np.arange(0, mig.mi_cols, step)[None, :]
+    w4b, h4b = w4l[bs], h4l[bs]
+    w8b, h8b = w8l[bs], h8l[bs]
+    skip_this = skip & inter
+    bel = np.where(w4b > 1, (cols & (w8b - 1)) == 0, True)
+    bea = np.where(h4b > 1, (rows & (h8b - 1)) == 0, True)
+    skip_c = skip_this & ~bel
+    skip_r = skip_this & ~bea
+    cpos = cols >> ss
+    rpos = rows >> ss
+    sb_c = (ss != 0) & (cols == mig.mi_cols - 1)
+    sb_r = (ss != 0) & (rows == mig.mi_rows - 1)
+    vw = np.zeros_like(lvl)
+    hw = np.zeros_like(lvl)
+    vint = np.zeros_like(lvl)
+    hint = np.zeros_like(lvl)
+    for tval, align in ((3, 3), (2, 1)):  # TX_32X32, TX_16X16
+        m = tx == tval
+        cm = m & ~skip_c & ((cpos & align) == 0)
+        vw = np.where(cm, np.where(sb_c, 8, 16), vw)
+        rm = m & ~skip_r & ((rpos & align) == 0)
+        hw = np.where(rm, np.where(sb_r, 8, 16), hw)
+    small = tx <= 1
+    cm = small & ~skip_c
+    vw = np.where(cm, np.where((tx == 1) | ((cpos & 3) == 0), 8, 4), vw)
+    rm = small & ~skip_r
+    hw = np.where(rm, np.where((tx == 1) | ((rpos & 3) == 0), 8, 4), hw)
+    tiny = (tx < 1) & ~skip_this
+    vint = np.where(tiny & ~sb_c, 4, 0)
+    hint = np.where(tiny & ~sb_r, 4, 0)
+    zero = lvl == 0
+    dec = np.stack([lvl, np.where(zero, 0, vw),
+                    np.where(zero, 0, np.minimum(vint, 1)),
+                    np.where(zero, 0, hw),
+                    np.where(zero, 0, np.minimum(hint, 1))], axis=-1)
+    return dec.astype(np.int32)
+
+
 def _edges_for_mi(mig, lut, mi_r: int, mi_c: int, ss: int):
     """Edge decisions for one mi step (non420-equivalent logic).
 
@@ -327,18 +400,10 @@ def loop_filter_frame(planes, mig, filter_level: int, sharpness: int = 0,
     from tpu_vp9.native import get_lib, native_lf_plane
 
     if get_lib() is not None:
+        mig.refresh_fields()
         for pidx, plane in enumerate(planes):
             ss = 0 if pidx == 0 else 1
-            step = 1 << ss
-            rs = list(range(0, mi_rows, step))
-            cs = list(range(0, mi_cols, step))
-            dec = np.zeros((len(rs), len(cs), 5), np.int32)
-            for ri, r in enumerate(rs):
-                for ci, c in enumerate(cs):
-                    lvl, vw, vint, hw, hint = _edges_for_mi(mig, lut, r, c,
-                                                            ss)
-                    dec[ri, ci] = (lvl, vw, 1 if vint else 0, hw,
-                                   1 if hint else 0)
+            dec = _decisions_vectorized(mig, lut, ss)
             native_lf_plane(plane, dec, 8 >> ss, 8, lim, mblim)
         return
 
