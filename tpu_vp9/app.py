@@ -120,7 +120,36 @@ def open_input(args):
         read_yuv_frames(fh, args.width, args.height)
 
 
+def expand_config_file(argv):
+    """-c <file>: config lines 'token value' prepended as CLI args
+    (Config/Sample.cfg style; CLI flags win)."""
+    argv = list(argv)
+    if "-c" not in argv:
+        return argv
+    i = argv.index("-c")
+    path = argv[i + 1]
+    del argv[i : i + 2]
+    pre = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            parts = line.replace(":", " ").split()
+            if len(parts) >= 2:
+                tok = parts[0] if parts[0].startswith("-") else "-" + parts[0]
+                pre.extend([tok, parts[1]])
+    return pre + argv
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    try:
+        argv = expand_config_file(argv)
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     args = build_parser().parse_args(argv)
     try:
         width, height, (fps_num, fps_den), frames = open_input(args)
