@@ -106,6 +106,85 @@ def encode_tx_block_inter(st: FrameState, plane_idx: int, pred_full,
     return levels, eob
 
 
+def probe_inter_cost(st: FrameState, refs, mi_row: int, mi_col: int,
+                     bsize: BlockSize, search_range: int = 16,
+                     center=(0, 0)):
+    """Cheap open-loop cost probe: full-pel ME best SAD (no commit).
+
+    Returns (sad, (dy, dx)) and caches the result for reuse by the full
+    decision (the ADP budget probe of SURVEY.md §2.3 kernel 9, re-expressed
+    as cost probes instead of depth budgets).
+    """
+    key = (mi_row, mi_col, int(bsize))
+    cache = getattr(st, "_probe_cache", None)
+    if cache is None:
+        cache = st._probe_cache = {}
+    if key in cache:
+        return cache[key]
+    pl = st.planes[0]
+    w, h = T.BLOCK_WH[bsize]
+    px, py = mi_col * 8, mi_row * 8
+    src = pl.source[py : py + h, px : px + w]
+    dy, dx, sad = me_ops.full_pel_search(
+        src, refs[0], px, py, BORDER, search_range, center)
+    # ZERO-mv guard: motion fields prefer consistency
+    zsad = int(np.abs(
+        refs[0][BORDER + py : BORDER + py + h,
+                BORDER + px : BORDER + px + w].astype(np.int32)
+        - src.astype(np.int32)).sum())
+    if zsad <= sad:
+        dy = dx = 0
+        sad = zsad
+    out = (sad, (dy, dx))
+    cache[key] = out
+    return out
+
+
+def decide_partition_map(st: FrameState, refs, events, qindex: int,
+                         search_range: int = 16):
+    """Refine the fixed-size event list: split 32x32 nodes into 16x16
+    where the children's total SAD (plus an overhead penalty) wins.
+
+    Open-loop: probes use full-pel ME only.  Returns a new event list.
+    """
+    # ~40 bits of extra syntax per split, at sad-per-bit ~ ac_q/16
+    # (libvpx sad_per_bit16lut scale)
+    split_bias = max(8, (40 * T.ac_quant(qindex)) >> 4)
+    out = []
+    i = 0
+    while i < len(events):
+        ev = events[i]
+        if (ev[0] == "part" and ev[3] == BlockSize.BLOCK_32X32
+                and ev[4] == Partition.NONE
+                and i + 1 < len(events) and events[i + 1][0] == "leaf"):
+            _, mi_row, mi_col, bsize, _ = ev
+            sad32, mv32 = probe_inter_cost(st, refs, mi_row, mi_col, bsize,
+                                           search_range)
+            child_sum = 0
+            children = []
+            for dr, dc in ((0, 0), (0, 2), (2, 0), (2, 2)):
+                r, c = mi_row + dr, mi_col + dc
+                if r >= st.mi_rows or c >= st.mi_cols:
+                    continue
+                # children refine around the parent's motion (cheap)
+                s16, _ = probe_inter_cost(st, refs, r, c,
+                                          BlockSize.BLOCK_16X16,
+                                          8, mv32)
+                child_sum += s16
+                children.append((r, c))
+            if child_sum + split_bias < sad32:
+                out.append(("part", mi_row, mi_col, bsize, Partition.SPLIT))
+                for r, c in children:
+                    out.append(("part", r, c, BlockSize.BLOCK_16X16,
+                                Partition.NONE))
+                    out.append(("leaf", r, c, BlockSize.BLOCK_16X16, None))
+                i += 2
+                continue
+        out.append(ev)
+        i += 1
+    return out
+
+
 def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                       bsize: BlockSize, qindex: int, search_range: int = 16,
                       do_subpel: bool = True):
@@ -137,8 +216,12 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     # ME: full-pel around nearest, then subpel refine
     center = (int(np.clip(nearest[0] // 8, -64, 64)),
               int(np.clip(nearest[1] // 8, -64, 64)))
-    dy, dx, _ = me_ops.full_pel_search(
+    dy, dx, fsad = me_ops.full_pel_search(
         src, refs[0], px, py, BORDER, search_range, center)
+    cache = getattr(st, "_probe_cache", {})
+    probe = cache.get((mi_row, mi_col, int(bsize)))
+    if probe is not None and probe[0] < fsad:
+        dy, dx = probe[1]
     if do_subpel:
         filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
         new_mv, _ = me_ops.subpel_refine(
@@ -405,7 +488,8 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
 def encode_pframe(frame, refs, qindex: int,
                   block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
                   qbias: float = 0.38, do_subpel: bool = True,
-                  prob_update: bool = True, log2_tile_cols: int = 0):
+                  prob_update: bool = True, log2_tile_cols: int = 0,
+                  adaptive_partition: bool = False):
     """Encode one P frame against border-extended refs [y, u, v].
 
     Returns (tile_bytes, FrameState).
@@ -415,6 +499,8 @@ def encode_pframe(frame, refs, qindex: int,
     st = make_frame_state(frame, mi_rows, mi_cols)
     events = walk_partition_fixed(mi_rows, mi_cols, block_size,
                                   log2_tile_cols)
+    if adaptive_partition and block_size == BlockSize.BLOCK_32X32:
+        events = decide_partition_map(st, refs, events, qindex, search_range)
     # phase 1: decisions (decode order; mvrefs see final neighbor choices)
     pending = []
     intra_leaves = []

@@ -154,9 +154,10 @@ def encode_video(frames, cfg):
                 width=w, height=h, is_keyframe=True, error_resilient=True,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32)
         else:
-            tile, st = encode_pframe(frame, refs, qindex, sig.block_size,
-                                     sig.search_range, qbias=sig.qbias,
-                                     do_subpel=sig.do_subpel)
+            tile, st = encode_pframe(
+                frame, refs, qindex, sig.block_size, sig.search_range,
+                qbias=sig.qbias, do_subpel=sig.do_subpel,
+                adaptive_partition=sig.adaptive_partition)
             hdr = FrameHeader(
                 width=w, height=h, is_keyframe=False, error_resilient=True,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,

@@ -17,40 +17,42 @@ from tpu_vp9.config import EncoderConfig, Tune
 
 @dataclass
 class PresetSignals:
-    block_size: BlockSize  # fixed partition target (adaptive later)
+    block_size: BlockSize  # partition target
     search_range: int  # full-pel ME range
     do_subpel: bool  # half/quarter-pel refinement
     qbias: float  # quantizer deadzone (lower = more zeros)
     use_tpu_hints: bool  # open-loop TPU mode decision for keyframes
+    adaptive_partition: bool = False  # 32->16 split by cost probes
 
 
 _LADDER = {
-    0: PresetSignals(BlockSize.BLOCK_16X16, 32, True, 0.42, False),
-    1: PresetSignals(BlockSize.BLOCK_16X16, 28, True, 0.42, False),
-    2: PresetSignals(BlockSize.BLOCK_16X16, 24, True, 0.40, False),
-    3: PresetSignals(BlockSize.BLOCK_32X32, 24, True, 0.40, False),
-    4: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.40, False),
-    5: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False),
-    6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False),
-    7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False),
-    8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True),
-    9: PresetSignals(BlockSize.BLOCK_32X32, 8, False, 0.34, True),
+    0: PresetSignals(BlockSize.BLOCK_16X16, 32, True, 0.42, False, False),
+    1: PresetSignals(BlockSize.BLOCK_16X16, 28, True, 0.42, False, False),
+    2: PresetSignals(BlockSize.BLOCK_16X16, 24, True, 0.40, False, False),
+    3: PresetSignals(BlockSize.BLOCK_32X32, 24, True, 0.40, False, True),
+    4: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.40, False, True),
+    5: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True),
+    6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True),
+    7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False, False),
+    8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True, False),
+    9: PresetSignals(BlockSize.BLOCK_32X32, 8, False, 0.34, True, False),
 }
 
 
 def derive_signals(cfg: EncoderConfig) -> PresetSignals:
     sig = _LADDER[int(cfg.enc_mode)]
+    import dataclasses
+
     if cfg.tune == Tune.SQ:
         # visual tune: slightly wider deadzone on high-energy coeffs
-        sig = PresetSignals(sig.block_size, sig.search_range, sig.do_subpel,
-                            max(sig.qbias - 0.02, 0.3), sig.use_tpu_hints)
+        sig = dataclasses.replace(sig, qbias=max(sig.qbias - 0.02, 0.3))
     if not cfg.enable_hme:
-        sig = PresetSignals(sig.block_size, min(sig.search_range, 8),
-                            sig.do_subpel, sig.qbias, sig.use_tpu_hints)
+        sig = dataclasses.replace(sig,
+                                  search_range=min(sig.search_range, 8))
     if not cfg.use_default_me_hme:
-        sig = PresetSignals(sig.block_size,
-                            max(cfg.search_area_width, cfg.search_area_height),
-                            sig.do_subpel, sig.qbias, sig.use_tpu_hints)
+        sig = dataclasses.replace(
+            sig, search_range=max(cfg.search_area_width,
+                                  cfg.search_area_height))
     return sig
 
 
