@@ -50,6 +50,9 @@ class Vp9Encoder:
         self._rc = None
         self._sig = None
         self._refs = None
+        self._golden_refs = None
+        self._since_golden = 0
+        self.golden_interval = 8
         self._frame_idx = 0
         self._packets: list = []
         self._last_recon = None
@@ -109,21 +112,29 @@ class Vp9Encoder:
                               error_resilient=True, base_qindex=qindex,
                               tx_mode=TxMode.ALLOW_32X32)
         else:
+            refresh_golden = self._since_golden >= self.golden_interval
             tile, st = encode_pframe(
                 frame, self._refs, qindex, sig.block_size,
                 sig.search_range, qbias=sig.qbias, do_subpel=sig.do_subpel,
-                adaptive_partition=sig.adaptive_partition)
+                adaptive_partition=sig.adaptive_partition,
+                golden_refs=self._golden_refs)
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=True, base_qindex=qindex,
                               tx_mode=TxMode.ALLOW_32X32,
-                              refresh_frame_mask=0xFF,
-                              ref_dpb_index=(0, 0, 0))
+                              refresh_frame_mask=0b11 if refresh_golden
+                              else 0b01,
+                              ref_dpb_index=(0, 1, 1))
         from tpu_vp9.pipeline.encoder import _apply_loop_filter
 
         _apply_loop_filter(st, hdr, qindex, is_key, enabled=cfg.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         rc.update(len(payload) * 8, is_key)
         self._refs = _make_refs(st, w, h)
+        if is_key or (hdr.refresh_frame_mask & 0b10):
+            self._golden_refs = self._refs
+            self._since_golden = 0
+        else:
+            self._since_golden += 1
         self._last_recon = (
             st.planes[0].recon[:h, :w].copy(),
             st.planes[1].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),

@@ -44,6 +44,36 @@ def intra_inter_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
     return 0
 
 
+def single_ref_p2_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
+    """vp9_pred_common.c:222 — GOLDEN vs ALTREF bit context (single-ref
+    streams: neighbors are intra or single-ref LAST/GOLDEN/ALTREF)."""
+    a = mig.above(mi_row, mi_col)
+    l = mig.left(mi_row, mi_col)
+    LAST, GOLDEN = int(RefFrame.LAST), int(RefFrame.GOLDEN)
+    if a is not None and l is not None:
+        ai, li = not a.is_inter, not l.is_inter
+        if ai and li:
+            return 2
+        if ai or li:
+            edge = l if ai else a
+            if edge.ref_frame[0] == LAST:
+                return 3
+            return 4 * int(edge.ref_frame[0] == GOLDEN)
+        a0, l0 = a.ref_frame[0], l.ref_frame[0]
+        if a0 == LAST and l0 == LAST:
+            return 3
+        if a0 == LAST or l0 == LAST:
+            edge0 = l0 if a0 == LAST else a0
+            return 4 * int(edge0 == GOLDEN)
+        return 2 * int(a0 == GOLDEN) + 2 * int(l0 == GOLDEN)
+    if a is not None or l is not None:
+        edge = a if a is not None else l
+        if not edge.is_inter or edge.ref_frame[0] == LAST:
+            return 2
+        return 4 * int(edge.ref_frame[0] == GOLDEN)
+    return 2
+
+
 def single_ref_p1_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
     """vp9_pred_common.c:158 (single-reference streams: no compound)."""
     a = mig.above(mi_row, mi_col)
@@ -199,47 +229,55 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     px, py = mi_col * 8, mi_row * 8
     src = pl.source[py : py + h, px : px + w]
 
-    mv_list, mode_context = MV.find_mv_refs(
-        st.mig, mi_row, mi_col, bsize, int(RefFrame.LAST),
-        st.mig.tile_mi_start, st.mig.tile_mi_end)
-    nearest, near = MV.find_best_ref_mvs(
-        mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
-
     lam = max(1, (ac_q * ac_q) >> 6)
+    filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
 
-    def mc_sad(mv_q3):
+    def mc_sad(ref_planes, mv_q3):
         pred = inter_ops.predict_inter_block(
-            refs[0], mi_row, mi_col, 0, 0, w, h, mv_q3, 0,
+            ref_planes[0], mi_row, mi_col, 0, 0, w, h, mv_q3, 0,
             st.mi_rows, st.mi_cols)
         return int(np.abs(pred.astype(np.int32) - src.astype(np.int32)).sum())
 
-    # ME: full-pel around nearest, then subpel refine
-    center = (int(np.clip(nearest[0] // 8, -64, 64)),
-              int(np.clip(nearest[1] // 8, -64, 64)))
-    dy, dx, fsad = me_ops.full_pel_search(
-        src, refs[0], px, py, BORDER, search_range, center)
-    cache = getattr(st, "_probe_cache", {})
-    probe = cache.get((mi_row, mi_col, int(bsize)))
-    if probe is not None and probe[0] < fsad:
-        dy, dx = probe[1]
-    if do_subpel:
-        filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
-        new_mv, _ = me_ops.subpel_refine(
-            src, refs[0], px, py, BORDER, (dy, dx), filters)
-    else:
-        new_mv = (dy * 8, dx * 8)
+    def eval_ref(ref_id, ref_planes, extra_rate, me_range):
+        mv_list, mode_context = MV.find_mv_refs(
+            st.mig, mi_row, mi_col, bsize, ref_id,
+            st.mig.tile_mi_start, st.mig.tile_mi_end)
+        nearest, near = MV.find_best_ref_mvs(
+            mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
+        center = (int(np.clip(nearest[0] // 8, -64, 64)),
+                  int(np.clip(nearest[1] // 8, -64, 64)))
+        dy, dx, fsad = me_ops.full_pel_search(
+            src, ref_planes[0], px, py, BORDER, me_range, center)
+        if ref_id == int(RefFrame.LAST):
+            probe = getattr(st, "_probe_cache", {}).get(
+                (mi_row, mi_col, int(bsize)))
+            if probe is not None and probe[0] < fsad:
+                dy, dx = probe[1]
+        if do_subpel:
+            new_mv, _ = me_ops.subpel_refine(
+                src, ref_planes[0], px, py, BORDER, (dy, dx), filters)
+        else:
+            new_mv = (dy * 8, dx * 8)
+        best = None
+        for offset, mvv, rate in ((0, nearest, 2), (1, near, 3),
+                                  (2, (0, 0), 1), (3, new_mv, 10)):
+            cost = mc_sad(ref_planes, mvv) + (rate + extra_rate) * lam
+            if best is None or cost < best[0]:
+                best = (cost, offset, mvv)
+        return (best[0], ref_id, best[1], best[2], nearest, mode_context,
+                ref_planes)
 
-    candidates = [
-        (0, nearest, 2),  # NEARESTMV offset 0
-        (1, near, 3),  # NEARMV
-        (2, (0, 0), 1),  # ZEROMV
-        (3, new_mv, 10),  # NEWMV (mv-bits proxy)
-    ]
-    best = None
-    for offset, mvv, rate in candidates:
-        cost = mc_sad(mvv) + rate * lam
-        if best is None or cost < best[0]:
-            best = (cost, offset, mvv)
+    results = [eval_ref(int(RefFrame.LAST), refs, 0, search_range)]
+    golden_refs = getattr(st, "_golden_refs", None)
+    if golden_refs is not None:
+        results.append(eval_ref(int(RefFrame.GOLDEN), golden_refs, 2,
+                                max(search_range // 2, 8)))
+    best_all = min(results, key=lambda x: x[0])
+    best = (best_all[0], best_all[2], best_all[3])
+    ref_id = best_all[1]
+    nearest = best_all[4]
+    mode_context = best_all[5]
+    chosen_refs = best_all[6]
 
     # intra DC fallback — decided open-loop (source-based references);
     # exact recon happens in decode-order phase 3
@@ -265,12 +303,12 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
 
     _, offset, mvv = best
     mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize], skip=False,
-                     is_inter=True, ref_frame=(int(RefFrame.LAST), -1),
+                     is_inter=True, ref_frame=(ref_id, -1),
                      mv=(tuple(mvv), (0, 0)), inter_mode=offset)
     mi.mode_context = mode_context
     mi.best_ref_mv = nearest
     st.mig.set_block(mi_row, mi_col, bsize, mi)
-    preds = predict_inter_planes(st, refs, mi_row, mi_col, bsize, mvv)
+    preds = predict_inter_planes(st, chosen_refs, mi_row, mi_col, bsize, mvv)
     return (mi, mi_row, mi_col, bsize, preds)
 
 
@@ -430,9 +468,16 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
             T.write_token(enc, "intra_mode_tree",
                           fc.if_uv_probs[int(mi.y_mode)], int(mi.uv_mode))
         else:
-            # single reference: bit0 = (ref != LAST) = 0
+            # single reference selection
             rctx = single_ref_p1_ctx(st.mig, mi_row, mi_col)
-            enc.put_bit(0, int(fc.single_ref_probs[rctx, 0]))
+            not_last = mi.ref_frame[0] != int(RefFrame.LAST)
+            enc.put_bit(1 if not_last else 0,
+                        int(fc.single_ref_probs[rctx, 0]))
+            if not_last:
+                rctx2 = single_ref_p2_ctx(st.mig, mi_row, mi_col)
+                enc.put_bit(
+                    1 if mi.ref_frame[0] == int(RefFrame.ALTREF) else 0,
+                    int(fc.single_ref_probs[rctx2, 1]))
             # inter mode
             T.write_token(enc, "inter_mode_tree",
                           fc.inter_mode_probs[mi.mode_context],
@@ -489,14 +534,16 @@ def encode_pframe(frame, refs, qindex: int,
                   block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
                   qbias: float = 0.38, do_subpel: bool = True,
                   prob_update: bool = True, log2_tile_cols: int = 0,
-                  adaptive_partition: bool = False):
+                  adaptive_partition: bool = False, golden_refs=None):
     """Encode one P frame against border-extended refs [y, u, v].
 
-    Returns (tile_bytes, FrameState).
+    golden_refs: optional second (long-term) reference planes; blocks then
+    choose LAST vs GOLDEN per-block.  Returns (tile_bytes, FrameState).
     """
     h, w = frame.y.shape
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
+    st._golden_refs = golden_refs
     events = walk_partition_fixed(mi_rows, mi_cols, block_size,
                                   log2_tile_cols)
     if adaptive_partition and block_size == BlockSize.BLOCK_32X32:

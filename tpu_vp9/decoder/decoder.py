@@ -490,12 +490,17 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
 
     h = st.h
     fc = st.fc
-    # single reference only (all sign biases equal)
+    # single reference selection (all sign biases equal: no compound)
     rctx = IF.single_ref_p1_ctx(st.mig, mi_row, mi_col)
     not_last = bd.read_bit(int(fc.single_ref_probs[rctx, 0]))
     if not_last:
-        raise NotImplementedError("GOLDEN/ALTREF decode not yet supported")
-    ref_frame = int(RefFrame.LAST)
+        rctx2 = IF.single_ref_p2_ctx(st.mig, mi_row, mi_col)
+        is_alt = bd.read_bit(int(fc.single_ref_probs[rctx2, 1]))
+        ref_frame = int(RefFrame.ALTREF) if is_alt else int(RefFrame.GOLDEN)
+    else:
+        ref_frame = int(RefFrame.LAST)
+    if st.refs.get(ref_frame) is None:
+        raise ValueError(f"reference {ref_frame} unavailable")
     mv_list, mode_context = MV.find_mv_refs(
         st.mig, mi_row, mi_col, bsize, ref_frame,
         st.mig.tile_mi_start, st.mig.tile_mi_end)
@@ -526,7 +531,7 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
         w, hh = T.BLOCK_WH[bsize]
         bw, bh = w >> ss, hh >> ss
         pred = inter_ops.predict_inter_block(
-            st.refs[pidx], mi_row, mi_col, 0, 0, bw, bh, mvv, ss,
+            st.refs[ref_frame][pidx], mi_row, mi_col, 0, 0, bw, bh, mvv, ss,
             st.mig.mi_rows, st.mig.mi_cols,
             h.interp_filter)
         px = (mi_col * 8) >> ss
@@ -603,10 +608,12 @@ def decode_frame(payload: bytes, fc=None, dpb=None):
     if not (h.is_keyframe or h.intra_only):
         if dpb is None:
             raise ValueError("inter frame requires a DPB")
-        last_slot = dpb[h.ref_dpb_index[0]]
-        if last_slot is None:
+        refs = {}
+        for i, ref_id in enumerate((1, 2, 3)):  # LAST, GOLDEN, ALTREF
+            slot = dpb[h.ref_dpb_index[i]]
+            refs[ref_id] = slot[0] if slot is not None else None
+        if refs[1] is None:
             raise ValueError("LAST reference slot is empty")
-        refs = last_slot[0]
 
     mi_rows, mi_cols = h.mi_rows, h.mi_cols
     planes = []
