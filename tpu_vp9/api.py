@@ -117,10 +117,11 @@ class Vp9Encoder:
                 frame, self._refs, qindex, sig.block_size,
                 sig.search_range, qbias=sig.qbias, do_subpel=sig.do_subpel,
                 adaptive_partition=sig.adaptive_partition,
-                golden_refs=self._golden_refs)
+                golden_refs=self._golden_refs, tx_select=sig.tx_select)
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=True, base_qindex=qindex,
-                              tx_mode=TxMode.ALLOW_32X32,
+                              tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select
+                              else TxMode.ALLOW_32X32,
                               refresh_frame_mask=0b11 if refresh_golden
                               else 0b01,
                               ref_dpb_index=(0, 1, 1))

@@ -312,6 +312,54 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     return (mi, mi_row, mi_col, bsize, preds)
 
 
+def decide_tx_sizes(st: FrameState, pending, qindex: int,
+                    qbias: float = 0.38) -> None:
+    """Choose per-block Y tx size (max vs one-below) by RD estimate.
+
+    Batched over blocks of equal size; sets mi.tx_size in place.
+    """
+    dc_q = T.dc_quant(qindex)
+    ac_q = T.ac_quant(qindex)
+    lam = max(1, (ac_q * ac_q) >> 8)
+    groups = {}
+    for entry in pending:
+        mi, mi_row, mi_col, bsize, preds = entry
+        groups.setdefault(bsize, []).append(entry)
+    for bsize, entries in groups.items():
+        max_tx = T.MAX_TX_SIZE[bsize]
+        if int(max_tx) == 0:
+            continue
+        w, h = T.BLOCK_WH[bsize]
+        resid = np.stack([
+            st.planes[0].source[mi_row * 8 : mi_row * 8 + h,
+                                mi_col * 8 : mi_col * 8 + w].astype(np.int32)
+            - preds[0][0].astype(np.int32)
+            for _, mi_row, mi_col, _, preds in entries])
+        costs = []
+        for tx in (max_tx, TxSize(int(max_tx) - 1)):
+            n = TX_PX[tx]
+            b = resid.shape[0]
+            blocks = resid.reshape(b, h // n, n, w // n, n) \
+                          .transpose(0, 1, 3, 2, 4).reshape(-1, n, n)
+            coeffs = txfm.fwd_txfm2d(blocks, tx, TxType.DCT_DCT)
+            levels = txfm.quantize_block(coeffs, dc_q, ac_q, tx, bias=qbias)
+            q_eff = np.full((n, n), float(ac_q), np.float32)
+            q_eff[0, 0] = float(dc_q)
+            if n == 32:
+                q_eff *= 0.5
+            qerr = coeffs - levels * q_eff
+            gain = 16.0 if n == 32 else 64.0
+            dist = (qerr**2).sum(axis=(1, 2)) / gain
+            mags = np.abs(levels)
+            rate = (np.where(mags > 0, 1.5 + np.log2(1.0 + mags), 0.0)
+                    .sum(axis=(1, 2)) + 1.5)
+            per_blk = (dist + lam * rate).reshape(b, -1).sum(axis=1)
+            costs.append(per_blk)
+        pick_small = costs[1] < costs[0]
+        for i, (mi, _, _, _, _) in enumerate(entries):
+            mi.tx_size = TxSize(int(max_tx) - 1) if pick_small[i] else max_tx
+
+
 def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
                               qbias: float = 0.38) -> None:
     """Phase 2: transform/quant/recon ALL inter blocks batched per tx size.
@@ -378,6 +426,10 @@ def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
                     key = (pidx, mi_row + y4, mi_col + x4)
                 all_zero &= st.eobs[key] == 0
         mi.skip = all_zero
+        if mi.skip:
+            # skip+inter under TX_MODE_SELECT implies the max tx size
+            mi.tx_size = T.MAX_TX_SIZE[bsize]
+            st.mig.set_block(mi_row, mi_col, bsize, mi)
 
 
 def _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias):
@@ -412,7 +464,8 @@ def _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias):
 
 
 def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
-                     counts_sink=None) -> bytes:
+                     counts_sink=None,
+                     tx_mode=T.TxMode.ALLOW_32X32) -> bytes:
     """Pass B for a P frame (single tile)."""
     if fc is None:
         fc = T.default_frame_context()
@@ -461,6 +514,11 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
         iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
         enc.put_bit(1 if mi.is_inter else 0,
                     int(fc.intra_inter_probs[iictx]))
+        if (tx_mode == T.TxMode.TX_MODE_SELECT
+                and bsize >= BlockSize.BLOCK_8X8
+                and (not mi.skip or not mi.is_inter)):
+            MI.write_tx_size(enc, fc, st.mig, mi_row, mi_col, bsize,
+                             mi.tx_size)
         if not mi.is_inter:
             grp = T.SIZE_GROUP[bsize]
             T.write_token(enc, "intra_mode_tree", fc.if_y_probs[grp],
@@ -534,7 +592,8 @@ def encode_pframe(frame, refs, qindex: int,
                   block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
                   qbias: float = 0.38, do_subpel: bool = True,
                   prob_update: bool = True, log2_tile_cols: int = 0,
-                  adaptive_partition: bool = False, golden_refs=None):
+                  adaptive_partition: bool = False, golden_refs=None,
+                  tx_select: bool = False):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -565,17 +624,25 @@ def encode_pframe(frame, refs, qindex: int,
         else:
             pending.append(entry)
     # phase 2: all inter blocks batched (independent of each other)
+    if tx_select:
+        decide_tx_sizes(st, pending, qindex, qbias)
+        for mi, mi_row, mi_col, bsize, _ in pending:
+            st.mig.set_block(mi_row, mi_col, bsize, mi)  # refresh tx field
     batch_encode_inter_blocks(st, pending, qindex, qbias)
     # phase 3: intra-fallback leaves, exact recon in decode order
     for mi_row, mi_col, bsize in intra_leaves:
         mi = st.mig.get(mi_row, mi_col)
         st.tile_mi_start = getattr(mi, "tile_mi_start", 0)
         _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias)
+    tx_mode = T.TxMode.TX_MODE_SELECT if tx_select else T.TxMode.ALLOW_32X32
+    import functools
+
+    ser = functools.partial(serialize_pframe, tx_mode=tx_mode)
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates
 
         tile, st.header_updates = serialize_with_updates(
-            st, events, qindex, serialize_pframe)
+            st, events, qindex, ser)
     else:
-        tile = serialize_pframe(st, events, qindex)
+        tile = ser(st, events, qindex)
     return tile, st

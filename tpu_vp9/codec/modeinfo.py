@@ -180,6 +180,58 @@ class PartitionContext:
         self.left[mi_row : mi_row + bw] = lv
 
 
+def tx_size_ctx(mig: ModeInfoGrid, mi_row: int, mi_col: int,
+                bsize: BlockSize) -> int:
+    """get_tx_size_context (vp9_pred_common.h): above/left coded tx sizes
+    (or this block's max) averaged against max."""
+    max_tx = int(T.MAX_TX_SIZE[BlockSize(bsize)])
+    a = mig.above(mi_row, mi_col)
+    l = mig.left(mi_row, mi_col)
+    above_ctx = int(a.tx_size) if (a is not None and not a.skip) else max_tx
+    left_ctx = int(l.tx_size) if (l is not None and not l.skip) else max_tx
+    if l is None:
+        left_ctx = above_ctx
+    if a is None:
+        above_ctx = left_ctx
+    return int(above_ctx + left_ctx > max_tx)
+
+
+def tx_probs_row(fc, max_tx: TxSize, ctx: int):
+    """The per-context node probs for coding a tx size below max_tx."""
+    if max_tx == TxSize.TX_32X32:
+        return fc.tx_probs_32x32[ctx]
+    if max_tx == TxSize.TX_16X16:
+        return fc.tx_probs_16x16[ctx]
+    return fc.tx_probs_8x8[ctx]
+
+
+def write_tx_size(enc, fc, mig: ModeInfoGrid, mi_row: int, mi_col: int,
+                  bsize: BlockSize, tx_size: TxSize) -> None:
+    """write_selected_tx_size: unary-ish code over tx_probs."""
+    max_tx = T.MAX_TX_SIZE[BlockSize(bsize)]
+    ctx = tx_size_ctx(mig, mi_row, mi_col, bsize)
+    probs = tx_probs_row(fc, max_tx, ctx)
+    t = int(tx_size)
+    enc.put_bit(1 if t != 0 else 0, int(probs[0]))
+    if t != 0 and int(max_tx) >= 2:
+        enc.put_bit(1 if t != 1 else 0, int(probs[1]))
+        if t != 1 and int(max_tx) >= 3:
+            enc.put_bit(1 if t != 2 else 0, int(probs[2]))
+
+
+def read_tx_size_coded(dec, fc, mig: ModeInfoGrid, mi_row: int, mi_col: int,
+                       bsize: BlockSize) -> TxSize:
+    max_tx = T.MAX_TX_SIZE[BlockSize(bsize)]
+    ctx = tx_size_ctx(mig, mi_row, mi_col, bsize)
+    probs = tx_probs_row(fc, max_tx, ctx)
+    t = dec.read_bit(int(probs[0]))
+    if t != 0 and int(max_tx) >= 2:
+        t += dec.read_bit(int(probs[1]))
+        if t != 1 and int(max_tx) >= 3:
+            t += dec.read_bit(int(probs[2]))
+    return TxSize(t)
+
+
 def skip_ctx(mig: ModeInfoGrid, mi_row: int, mi_col: int) -> int:
     a = mig.above(mi_row, mi_col)
     l = mig.left(mi_row, mi_col)

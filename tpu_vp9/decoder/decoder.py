@@ -402,14 +402,10 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
     skip = bd.read_bit(int(fc.skip_probs[sctx])) == 1
     if bsize < BlockSize.BLOCK_8X8:
         raise NotImplementedError("sub-8x8 decode not yet supported")
-    # tx size
     max_tx = T.MAX_TX_SIZE[bsize]
-    if h.tx_mode == T.TxMode.TX_MODE_SELECT and not skip:
-        raise NotImplementedError("TX_MODE_SELECT decode not yet supported")
     tx_allowed = {T.TxMode.ONLY_4X4: 0, T.TxMode.ALLOW_8X8: 1,
                   T.TxMode.ALLOW_16X16: 2, T.TxMode.ALLOW_32X32: 3,
                   T.TxMode.TX_MODE_SELECT: 3}[h.tx_mode]
-    y_tx = TxSize(min(int(max_tx), tx_allowed))
 
     is_inter = False
     if not (h.is_keyframe or h.intra_only):
@@ -417,6 +413,15 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
 
         iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
         is_inter = bd.read_bit(int(fc.intra_inter_probs[iictx])) == 1
+
+    # tx size (read_tx_size: coded under TX_MODE_SELECT when the block
+    # has coefficients or is intra)
+    if (h.tx_mode == T.TxMode.TX_MODE_SELECT
+            and bsize >= BlockSize.BLOCK_8X8
+            and (not skip or not is_inter)):
+        y_tx = MI.read_tx_size_coded(bd, fc, st.mig, mi_row, mi_col, bsize)
+    else:
+        y_tx = TxSize(min(int(max_tx), tx_allowed))
 
     if is_inter:
         _decode_inter_block_body(st, bd, mi_row, mi_col, bsize, y_tx, skip,

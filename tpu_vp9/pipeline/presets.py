@@ -23,19 +23,30 @@ class PresetSignals:
     qbias: float  # quantizer deadzone (lower = more zeros)
     use_tpu_hints: bool  # open-loop TPU mode decision for keyframes
     adaptive_partition: bool = False  # 32->16 split by cost probes
+    tx_select: bool = False  # per-block transform size (TX_MODE_SELECT)
 
 
 _LADDER = {
-    0: PresetSignals(BlockSize.BLOCK_16X16, 32, True, 0.42, False, False),
-    1: PresetSignals(BlockSize.BLOCK_16X16, 28, True, 0.42, False, False),
-    2: PresetSignals(BlockSize.BLOCK_16X16, 24, True, 0.40, False, False),
-    3: PresetSignals(BlockSize.BLOCK_32X32, 24, True, 0.40, False, True),
-    4: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.40, False, True),
-    5: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True),
-    6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True),
-    7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False, False),
-    8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True, False),
-    9: PresetSignals(BlockSize.BLOCK_32X32, 8, False, 0.34, True, False),
+    0: PresetSignals(BlockSize.BLOCK_16X16, 32, True, 0.42, False, False,
+                     True),
+    1: PresetSignals(BlockSize.BLOCK_16X16, 28, True, 0.42, False, False,
+                     True),
+    2: PresetSignals(BlockSize.BLOCK_16X16, 24, True, 0.40, False, False,
+                     True),
+    3: PresetSignals(BlockSize.BLOCK_32X32, 24, True, 0.40, False, True,
+                     True),
+    4: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.40, False, True,
+                     True),
+    5: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
+                     True),
+    6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
+                     True),
+    7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False, False,
+                     False),
+    8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True, False,
+                     False),
+    9: PresetSignals(BlockSize.BLOCK_32X32, 8, False, 0.34, True, False,
+                     False),
 }
 
 
