@@ -117,7 +117,8 @@ class Vp9Encoder:
                 frame, self._refs, qindex, sig.block_size,
                 sig.search_range, qbias=sig.qbias, do_subpel=sig.do_subpel,
                 adaptive_partition=sig.adaptive_partition,
-                golden_refs=self._golden_refs, tx_select=sig.tx_select)
+                golden_refs=self._golden_refs, tx_select=sig.tx_select,
+                use_tpu_me=sig.use_tpu_me)
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=True, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select

@@ -244,15 +244,32 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
             st.mig.tile_mi_start, st.mig.tile_mi_end)
         nearest, near = MV.find_best_ref_mvs(
             mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
-        center = (int(np.clip(nearest[0] // 8, -64, 64)),
-                  int(np.clip(nearest[1] // 8, -64, 64)))
-        dy, dx, fsad = me_ops.full_pel_search(
-            src, ref_planes[0], px, py, BORDER, me_range, center)
+        tpu_mv = None
         if ref_id == int(RefFrame.LAST):
-            probe = getattr(st, "_probe_cache", {}).get(
-                (mi_row, mi_col, int(bsize)))
-            if probe is not None and probe[0] < fsad:
-                dy, dx = probe[1]
+            tmv = getattr(st, "_tpu_mv", None)
+            if tmv is not None:
+                bn = T.BLOCK_WH[bsize][0]
+                br, bc = (mi_row * 8) // tmv[1], (mi_col * 8) // tmv[1]
+                if (bn == tmv[1] and br < tmv[0].shape[0]
+                        and bc < tmv[0].shape[1]):
+                    tpu_mv = (int(tmv[0][br, bc, 0]), int(tmv[0][br, bc, 1]))
+        if tpu_mv is not None:
+            # device search already covered +-r around zero; just compare
+            # against the nearest-predictor position
+            cand_n = (nearest[0] // 8, nearest[1] // 8)
+            s_t = mc_sad(ref_planes, (tpu_mv[0] * 8, tpu_mv[1] * 8))
+            s_n = mc_sad(ref_planes, (cand_n[0] * 8, cand_n[1] * 8))
+            dy, dx = tpu_mv if s_t <= s_n else cand_n
+        else:
+            center = (int(np.clip(nearest[0] // 8, -64, 64)),
+                      int(np.clip(nearest[1] // 8, -64, 64)))
+            dy, dx, fsad = me_ops.full_pel_search(
+                src, ref_planes[0], px, py, BORDER, me_range, center)
+            if ref_id == int(RefFrame.LAST):
+                probe = getattr(st, "_probe_cache", {}).get(
+                    (mi_row, mi_col, int(bsize)))
+                if probe is not None and probe[0] < fsad:
+                    dy, dx = probe[1]
         if do_subpel:
             new_mv, _ = me_ops.subpel_refine(
                 src, ref_planes[0], px, py, BORDER, (dy, dx), filters)
@@ -593,7 +610,7 @@ def encode_pframe(frame, refs, qindex: int,
                   qbias: float = 0.38, do_subpel: bool = True,
                   prob_update: bool = True, log2_tile_cols: int = 0,
                   adaptive_partition: bool = False, golden_refs=None,
-                  tx_select: bool = False):
+                  tx_select: bool = False, use_tpu_me: bool = False):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -603,6 +620,22 @@ def encode_pframe(frame, refs, qindex: int,
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
     st._golden_refs = golden_refs
+    # Device ME pays off when the per-frame block count is large enough to
+    # amortize the host<->device round-trip (and its one-time compile).
+    if use_tpu_me and w * h >= 1280 * 720:
+        try:
+            from tpu_vp9.pipeline.tpu_me import tpu_block_motion
+
+            n = T.BLOCK_WH[block_size][0]
+            hh = (h // n) * n
+            ww = (w // n) * n
+            if hh and ww:
+                # fixed r=16: one compiled variant per (B, n)
+                mvs = tpu_block_motion(
+                    st.planes[0].source[:hh, :ww], refs[0], BORDER, n, 16)
+                st._tpu_mv = (mvs, n)
+        except Exception:
+            st._tpu_mv = None
     events = walk_partition_fixed(mi_rows, mi_cols, block_size,
                                   log2_tile_cols)
     if adaptive_partition and block_size == BlockSize.BLOCK_32X32:

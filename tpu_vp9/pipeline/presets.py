@@ -24,6 +24,7 @@ class PresetSignals:
     use_tpu_hints: bool  # open-loop TPU mode decision for keyframes
     adaptive_partition: bool = False  # 32->16 split by cost probes
     tx_select: bool = False  # per-block transform size (TX_MODE_SELECT)
+    use_tpu_me: bool = False  # batched device full-pel search
 
 
 _LADDER = {
@@ -42,11 +43,11 @@ _LADDER = {
     6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
                      True),
     7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False, False,
-                     False),
+                     False, True),
     8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True, False,
-                     False),
+                     False, True),
     9: PresetSignals(BlockSize.BLOCK_32X32, 8, False, 0.34, True, False,
-                     False),
+                     False, True),
 }
 
 

@@ -1,0 +1,76 @@
+"""TPU batched motion search.
+
+The reference's ME is per-SB SAD loops over thread pools
+(``EbMotionEstimation.c:951`` full_pel_search_sb).  The TPU-native
+formulation evaluates ALL blocks' full search windows at once as
+grouped cross-correlations on the MXU:
+
+    SSE(d) = ||src||^2 - 2 <src, win_d> + ||win_d||^2
+
+The correlation term is a grouped conv (one block = one group); the
+window-energy term is a grouped conv of the squared region with an
+all-ones kernel.  SSE-based selection slightly beats SAD quality-wise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n", "r"))
+def full_search_sse(src_blocks, regions, n: int, r: int):
+    """src_blocks: (B, n, n) uint8; regions: (B, n+2r, n+2r) uint8
+    (search window centered: displacement (0,0) at region offset (r, r)).
+
+    Returns (dy (B,), dx (B,), sse (B,)) for the best displacement in
+    [-r, r]^2.
+    """
+    b = src_blocks.shape[0]
+    src = src_blocks.astype(jnp.float32)
+    reg = regions.astype(jnp.float32)
+    x = reg[None]  # (1, B, H, W)
+    k = src[:, None]  # (B, 1, n, n)
+    corr = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID",
+        feature_group_count=b)  # (1, B, 2r+1, 2r+1)
+    ones = jnp.ones((b, 1, n, n), jnp.float32)
+    ener = jax.lax.conv_general_dilated(
+        x * x, ones, window_strides=(1, 1), padding="VALID",
+        feature_group_count=b)
+    src_e = (src * src).sum(axis=(1, 2))[None, :, None, None]
+    sse = src_e - 2.0 * corr + ener  # (1, B, 2r+1, 2r+1)
+    flat = sse[0].reshape(b, -1)
+    idx = jnp.argmin(flat, axis=1)
+    dy = idx // (2 * r + 1) - r
+    dx = idx % (2 * r + 1) - r
+    return dy.astype(jnp.int32), dx.astype(jnp.int32), jnp.min(flat, axis=1)
+
+
+def tpu_block_motion(src_plane, ref_padded, border: int, n: int, r: int):
+    """Full-pel MVs for every nxn block of a plane via one device call.
+
+    src_plane: (H, W) uint8 with H, W multiples of n;
+    ref_padded: border-extended reference.  Returns (R, C, 2) int numpy.
+    """
+    h, w = src_plane.shape
+    rows, cols = h // n, w // n
+    blocks = src_plane.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
+    blocks = np.ascontiguousarray(blocks.reshape(-1, n, n))
+    win = n + 2 * r
+    # gather regions (host strided copy; small vs the search itself)
+    regions = np.empty((rows * cols, win, win), np.uint8)
+    i = 0
+    for br in range(rows):
+        y0 = border + br * n - r
+        for bc in range(cols):
+            x0 = border + bc * n - r
+            regions[i] = ref_padded[y0 : y0 + win, x0 : x0 + win]
+            i += 1
+    dy, dx, _ = full_search_sse(jnp.asarray(blocks), jnp.asarray(regions),
+                                n, r)
+    out = np.stack([np.asarray(dy), np.asarray(dx)], axis=-1)
+    return out.reshape(rows, cols, 2)
