@@ -69,6 +69,15 @@ class Vp9Encoder:
         if self._cfg is None:
             raise RuntimeError("set_parameter must be called before init")
         self._sig = derive_signals(self._cfg)
+        if self._sig.use_tpu_me or self._sig.use_tpu_hints:
+            from dataclasses import replace
+
+            from tpu_vp9.utils.device import tpu_alive
+
+            if not tpu_alive():
+                # wedged/absent accelerator: fall back to host paths
+                self._sig = replace(self._sig, use_tpu_me=False,
+                                    use_tpu_hints=False)
         self._rc = RateControlState.create(self._cfg)
         self._initialized = True
 

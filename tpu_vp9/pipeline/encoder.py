@@ -122,6 +122,13 @@ def encode_video(frames, cfg):
     cfg = cfg.derive()
     cfg.validate()
     sig = derive_signals(cfg)
+    if sig.use_tpu_hints or sig.use_tpu_me:
+        from dataclasses import replace
+
+        from tpu_vp9.utils.device import tpu_alive
+
+        if not tpu_alive():
+            sig = replace(sig, use_tpu_hints=False, use_tpu_me=False)
     rc = RateControlState.create(cfg)
     out = []
     refs = None
