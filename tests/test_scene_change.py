@@ -1,0 +1,53 @@
+"""Scene-change detection inserts keyframes at cuts."""
+
+import numpy as np
+
+from tpu_vp9.api import Vp9Encoder
+from tpu_vp9.config import EncoderConfig
+from tpu_vp9.utils.yuv import Frame420
+
+
+def cut_sequence():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 120, (96, 128)).astype(np.uint8)
+    b = rng.integers(135, 255, (96, 128)).astype(np.uint8)  # hard cut
+    frames = []
+    for t in range(6):
+        y = (a if t < 3 else b).copy()
+        y[0, 0] = t  # tiny change so frames differ
+        frames.append(Frame420(y=y, u=np.full((48, 64), 128, np.uint8),
+                               v=np.full((48, 64), 128, np.uint8)))
+    return frames
+
+
+def test_cut_inserts_keyframe():
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(source_width=128, source_height=96,
+                                    frame_rate=30, qp=40, enc_mode=8,
+                                    intra_period=255))
+    enc.init()
+    kinds = []
+    for fr in cut_sequence():
+        enc.send_picture(fr)
+        kinds.append(enc.get_packet().is_keyframe)
+    assert kinds[0] is True
+    assert kinds[3] is True  # the cut
+    assert kinds[1] is False and kinds[2] is False
+
+
+def test_no_false_cuts_on_still():
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(source_width=128, source_height=96,
+                                    frame_rate=30, qp=40, enc_mode=8,
+                                    intra_period=255))
+    enc.init()
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 255, (96, 128)).astype(np.uint8)
+    kinds = []
+    for t in range(5):
+        y = base.copy()
+        y[t, t] = 255 - y[t, t]
+        enc.send_picture(Frame420(y=y, u=np.full((48, 64), 128, np.uint8),
+                                  v=np.full((48, 64), 128, np.uint8)))
+        kinds.append(enc.get_packet().is_keyframe)
+    assert kinds == [True, False, False, False, False]

@@ -53,6 +53,7 @@ class Vp9Encoder:
         self._golden_refs = None
         self._since_golden = 0
         self.golden_interval = 8
+        self._scd = None
         self._frame_idx = 0
         self._packets: list = []
         self._last_recon = None
@@ -69,6 +70,9 @@ class Vp9Encoder:
         if self._cfg is None:
             raise RuntimeError("set_parameter must be called before init")
         self._sig = derive_signals(self._cfg)
+        from tpu_vp9.pipeline.picture_decision import SceneChangeDetector
+
+        self._scd = SceneChangeDetector()
         if self._sig.use_tpu_me or self._sig.use_tpu_hints:
             from dataclasses import replace
 
@@ -107,6 +111,11 @@ class Vp9Encoder:
         self._frame_idx += 1
         is_key = force_keyframe or idx == 0 or (
             cfg.intra_period >= 0 and idx % (cfg.intra_period + 1) == 0)
+        # scene-change detection (EbPictureDecisionProcess.c:100 analogue)
+        if self._scd is not None:
+            cut = self._scd.is_scene_change(frame.y)
+            if cut and not is_key and cfg.intra_period != -1:
+                is_key = True
         if idx in self._qp_overrides:
             from tpu_vp9.pipeline.presets import qp_to_qindex
 

@@ -142,6 +142,31 @@ def expand_config_file(argv):
     return pre + argv
 
 
+def run_channels(argv, n: int) -> int:
+    """-nch N: run N independent encoder channels as parallel processes
+    (EbAppMain.c multi-channel analogue; inputs/outputs get .chK suffixes
+    unless distinct files are given via repeated flags)."""
+    import subprocess as sp
+
+    base = [a for a in argv]
+    i = base.index("-nch")
+    del base[i : i + 2]
+    procs = []
+    for ch in range(n):
+        args = list(base)
+        for flag in ("-b", "-o", "-errlog"):
+            if flag in args:
+                j = args.index(flag) + 1
+                root, dot, ext = args[j].rpartition(".")
+                args[j] = (f"{root}.ch{ch}.{ext}" if dot
+                           else f"{args[j]}.ch{ch}")
+        procs.append(sp.Popen([sys.executable, "-m", "tpu_vp9.app"] + args))
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -150,6 +175,10 @@ def main(argv=None) -> int:
     except OSError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    if "-nch" in argv:
+        n = int(argv[argv.index("-nch") + 1])
+        if n > 1:
+            return run_channels(argv, n)
     args = build_parser().parse_args(argv)
     try:
         width, height, (fps_num, fps_den), frames = open_input(args)
