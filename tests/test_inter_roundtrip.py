@@ -91,3 +91,34 @@ def test_motion_found():
     enc, dec = roundtrip(frames, qindex=80)
     for fr, (y, _, _, _) in zip(frames, dec):
         assert psnr(y, fr.y) > 33
+
+
+def test_non_error_resilient_roundtrip():
+    """Opt-in non-ER: frame-context persistence + restricted MV modes must
+    still round-trip bit-exactly through the stateful decoder."""
+    from tpu_vp9.api import Vp9Encoder
+    from tpu_vp9.config import EncoderConfig
+
+    frames = list(synthetic_frames(96, 80, 5, seed=11, motion=True))
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(source_width=96, source_height=80,
+                                    frame_rate=30, qp=40, enc_mode=8,
+                                    error_resilient=False))
+    enc.init()
+    pkts = []
+    recons = []
+    for fr in frames:
+        enc.send_picture(fr)
+        pkts.append(enc.get_packet())
+        recons.append(enc.get_recon())
+    buf = io.BytesIO()
+    write_ivf_header(buf, 96, 80, 30, 1)
+    for i, p in enumerate(pkts):
+        write_ivf_frame(buf, p.data, i)
+    patch_ivf_frame_count(buf, len(pkts))
+    buf.seek(0)
+    dec = list(decode_ivf(buf))
+    assert not dec[1][3].error_resilient
+    for i, ((y, u, v, h), (ry, ru, rv)) in enumerate(zip(dec, recons)):
+        np.testing.assert_array_equal(y, ry, err_msg=f"frame {i}")
+        np.testing.assert_array_equal(u, ru)

@@ -54,6 +54,8 @@ class Vp9Encoder:
         self._since_golden = 0
         self.golden_interval = 8
         self._scd = None
+        self._fc_state = None  # 4 persistent frame contexts (non-ER)
+        self._last_was_inter = False
         self._frame_idx = 0
         self._packets: list = []
         self._last_recon = None
@@ -123,32 +125,53 @@ class Vp9Encoder:
         else:
             qindex = rc.frame_qindex(is_key)
         h, w = frame.y.shape
+        er = cfg.error_resilient
+        from tpu_vp9.bitstream import tables as _T
+
+        if self._fc_state is None:
+            self._fc_state = [_T.default_frame_context() for _ in range(4)]
+        if is_key or er:
+            # setup_past_independence: reset all contexts
+            self._fc_state = [_T.default_frame_context() for _ in range(4)]
+        fc_base = None if er else self._fc_state[0]
         if is_key:
             tile, st = encode_keyframe(frame, qindex, sig.block_size,
-                                       qbias=sig.qbias)
+                                       qbias=sig.qbias, fc_base=fc_base)
             hdr = FrameHeader(width=w, height=h, is_keyframe=True,
-                              error_resilient=True, base_qindex=qindex,
-                              tx_mode=TxMode.ALLOW_32X32)
+                              error_resilient=er, base_qindex=qindex,
+                              tx_mode=TxMode.ALLOW_32X32,
+                              refresh_frame_context=not er,
+                              frame_parallel_decoding_mode=True,
+                              frame_context_idx=0)
         else:
             refresh_golden = self._since_golden >= self.golden_interval
+            restrict = (not er) and self._last_was_inter
             tile, st = encode_pframe(
                 frame, self._refs, qindex, sig.block_size,
                 sig.search_range, qbias=sig.qbias, do_subpel=sig.do_subpel,
                 adaptive_partition=sig.adaptive_partition,
                 golden_refs=self._golden_refs, tx_select=sig.tx_select,
-                use_tpu_me=sig.use_tpu_me)
+                use_tpu_me=sig.use_tpu_me, fc_base=fc_base,
+                restrict_mv_modes=restrict)
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
-                              error_resilient=True, base_qindex=qindex,
+                              error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select
                               else TxMode.ALLOW_32X32,
                               refresh_frame_mask=0b11 if refresh_golden
                               else 0b01,
-                              ref_dpb_index=(0, 1, 1))
+                              ref_dpb_index=(0, 1, 1),
+                              reset_frame_context=0,
+                              refresh_frame_context=not er,
+                              frame_parallel_decoding_mode=True,
+                              frame_context_idx=0)
         from tpu_vp9.pipeline.encoder import _apply_loop_filter
 
         _apply_loop_filter(st, hdr, qindex, is_key, enabled=cfg.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         rc.update(len(payload) * 8, is_key)
+        if not er and getattr(st, "fc_final", None) is not None:
+            self._fc_state[0] = st.fc_final
+        self._last_was_inter = not is_key
         self._refs = _make_refs(st, w, h)
         if is_key or (hdr.refresh_frame_mask & 0b10):
             self._golden_refs = self._refs

@@ -21,9 +21,14 @@ from tpu_vp9.bitstream.prob_update import (
 from tpu_vp9.bitstream.tables import TxSize
 
 
-def serialize_with_updates(st, events, qindex: int, serialize_fn):
-    """Returns (tile_bytes, header_updates)."""
-    fc0 = T.default_frame_context()
+def serialize_with_updates(st, events, qindex: int, serialize_fn,
+                           fc_base=None):
+    """Returns (tile_bytes, header_updates, fc_final).
+
+    fc_base: inherited frame context (non-error-resilient persistence);
+    defaults to the spec default context.
+    """
+    fc0 = fc_base.copy() if fc_base is not None else T.default_frame_context()
     from tpu_vp9.codec.intra_frame import new_counts_sink
 
     sink = new_counts_sink()
@@ -41,4 +46,4 @@ def serialize_with_updates(st, events, qindex: int, serialize_fn):
         fc1.coef_probs[ts] = new_coef[ts]
     fc1.skip_probs = new_skip
     tile = serialize_fn(st, events, qindex, fc=fc1)
-    return tile, updates
+    return tile, updates, fc1

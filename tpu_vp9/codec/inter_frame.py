@@ -238,10 +238,12 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
             st.mi_rows, st.mi_cols)
         return int(np.abs(pred.astype(np.int32) - src.astype(np.int32)).sum())
 
+    restrict = getattr(st, "_restrict_mv", False)
+
     def eval_ref(ref_id, ref_planes, extra_rate, me_range):
-        mv_list, mode_context = MV.find_mv_refs(
+        mv_list, mode_context, stable = MV.find_mv_refs(
             st.mig, mi_row, mi_col, bsize, ref_id,
-            st.mig.tile_mi_start, st.mig.tile_mi_end)
+            st.mig.tile_mi_start, st.mig.tile_mi_end, return_stable=True)
         nearest, near = MV.find_best_ref_mvs(
             mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
         tpu_mv = None
@@ -275,9 +277,18 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                 src, ref_planes[0], px, py, BORDER, (dy, dx), filters)
         else:
             new_mv = (dy * 8, dx * 8)
+        cands = [(0, nearest, 2), (1, near, 3), (2, (0, 0), 1),
+                 (3, new_mv, 10)]
+        if restrict:
+            # non-ER: conformant decoders may insert temporal MV
+            # candidates we do not model; only use entries proven stable
+            # (the reference's use_prev_frame_mvs restriction)
+            if stable == 0:
+                cands = [(2, (0, 0), 1)]
+            elif stable == 1:
+                cands = [(0, nearest, 2), (2, (0, 0), 1), (3, new_mv, 10)]
         best = None
-        for offset, mvv, rate in ((0, nearest, 2), (1, near, 3),
-                                  (2, (0, 0), 1), (3, new_mv, 10)):
+        for offset, mvv, rate in cands:
             cost = mc_sad(ref_planes, mvv) + (rate + extra_rate) * lam
             if best is None or cost < best[0]:
                 best = (cost, offset, mvv)
@@ -610,7 +621,8 @@ def encode_pframe(frame, refs, qindex: int,
                   qbias: float = 0.38, do_subpel: bool = True,
                   prob_update: bool = True, log2_tile_cols: int = 0,
                   adaptive_partition: bool = False, golden_refs=None,
-                  tx_select: bool = False, use_tpu_me: bool = False):
+                  tx_select: bool = False, use_tpu_me: bool = False,
+                  fc_base=None, restrict_mv_modes: bool = False):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -620,6 +632,7 @@ def encode_pframe(frame, refs, qindex: int,
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
     st._golden_refs = golden_refs
+    st._restrict_mv = restrict_mv_modes
     # Device ME pays off when the per-frame block count is large enough to
     # amortize the host<->device round-trip (and its one-time compile).
     if use_tpu_me and w * h >= 1280 * 720:
@@ -674,8 +687,9 @@ def encode_pframe(frame, refs, qindex: int,
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates
 
-        tile, st.header_updates = serialize_with_updates(
-            st, events, qindex, ser)
+        tile, st.header_updates, st.fc_final = serialize_with_updates(
+            st, events, qindex, ser, fc_base)
     else:
-        tile = ser(st, events, qindex)
+        tile = ser(st, events, qindex, fc=fc_base)
+        st.fc_final = fc_base
     return tile, st

@@ -400,7 +400,8 @@ def pack_tiles(tiles) -> bytes:
 
 def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
                     qbias: float = 0.38, y_mode_hints=None,
-                    prob_update: bool = True, log2_tile_cols: int = 0):
+                    prob_update: bool = True, log2_tile_cols: int = 0,
+                    fc_base=None):
     """Encode one intra frame; returns (tile_bytes, FrameState).
 
     y_mode_hints: optional (R, C) array of IntraMode per target-size block
@@ -430,8 +431,9 @@ def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates
 
-        tile, st.header_updates = serialize_with_updates(
-            st, events, qindex, serialize_frame)
+        tile, st.header_updates, st.fc_final = serialize_with_updates(
+            st, events, qindex, serialize_frame, fc_base)
     else:
-        tile = serialize_frame(st, events, qindex)
+        tile = serialize_frame(st, events, qindex, fc=fc_base)
+        st.fc_final = fc_base
     return tile, st

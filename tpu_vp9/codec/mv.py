@@ -73,11 +73,17 @@ def _clamp(mv, lo_col, hi_col, lo_row, hi_row):
 
 def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                  bsize: BlockSize, ref_frame: int,
-                 tile_mi_col_start: int = 0, tile_mi_col_end: int = 1 << 30):
-    """Returns (mv_ref_list[2], mode_context).
+                 tile_mi_col_start: int = 0, tile_mi_col_end: int = 1 << 30,
+                 return_stable: bool = False):
+    """Returns (mv_ref_list[2], mode_context[, stable_count]).
 
-    Temporal (prev-frame) MVs are not used (our headers guarantee the
-    decoder's use_prev_frame_mvs == 0: error-resilient or context resets).
+    stable_count = candidates found by the same-ref spatial scans, i.e.
+    BEFORE the point where a conformant decoder would insert temporal
+    (prev-frame) MVs.  For non-error-resilient streams the encoder must
+    only rely on list entries below stable_count (the reference's
+    restriction scheme, vp9_mvref_common.c:96: use_prev_frame_mvs
+    early-outs) — entries past it can differ in decoders that track
+    temporal MVs, which this implementation does not.
     """
     search = MV_REF_BLOCKS[BlockSize(bsize)]
     mv_list = []
@@ -128,6 +134,7 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                 if add(cand.mv[1]):
                     done = True
                     break
+    stable_count = len(mv_list)  # decoder inserts temporal MVs after here
     if not done and different_ref_found:
         # different-ref pass (sign-bias flip is a no-op: all biases equal)
         for pos in search:
@@ -155,6 +162,8 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                tb + MV_BORDER)
         for mv in mv_list
     ]
+    if return_stable:
+        return mv_list, mode_context, stable_count
     return mv_list, mode_context
 
 

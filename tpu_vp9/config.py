@@ -94,7 +94,11 @@ class EncoderConfig:
     tpu_mesh_shape: tuple = ()  # e.g. (4, 2); empty = all local devices flat
     tpu_gop_parallel: int = 1  # GOPs encoded concurrently across hosts
     tpu_frame_parallel: int = 1  # frames batched per device step
-    error_resilient: bool = False  # reset probs each frame (also: bring-up mode)
+    # error_resilient=True: per-frame prob reset, no temporal-MV coupling.
+    # False (opt-in) enables frame-context persistence but restricts MV
+    # candidate modes (we don't model temporal MVs yet): measured net loss
+    # (~+6% rate) until temporal-MV support lands, so True is the default.
+    error_resilient: bool = True
 
     def validate(self) -> None:
         """Mirror of reference verify_settings (EbEncHandle.c:2203)."""

@@ -591,21 +591,35 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
         st.pctx.update(mi_row, mi_col, sub, bsize)
 
 
-def decode_frame(payload: bytes, fc=None, dpb=None):
+def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None):
     """Decode one frame payload. Returns (y, u, v, FrameHeader) with crop
     applied, or (None, None, None, header) for show_existing_frame.
 
     dpb: list of 8 slots, each (refs_padded [y,u,v], crop_w, crop_h) or
-    None; required for inter frames."""
+    None; required for inter frames.
+    fc_state: persistent list of 4 frame contexts (non-error-resilient
+    streams); managed per spec reset/refresh rules."""
     h, hdr_size, first_part = parse_uncompressed_header(payload)
     if h.show_existing_frame:
         return None, None, None, h
-    if fc is None:
+    if fc_state is not None:
+        # setup_past_independence / context selection
+        if (h.is_keyframe or h.intra_only or h.error_resilient
+                or h.reset_frame_context == 3):
+            for i in range(4):
+                fc_state[i] = T.default_frame_context()
+        elif h.reset_frame_context == 2:
+            fc_state[h.frame_context_idx] = T.default_frame_context()
+        fc = fc_state[h.frame_context_idx].copy()
+    elif fc is None:
         fc = T.default_frame_context()
     else:
         fc = fc.copy()
     compressed = payload[hdr_size : hdr_size + first_part]
     parse_compressed_header(h, compressed, fc)
+    if fc_state is not None and h.refresh_frame_context:
+        # frame_parallel_decoding_mode=1: save right after header parse
+        fc_state[h.frame_context_idx] = fc.copy()
     tile_data = payload[hdr_size + first_part :]
     if h.log2_tile_rows:
         raise NotImplementedError("tile rows not supported")
@@ -691,8 +705,9 @@ def decode_ivf(fh):
     from tpu_vp9.ops.inter import extend_borders
 
     dpb = [None] * 8
+    fc_state = [T.default_frame_context() for _ in range(4)]
     for pkt in read_ivf(fh):
-        y, u, v, h = decode_frame(pkt.payload, dpb=dpb)
+        y, u, v, h = decode_frame(pkt.payload, dpb=dpb, fc_state=fc_state)
         if h.show_existing_frame:
             slot = dpb[h.show_existing_frame_index]
             yield slot[3][0], slot[3][1], slot[3][2], h
