@@ -56,6 +56,7 @@ class Vp9Encoder:
         self._scd = None
         self._fc_state = None  # 4 persistent frame contexts (non-ER)
         self._last_was_inter = False
+        self._prev_snapshot = None  # (ref0, mv) grids of the last frame
         self._frame_idx = 0
         self._packets: list = []
         self._last_recon = None
@@ -152,7 +153,9 @@ class Vp9Encoder:
                 adaptive_partition=sig.adaptive_partition,
                 golden_refs=self._golden_refs, tx_select=sig.tx_select,
                 use_tpu_me=sig.use_tpu_me, fc_base=fc_base,
-                restrict_mv_modes=restrict)
+                restrict_mv_modes=restrict,
+                prev_mvs=(self._prev_snapshot
+                          if restrict else None))
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select
@@ -172,6 +175,7 @@ class Vp9Encoder:
         if not er and getattr(st, "fc_final", None) is not None:
             self._fc_state[0] = st.fc_final
         self._last_was_inter = not is_key
+        self._prev_snapshot = st.mig.snapshot_mvs()
         self._refs = _make_refs(st, w, h)
         if is_key or (hdr.refresh_frame_mask & 0b10):
             self._golden_refs = self._refs

@@ -238,12 +238,16 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
             st.mi_rows, st.mi_cols)
         return int(np.abs(pred.astype(np.int32) - src.astype(np.int32)).sum())
 
-    restrict = getattr(st, "_restrict_mv", False)
+    prev_mvs = getattr(st, "_prev_mvs", None)
+    # with temporal MVs modeled, the candidate list is fully known and no
+    # restriction is needed
+    restrict = getattr(st, "_restrict_mv", False) and prev_mvs is None
 
     def eval_ref(ref_id, ref_planes, extra_rate, me_range):
         mv_list, mode_context, stable = MV.find_mv_refs(
             st.mig, mi_row, mi_col, bsize, ref_id,
-            st.mig.tile_mi_start, st.mig.tile_mi_end, return_stable=True)
+            st.mig.tile_mi_start, st.mig.tile_mi_end, return_stable=True,
+            prev_mvs=prev_mvs)
         nearest, near = MV.find_best_ref_mvs(
             mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
         tpu_mv = None
@@ -622,7 +626,8 @@ def encode_pframe(frame, refs, qindex: int,
                   prob_update: bool = True, log2_tile_cols: int = 0,
                   adaptive_partition: bool = False, golden_refs=None,
                   tx_select: bool = False, use_tpu_me: bool = False,
-                  fc_base=None, restrict_mv_modes: bool = False):
+                  fc_base=None, restrict_mv_modes: bool = False,
+                  prev_mvs=None):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -633,6 +638,7 @@ def encode_pframe(frame, refs, qindex: int,
     st = make_frame_state(frame, mi_rows, mi_cols)
     st._golden_refs = golden_refs
     st._restrict_mv = restrict_mv_modes
+    st._prev_mvs = prev_mvs
     # Device ME pays off when the per-frame block count is large enough to
     # amortize the host<->device round-trip (and its one-time compile).
     if use_tpu_me and w * h >= 1280 * 720:

@@ -74,7 +74,7 @@ def _clamp(mv, lo_col, hi_col, lo_row, hi_row):
 def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                  bsize: BlockSize, ref_frame: int,
                  tile_mi_col_start: int = 0, tile_mi_col_end: int = 1 << 30,
-                 return_stable: bool = False):
+                 return_stable: bool = False, prev_mvs=None):
     """Returns (mv_ref_list[2], mode_context[, stable_count]).
 
     stable_count = candidates found by the same-ref spatial scans, i.e.
@@ -135,6 +135,14 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                     done = True
                     break
     stable_count = len(mv_list)  # decoder inserts temporal MVs after here
+    # temporal pass 1: same-ref MV of the co-located prev-frame mi
+    # (use_prev_frame_mvs; prev_mvs = (ref0_grid, mv_grid) or None)
+    if not done and prev_mvs is not None:
+        pref, pmv = prev_mvs
+        if pref[mi_row, mi_col] == ref_frame:
+            if add((int(pmv[mi_row, mi_col, 0]),
+                    int(pmv[mi_row, mi_col, 1]))):
+                done = True
     if not done and different_ref_found:
         # different-ref pass (sign-bias flip is a no-op: all biases equal)
         for pos in search:
@@ -151,6 +159,14 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                     if add(cand.mv[1]):
                         done = True
                         break
+
+    # temporal pass 2: different-ref MV of the co-located prev-frame mi
+    # (sign-bias flip is a no-op: all biases equal in our streams)
+    if not done and prev_mvs is not None:
+        pref, pmv = prev_mvs
+        pr = int(pref[mi_row, mi_col])
+        if pr != ref_frame and pr > 0:
+            add((int(pmv[mi_row, mi_col, 0]), int(pmv[mi_row, mi_col, 1])))
 
     while len(mv_list) < MAX_MV_REF_CANDIDATES:
         mv_list.append((0, 0))

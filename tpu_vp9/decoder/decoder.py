@@ -319,6 +319,7 @@ class DecState:
     pctx: MI.PartitionContext
     planes_ctx: list
     refs: list = None  # border-extended [y, u, v] of the LAST reference
+    prev_mvs: object = None  # (ref0, mv) grids of the previous frame
     counts: dict = field(default_factory=dict)
 
 
@@ -508,7 +509,7 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
         raise ValueError(f"reference {ref_frame} unavailable")
     mv_list, mode_context = MV.find_mv_refs(
         st.mig, mi_row, mi_col, bsize, ref_frame,
-        st.mig.tile_mi_start, st.mig.tile_mi_end)
+        st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=st.prev_mvs)
     inter_mode = T.read_token(bd, "inter_mode_tree",
                               fc.inter_mode_probs[mode_context])
     nearest, near = MV.find_best_ref_mvs(
@@ -591,7 +592,8 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
         st.pctx.update(mi_row, mi_col, sub, bsize)
 
 
-def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None):
+def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None,
+                 prev_mvs=None):
     """Decode one frame payload. Returns (y, u, v, FrameHeader) with crop
     applied, or (None, None, None, header) for show_existing_frame.
 
@@ -653,6 +655,7 @@ def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None):
                     tok.PlaneContext(mi_cols, mi_rows, 1),
                     tok.PlaneContext(mi_cols, mi_rows, 1)],
         refs=refs,
+        prev_mvs=prev_mvs,
     )
     full_probs = {
         (ts, uv, ref): tok.full_probs_for(fc, ts, uv, is_inter=ref)
@@ -695,6 +698,7 @@ def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None):
     y = planes[0][: h.height, : h.width]
     u = planes[1][: (h.height + 1) >> 1, : (h.width + 1) >> 1]
     v = planes[2][: (h.height + 1) >> 1, : (h.width + 1) >> 1]
+    h.mv_snapshot = st.mig.snapshot_mvs()
     return y, u, v, h
 
 
@@ -706,8 +710,21 @@ def decode_ivf(fh):
 
     dpb = [None] * 8
     fc_state = [T.default_frame_context() for _ in range(4)]
+    last = None  # (header, mv_snapshot) of the previous decoded frame
     for pkt in read_ivf(fh):
-        y, u, v, h = decode_frame(pkt.payload, dpb=dpb, fc_state=fc_state)
+        # use_prev_frame_mvs (vp9 decoder rule)
+        prev_mvs = None
+        hdr0, _, _ = parse_uncompressed_header(pkt.payload)
+        if (last is not None and not hdr0.show_existing_frame
+                and not hdr0.error_resilient and not hdr0.is_keyframe
+                and not hdr0.intra_only):
+            lh, lsnap = last
+            if (lh.width == hdr0.width and lh.height == hdr0.height
+                    and not lh.is_keyframe and not lh.intra_only
+                    and lh.show_frame):
+                prev_mvs = lsnap
+        y, u, v, h = decode_frame(pkt.payload, dpb=dpb, fc_state=fc_state,
+                                  prev_mvs=prev_mvs)
         if h.show_existing_frame:
             slot = dpb[h.show_existing_frame_index]
             yield slot[3][0], slot[3][1], slot[3][2], h
@@ -725,4 +742,5 @@ def decode_ivf(fh):
         for slot in range(8):
             if h.refresh_frame_mask & (1 << slot):
                 dpb[slot] = entry
+        last = (h, getattr(h, "mv_snapshot", None))
         yield y, u, v, h
