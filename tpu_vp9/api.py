@@ -55,6 +55,9 @@ class Vp9Encoder:
         self.golden_interval = 8
         self._scd = None
         self._fc_state = None  # 4 persistent frame contexts (non-ER)
+        self._last_key_idx = 0
+        self._base_refs = None
+        self._base_snapshot = None
         self._last_was_inter = False
         self._prev_snapshot = None  # (ref0, mv) grids of the last frame
         self._frame_idx = 0
@@ -119,14 +122,30 @@ class Vp9Encoder:
             cut = self._scd.is_scene_change(frame.y)
             if cut and not is_key and cfg.intra_period != -1:
                 is_key = True
+        h, w = frame.y.shape
+        er = cfg.error_resilient
+        # 2-layer low-delay hierarchy: odd frames are non-reference and
+        # quantized harder (EbPredictionStructure 2-level analogue); base
+        # layer lives in DPB slot 0, GOLDEN anchor in slot 1.
+        hierarchical = (cfg.hierarchical_levels >= 1
+                        and cfg.pred_structure != 2)
+        is_nonref = (hierarchical and not is_key
+                     and (idx - self._last_key_idx) % 2 == 1)
+        if is_key:
+            self._last_key_idx = idx
         if idx in self._qp_overrides:
             from tpu_vp9.pipeline.presets import qp_to_qindex
 
             qindex = qp_to_qindex(self._qp_overrides[idx])
         else:
             qindex = rc.frame_qindex(is_key)
-        h, w = frame.y.shape
-        er = cfg.error_resilient
+            # hierarchical qp-scaling (EbRateControlProcess.c:44 analogue):
+            # referenced base frames get finer quantization, disposable
+            # enhancement frames coarser
+            if is_nonref:
+                qindex = min(qindex + 20, 255)
+            elif hierarchical and not is_key:
+                qindex = max(qindex - 12, 0)
         from tpu_vp9.bitstream import tables as _T
 
         if self._fc_state is None:
@@ -145,7 +164,8 @@ class Vp9Encoder:
                               frame_parallel_decoding_mode=True,
                               frame_context_idx=0)
         else:
-            refresh_golden = self._since_golden >= self.golden_interval
+            refresh_golden = (self._since_golden >= self.golden_interval
+                              and not is_nonref)
             restrict = (not er) and self._last_was_inter
             tile, st = encode_pframe(
                 frame, self._refs, qindex, sig.block_size,
@@ -160,8 +180,9 @@ class Vp9Encoder:
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select
                               else TxMode.ALLOW_32X32,
-                              refresh_frame_mask=0b11 if refresh_golden
-                              else 0b01,
+                              refresh_frame_mask=(0 if is_nonref else
+                                                  (0b11 if refresh_golden
+                                                   else 0b01)),
                               ref_dpb_index=(0, 1, 1),
                               reset_frame_context=0,
                               refresh_frame_context=not er,
@@ -176,7 +197,12 @@ class Vp9Encoder:
             self._fc_state[0] = st.fc_final
         self._last_was_inter = not is_key
         self._prev_snapshot = st.mig.snapshot_mvs()
-        self._refs = _make_refs(st, w, h)
+        if is_nonref:
+            # non-reference frame: DPB slot 0 keeps the previous base
+            self._refs = self._base_refs
+        else:
+            self._refs = _make_refs(st, w, h)
+            self._base_refs = self._refs
         if is_key or (hdr.refresh_frame_mask & 0b10):
             self._golden_refs = self._refs
             self._since_golden = 0

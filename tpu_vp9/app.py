@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-enc-mode", dest="enc_mode", type=int, default=9)
     p.add_argument("-tune", dest="tune", type=int, default=1)
     p.add_argument("-intra-period", dest="intra_period", type=int, default=-2)
-    p.add_argument("-pred-struct", dest="pred_struct", type=int, default=0)
+    p.add_argument("-pred-struct", dest="pred_struct", type=int, default=2)
     p.add_argument("-rc", dest="rc", type=int, default=0)
     p.add_argument("-tbr", dest="tbr", type=int, default=7_000_000)
     p.add_argument("-max-qp", dest="max_qp", type=int, default=63)
