@@ -79,15 +79,16 @@ class Vp9Encoder:
         from tpu_vp9.pipeline.picture_decision import SceneChangeDetector
 
         self._scd = SceneChangeDetector()
-        if self._sig.use_tpu_me or self._sig.use_tpu_hints:
+        if self._sig.use_tpu_me:
             from dataclasses import replace
 
             from tpu_vp9.utils.device import tpu_alive
 
             if not tpu_alive():
-                # wedged/absent accelerator: fall back to host paths
-                self._sig = replace(self._sig, use_tpu_me=False,
-                                    use_tpu_hints=False)
+                # wedged/absent accelerator: host ME fallback.  use_tpu_hints
+                # stays on — open-loop mode decision has a fast numpy
+                # fallback (openloop_mode_hints_np) feeding the wavefront.
+                self._sig = replace(self._sig, use_tpu_me=False)
         self._rc = RateControlState.create(self._cfg)
         self._initialized = True
 
@@ -156,7 +157,8 @@ class Vp9Encoder:
         fc_base = None if er else self._fc_state[0]
         if is_key:
             tile, st = encode_keyframe(frame, qindex, sig.block_size,
-                                       qbias=sig.qbias, fc_base=fc_base)
+                                       qbias=sig.qbias, fc_base=fc_base,
+                                       open_loop_md=sig.use_tpu_hints)
             hdr = FrameHeader(width=w, height=h, is_keyframe=True,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.ALLOW_32X32,

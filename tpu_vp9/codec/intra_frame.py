@@ -398,15 +398,166 @@ def pack_tiles(tiles) -> bytes:
     return bytes(out)
 
 
+def openloop_mode_hints_np(plane, n: int, qindex: int):
+    """Numpy open-loop mode decision for all nxn blocks (the TPU
+    decide_modes_openloop fallback).
+
+    Mode selection is non-normative, so predictions run through the
+    linearized all_modes_matrix (one float32 matmul) rather than the
+    exact integer gather path — ~10x faster, identical choices except
+    at rounding ties.
+    """
+    from tpu_vp9.pipeline import tpu_intra as TI
+
+    h, w = plane.shape
+    hh, ww = (h // n) * n, (w // n) * n
+    p = plane[:hh, :ww]
+    above_ext, al, left, _ha, _hl = TI.openloop_refs(p, n, np)
+    ref = intra_ops.build_ref_vector(above_ext, al, left, np)
+    shp = ref.shape[:-1]
+    R = ref.reshape(-1, ref.shape[-1]).astype(np.float32)
+    M = intra_ops.all_modes_matrix(n)  # (10, n*n, L)
+    # (B, 10, n*n) approximate predictions
+    preds = np.einsum("bl,mpl->bmp", R, M, optimize=True)
+    src = TI.extract_blocks(p, n).reshape(-1, n * n).astype(np.float32)
+    sse = ((preds - src[:, None]) ** 2).sum(axis=-1).reshape(shp + (10,))
+    bias = np.array([0, 1, 1, 3, 3, 3, 3, 3, 3, 1], np.float32)
+    lam = (qindex * qindex) // 64 + 1
+    return np.argmin(sse + bias[None, None] * lam, axis=-1)
+
+
+def encode_keyframe_wavefront(st: FrameState, events, qindex: int,
+                              block_size: BlockSize, y_hints,
+                              qbias: float):
+    """Pass A via anti-diagonal batching: blocks on one diagonal have all
+    their above/left reference pixels reconstructed, so each diagonal is
+    one batched predict+transform+recon step (the EncDec wavefront of
+    SURVEY.md §2.7 without threads).
+
+    Covers the aligned interior grid of `block_size` leaves; fringe
+    leaves (forced splits at the bottom/right frame edge) are left to
+    the sequential fallback — they only depend on above/left recon,
+    which the wavefront completes first, and interior blocks never read
+    fringe recon (cross-block above-right is never used, matching
+    encode_tx_block_intra's have_right rule).
+
+    Returns the set of handled (mi_row, mi_col) leaves, or None to
+    request a full sequential pass.
+    """
+    if y_hints is None or y_hints.ndim != 2 or y_hints.size == 0:
+        return None
+    n = T.BLOCK_WH[block_size][0]
+    mi_n = n // 8
+    aligned, fringe = [], []
+    for e in events:
+        if e[0] != "leaf":
+            continue
+        if (e[3] == block_size and e[1] % mi_n == 0 and e[2] % mi_n == 0):
+            aligned.append((e[1] // mi_n, e[2] // mi_n))
+        else:
+            fringe.append((e[1], e[2]))
+    if not aligned:
+        return None
+    rows = max(r for r, _ in aligned) + 1
+    cols = max(c for _, c in aligned) + 1
+    if len(aligned) != rows * cols or len(set(aligned)) != len(aligned):
+        return None  # not a dense grid (shouldn't happen with fixed walk)
+    # fringe leaves must sit strictly below/right of the aligned region
+    if any(mr < rows * mi_n and mc < cols * mi_n for mr, mc in fringe):
+        return None
+    hr, hc = y_hints.shape
+
+    dc_q, ac_q = T.dc_quant(qindex), T.ac_quant(qindex)
+    y_tx = T.MAX_TX_SIZE[block_size]
+    uv_tx = MI.uv_tx_size(block_size, y_tx)
+    uv_n = TX_PX[uv_tx]
+
+    for r in range(rows):
+        for c in range(cols):
+            m = IntraMode(int(y_hints[min(r, hr - 1), min(c, hc - 1)]))
+            mi = MI.ModeInfo(bsize=block_size, y_mode=m, uv_mode=m,
+                             tx_size=y_tx, skip=False, is_inter=False)
+            st.mig.set_block(r * mi_n, c * mi_n, block_size, mi)
+
+    for d in range(rows + cols - 1):
+        blocks = [(r, d - r) for r in range(max(0, d - cols + 1),
+                                            min(rows, d + 1))]
+        for pidx, txs, bn in ((0, y_tx, n), (1, uv_tx, uv_n),
+                              (2, uv_tx, uv_n)):
+            pl = st.planes[pidx]
+            b = len(blocks)
+            above = np.empty((b, 2 * bn), np.int32)
+            left = np.empty((b, bn), np.int32)
+            al = np.empty(b, np.int32)
+            ha = np.empty(b, bool)
+            hl = np.empty(b, bool)
+            srcs = np.empty((b, bn, bn), np.int32)
+            modes = np.empty(b, np.int32)
+            for i, (r, c) in enumerate(blocks):
+                px, py = c * bn, r * bn
+                a, aal, l = intra_ops.build_ref_samples(
+                    pl.recon, px, py, bn, pl.width, pl.height,
+                    py > 0, px > 0, False)
+                above[i], al[i], left[i] = a, aal, l
+                ha[i], hl[i] = py > 0, px > 0
+                srcs[i] = pl.source[py : py + bn, px : px + bn]
+                modes[i] = int(y_hints[min(r, hr - 1), min(c, hc - 1)])
+            preds_all = intra_ops.predict_all_modes(
+                above, al, left, ha, hl, bn, np)
+            preds = np.take_along_axis(
+                preds_all, modes[:, None, None, None], axis=1)[:, 0]
+            resid = srcs - preds
+            tt_all = [MI.y_tx_type(IntraMode(int(m)), False, False, txs)
+                      if pidx == 0 else TxType.DCT_DCT for m in modes]
+            # group by tx_type for the batched transforms
+            for tt in set(tt_all):
+                idxs = [i for i, t in enumerate(tt_all) if t == tt]
+                sel = np.asarray(idxs)
+                coeffs = txfm.fwd_txfm2d(resid[sel], txs, tt)
+                levels = txfm.quantize_block(coeffs, dc_q, ac_q, txs,
+                                             bias=qbias)
+                deq = txfm.dequant_block(levels, dc_q, ac_q, txs)
+                recon = txfm.inv_txfm_add(deq.astype(np.int64), preds[sel],
+                                          txs, tt)
+                scan = T.scan_order(txs, tt)[0]
+                lv_s = levels.reshape(levels.shape[0], -1)[:, scan]
+                nz = lv_s != 0
+                eobs = np.where(nz.any(axis=1),
+                                bn * bn - np.argmax(nz[:, ::-1], axis=1), 0)
+                for k, i in enumerate(idxs):
+                    r, c = blocks[i]
+                    px, py = c * bn, r * bn
+                    pl.recon[py : py + bn, px : px + bn] = recon[k]
+                    if pidx == 0:
+                        key = (0, r * mi_n * 2, c * mi_n * 2)
+                    else:
+                        key = (pidx, r * mi_n, c * mi_n)
+                    st.levels[key] = levels[k]
+                    st.eobs[key] = int(eobs[k])
+    # skip flags
+    for r in range(rows):
+        for c in range(cols):
+            mi = st.mig.get(r * mi_n, c * mi_n)
+            zero = (st.eobs[(0, r * mi_n * 2, c * mi_n * 2)] == 0
+                    and st.eobs[(1, r * mi_n, c * mi_n)] == 0
+                    and st.eobs[(2, r * mi_n, c * mi_n)] == 0)
+            mi.skip = zero
+            if zero:
+                st.mig.f_skip[r * mi_n : r * mi_n + mi_n,
+                              c * mi_n : c * mi_n + mi_n] = True
+    return {(r * mi_n, c * mi_n) for r, c in aligned}
+
+
 def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
                     qbias: float = 0.38, y_mode_hints=None,
                     prob_update: bool = True, log2_tile_cols: int = 0,
-                    fc_base=None):
+                    fc_base=None, open_loop_md: bool = False):
     """Encode one intra frame; returns (tile_bytes, FrameState).
 
     y_mode_hints: optional (R, C) array of IntraMode per target-size block
     (from the TPU open-loop analysis); edge/odd-size leaves fall back to
-    the local search.
+    the local search.  open_loop_md computes hints on the host when not
+    supplied, enabling the wavefront-batched reconstruction pass.
     """
     h, w = frame.y.shape
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
@@ -414,19 +565,30 @@ def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
     events = walk_partition_fixed(mi_rows, mi_cols, block_size,
                                   log2_tile_cols)
     n_px = T.BLOCK_WH[block_size][0]
+    if (y_mode_hints is None and open_loop_md
+            and w >= n_px and h >= n_px):
+        y_mode_hints = openloop_mode_hints_np(frame.y, n_px, qindex)
+    handled = None
+    if y_mode_hints is not None and log2_tile_cols == 0:
+        handled = encode_keyframe_wavefront(
+            st, events, qindex, block_size, np.asarray(y_mode_hints), qbias)
+    if handled is None:
+        handled = set()
     for ev, mi_row, mi_col, bsize, _ in events:
         if ev == "tile":
             st.tile_mi_start = mi_row  # ('tile', start, end, ...)
             st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
             continue
-        if ev == "leaf":
+        if ev == "leaf" and (mi_row, mi_col) not in handled:
             hint = None
             if y_mode_hints is not None and bsize == block_size:
                 br, bc = (mi_row * 8) // n_px, (mi_col * 8) // n_px
                 hints = np.asarray(y_mode_hints)
-                if br < hints.shape[0] and bc < hints.shape[1]:
-                    m = IntraMode(int(hints[br, bc]))
-                    hint = (m, m)
+                # clamp at the hint-grid edge (overhang rows/cols reuse
+                # the nearest analyzed block's mode)
+                m = IntraMode(int(hints[min(br, hints.shape[0] - 1),
+                                        min(bc, hints.shape[1] - 1)]))
+                hint = (m, m)
             encode_leaf(st, mi_row, mi_col, bsize, qindex, qbias, hint)
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates

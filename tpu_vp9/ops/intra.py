@@ -260,6 +260,36 @@ def predict_all_modes(above_ext, above_left, left, have_above, have_left,
     return xp.concatenate(parts, axis=-3)
 
 
+@functools.cache
+def all_modes_matrix(bs: int):
+    """(10, bs*bs, 3*bs+1) float32 M with pred[m] ~= M[m] @ ref.
+
+    Every VP9 intra mode is linear in the reference vector up to
+    rounding/clipping, so open-loop mode *selection* (non-normative)
+    can run as one matmul instead of the exact gather path.  Ref
+    layout matches build_ref_vector: [left(bs), al(1), above(2bs)].
+    """
+    L = 3 * bs + 1
+    M = np.zeros((10, bs * bs, L), np.float32)
+    # DC (both-available case): mean of left + above
+    M[0, :, :bs] = 1.0 / (2 * bs)
+    M[0, :, bs + 1 : 2 * bs + 1] = 1.0 / (2 * bs)
+    # directional modes: expand idx/weight maps
+    idx, w = stacked_dir_maps(bs)  # (8, 3, bs, bs)
+    flat_pix = np.arange(bs * bs)
+    for d_i, mode in enumerate(DIR_MODES):
+        m = int(mode)
+        for k in range(3):
+            np.add.at(M[m], (flat_pix, idx[d_i, k].reshape(-1)),
+                      w[d_i, k].reshape(-1).astype(np.float32) / 4.0)
+    # TM: left[y] + above[x] - al
+    ys, xs = np.divmod(flat_pix, bs)
+    M[9, flat_pix, ys] = 1.0
+    M[9, flat_pix, bs + 1 + xs] += 1.0
+    M[9, flat_pix, bs] = -1.0
+    return M
+
+
 def build_ref_samples(plane, x0: int, y0: int, bs: int,
                       frame_w: int, frame_h: int,
                       have_above: bool, have_left: bool, have_right: bool):
