@@ -250,6 +250,34 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
             prev_mvs=prev_mvs)
         nearest, near = MV.find_best_ref_mvs(
             mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
+        sad_cache = {}
+
+        def c_sad(mvv):
+            k = (int(mvv[0]), int(mvv[1]))
+            if k not in sad_cache:
+                sad_cache[k] = mc_sad(ref_planes, k)
+            return sad_cache[k]
+
+        # predictor-only candidate list (respecting the non-ER restriction)
+        pred_cands = [(0, nearest, 2), (1, near, 3), (2, (0, 0), 1)]
+        newmv_ok = True
+        if restrict:
+            if stable == 0:
+                pred_cands = [(2, (0, 0), 1)]
+                newmv_ok = False
+            elif stable == 1:
+                pred_cands = [(0, nearest, 2), (2, (0, 0), 1)]
+        best = None
+        for offset, mvv, rate in pred_cands:
+            cost = c_sad(mvv) + (rate + extra_rate) * lam
+            if best is None or cost < best[0]:
+                best = (cost, offset, mvv)
+        # lossless NEWMV skip: if a predictor candidate already costs less
+        # than NEWMV's minimum possible rate cost, the motion search cannot
+        # change the decision (SAD >= 0), so skip it entirely
+        if not newmv_ok or best[0] <= (10 + extra_rate) * lam:
+            return (best[0], ref_id, best[1], best[2], nearest,
+                    mode_context, ref_planes)
         tpu_mv = None
         if ref_id == int(RefFrame.LAST):
             tmv = getattr(st, "_tpu_mv", None)
@@ -281,27 +309,17 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                 src, ref_planes[0], px, py, BORDER, (dy, dx), filters)
         else:
             new_mv = (dy * 8, dx * 8)
-        cands = [(0, nearest, 2), (1, near, 3), (2, (0, 0), 1),
-                 (3, new_mv, 10)]
-        if restrict:
-            # non-ER: conformant decoders may insert temporal MV
-            # candidates we do not model; only use entries proven stable
-            # (the reference's use_prev_frame_mvs restriction)
-            if stable == 0:
-                cands = [(2, (0, 0), 1)]
-            elif stable == 1:
-                cands = [(0, nearest, 2), (2, (0, 0), 1), (3, new_mv, 10)]
-        best = None
-        for offset, mvv, rate in cands:
-            cost = mc_sad(ref_planes, mvv) + (rate + extra_rate) * lam
-            if best is None or cost < best[0]:
-                best = (cost, offset, mvv)
+        cost = c_sad(new_mv) + (10 + extra_rate) * lam
+        if cost < best[0]:
+            best = (cost, 3, new_mv)
         return (best[0], ref_id, best[1], best[2], nearest, mode_context,
                 ref_planes)
 
     results = [eval_ref(int(RefFrame.LAST), refs, 0, search_range)]
     golden_refs = getattr(st, "_golden_refs", None)
-    if golden_refs is not None:
+    # lossless GOLDEN skip: the cheapest possible GOLDEN mode costs
+    # (1 + extra_rate) * lam even at zero SAD
+    if golden_refs is not None and results[0][0] > 3 * lam:
         results.append(eval_ref(int(RefFrame.GOLDEN), golden_refs, 2,
                                 max(search_range // 2, 8)))
     best_all = min(results, key=lambda x: x[0])
