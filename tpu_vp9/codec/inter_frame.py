@@ -26,6 +26,7 @@ from tpu_vp9.codec.intra_frame import (
     TX_PX, FrameState, _visible, encode_tx_block_intra, make_frame_state,
     plane_block_geometry, tx_blocks_of, walk_partition_fixed,
 )
+from tpu_vp9.ops import hme as hme_ops
 from tpu_vp9.ops import inter as inter_ops
 from tpu_vp9.ops import me as me_ops
 from tpu_vp9.ops import txfm
@@ -297,8 +298,21 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         else:
             center = (int(np.clip(nearest[0] // 8, -64, 64)),
                       int(np.clip(nearest[1] // 8, -64, 64)))
-            dy, dx, fsad = me_ops.full_pel_search(
-                src, ref_planes[0], px, py, BORDER, me_range, center)
+            if me_range >= 32:
+                # large search areas go hierarchical (the reference's HME;
+                # EbMotionEstimationProcess.c level0-2 over decimated refs)
+                cache = getattr(st, "_hme_cache", None)
+                if cache is None:
+                    cache = st._hme_cache = {}
+                key = id(ref_planes[0])
+                pyr = cache.get(key)
+                if pyr is None:
+                    pyr = cache[key] = hme_ops.build_pyramid(ref_planes[0])
+                dy, dx, fsad = hme_ops.hme_search(
+                    src, pyr, px, py, BORDER, me_range, center)
+            else:
+                dy, dx, fsad = me_ops.full_pel_search(
+                    src, ref_planes[0], px, py, BORDER, me_range, center)
             if ref_id == int(RefFrame.LAST):
                 probe = getattr(st, "_probe_cache", {}).get(
                     (mi_row, mi_col, int(bsize)))

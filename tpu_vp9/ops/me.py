@@ -23,6 +23,10 @@ def full_pel_search(src_block, ref_padded, px: int, py: int, border: int,
     n = src_block.shape[0]
     r = search_range
     cy, cx = center
+    # clamp the center so the search window stays inside the padded plane
+    hp, wp = ref_padded.shape
+    cy = int(np.clip(cy, r - border - py, hp - border - py - n - r))
+    cx = int(np.clip(cx, r - border - px, wp - border - px - n - r))
     y0 = border + py + cy - r
     x0 = border + px + cx - r
     region = np.ascontiguousarray(

@@ -55,6 +55,14 @@ def derive_signals(cfg: EncoderConfig) -> PresetSignals:
     sig = _LADDER[int(cfg.enc_mode)]
     import dataclasses
 
+    px = cfg.source_width * cfg.source_height
+    if cfg.enable_hme and px >= 1280 * 720:
+        # HD+: hierarchical ME makes wide search areas cheap (the
+        # reference scales its HME total search area with resolution,
+        # EbModeDecisionConfiguration hme level0 width tables)
+        sig = dataclasses.replace(
+            sig, search_range=max(sig.search_range,
+                                  64 if px >= 3840 * 2160 else 48))
     if cfg.tune == Tune.SQ:
         # visual tune: slightly wider deadzone on high-energy coeffs
         sig = dataclasses.replace(sig, qbias=max(sig.qbias - 0.02, 0.3))
