@@ -36,11 +36,12 @@ def encode(frames, pred=PredStructure.LOW_DELAY_P, qp=40):
 def test_two_layer_roundtrip_and_structure():
     frames = list(synthetic_frames(96, 80, 7, seed=0, motion=True))
     pkts, recons, dec = encode(frames)
-    # layer structure: odd frames after the key are non-reference with
-    # higher qindex
-    assert dec[1][3].refresh_frame_mask == 0  # non-ref
-    assert dec[2][3].refresh_frame_mask != 0  # base
-    assert pkts[1].qindex > pkts[2].qindex
+    # layer structure: even frames after the key are non-reference with
+    # higher qindex (the frame right after a key is base so dropped-frame
+    # decodes see the same last_frame_type sequence)
+    assert dec[2][3].refresh_frame_mask == 0  # non-ref
+    assert dec[1][3].refresh_frame_mask != 0  # base
+    assert pkts[2].qindex > pkts[1].qindex
     # bit-exact decode incl. the slot-0 skip over non-ref frames
     for i, ((y, u, v, h), (ry, ru, rv)) in enumerate(zip(dec, recons)):
         np.testing.assert_array_equal(y, ry, err_msg=f"frame {i}")
@@ -72,10 +73,17 @@ def test_two_layer_not_worse_quality():
     )
     buf = _io.BytesIO()
     _wh(buf, 96, 80, 30, 1)
-    kept = [p for i, p in enumerate(pkts_h) if i == 0 or i % 2 == 0]
-    for i, p in enumerate(kept):
-        _wf(buf, p.data, i)
-    _pc(buf, len(kept))
+    kept_idx = [i for i, p in enumerate(pkts_h)
+                if i == 0 or i % 2 == 1]  # key + base layer
+    for k, i in enumerate(kept_idx):
+        _wf(buf, pkts_h[i].data, k)
+    _pc(buf, len(kept_idx))
     buf.seek(0)
     dec_base = list(decode_ivf(buf))
-    assert len(dec_base) == len(kept)
+    assert len(dec_base) == len(kept_idx)
+    # dropping enhancement frames must not perturb base-layer decode:
+    # recon stays bit-exact vs the full-stream decode
+    full = {i: d for i, d in enumerate(dec_h)}
+    for k, i in enumerate(kept_idx):
+        np.testing.assert_array_equal(dec_base[k][0], full[i][0],
+                                      err_msg=f"base frame {i}")

@@ -64,6 +64,7 @@ class Vp9Encoder:
         self._packets: list = []
         self._last_recon = None
         self._eos = False
+        self._last_was_droppable = False
         self._qp_overrides: dict = {}
 
     # -- lifecycle ---------------------------------------------------------
@@ -130,8 +131,12 @@ class Vp9Encoder:
         # layer lives in DPB slot 0, GOLDEN anchor in slot 1.
         hierarchical = (cfg.hierarchical_levels >= 1
                         and cfg.pred_structure != 2)
+        # phase: the frame right after a key is a BASE frame, so a decoder
+        # that drops enhancement frames sees the same last_frame_type
+        # sequence as a full decode (backward adaptation's after-key
+        # factor depends on it)
         is_nonref = (hierarchical and not is_key
-                     and (idx - self._last_key_idx) % 2 == 1)
+                     and (idx - self._last_key_idx) % 2 == 0)
         if is_key:
             self._last_key_idx = idx
         if idx in self._qp_overrides:
@@ -155,6 +160,11 @@ class Vp9Encoder:
             # setup_past_independence: reset all contexts
             self._fc_state = [_T.default_frame_context() for _ in range(4)]
         fc_base = None if er else self._fc_state[0]
+        # backward adaptation (fpdm=0) is the default for non-ER streams
+        # (libvpx coding model); droppable frames must not refresh the
+        # context so decoders can skip them safely
+        fpdm = er or cfg.frame_parallel_decoding
+        after_key = (not is_key) and not self._last_was_inter
         if is_key:
             tile, st = encode_keyframe(frame, qindex, sig.block_size,
                                        qbias=sig.qbias, fc_base=fc_base,
@@ -163,12 +173,17 @@ class Vp9Encoder:
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.ALLOW_32X32,
                               refresh_frame_context=not er,
-                              frame_parallel_decoding_mode=True,
+                              frame_parallel_decoding_mode=fpdm,
                               frame_context_idx=0)
         else:
             refresh_golden = (self._since_golden >= self.golden_interval
                               and not is_nonref)
             restrict = (not er) and self._last_was_inter
+            # a frame following a DROPPABLE frame must not rely on its MV
+            # snapshot (decoders may have skipped it); the restriction
+            # machinery keeps candidates invariant to any temporal-MV
+            # state instead
+            prev_usable = restrict and not self._last_was_droppable
             tile, st = encode_pframe(
                 frame, self._refs, qindex, sig.block_size,
                 sig.search_range, qbias=sig.qbias, do_subpel=sig.do_subpel,
@@ -177,7 +192,7 @@ class Vp9Encoder:
                 use_tpu_me=sig.use_tpu_me, fc_base=fc_base,
                 restrict_mv_modes=restrict,
                 prev_mvs=(self._prev_snapshot
-                          if restrict else None))
+                          if prev_usable else None))
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select
@@ -187,17 +202,28 @@ class Vp9Encoder:
                                                    else 0b01)),
                               ref_dpb_index=(0, 1, 1),
                               reset_frame_context=0,
-                              refresh_frame_context=not er,
-                              frame_parallel_decoding_mode=True,
+                              refresh_frame_context=not er and not is_nonref,
+                              frame_parallel_decoding_mode=fpdm,
                               frame_context_idx=0)
         from tpu_vp9.pipeline.encoder import _apply_loop_filter
 
         _apply_loop_filter(st, hdr, qindex, is_key, enabled=cfg.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         rc.update(len(payload) * 8, is_key)
-        if not er and getattr(st, "fc_final", None) is not None:
-            self._fc_state[0] = st.fc_final
+        if not er and hdr.refresh_frame_context:
+            if fpdm:
+                if getattr(st, "fc_final", None) is not None:
+                    self._fc_state[0] = st.fc_final
+            elif getattr(st, "counts", None) is not None:
+                from tpu_vp9.codec.adapt import adapt_frame_context
+
+                self._fc_state[0] = adapt_frame_context(
+                    fc_base if fc_base is not None
+                    else _T.default_frame_context(),
+                    st.counts, is_key=is_key, after_key=after_key,
+                    tx_select=hdr.tx_mode == TxMode.TX_MODE_SELECT)
         self._last_was_inter = not is_key
+        self._last_was_droppable = is_nonref
         self._prev_snapshot = st.mig.snapshot_mvs()
         if is_nonref:
             # non-reference frame: DPB slot 0 keeps the previous base

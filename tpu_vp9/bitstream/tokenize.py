@@ -123,8 +123,13 @@ def write_coeffs_any(enc, levels2d, tx_size, tx_type, probs_full,
 
 
 def read_coeffs(dec, tx_size: TxSize, tx_type: TxType, probs_full,
-                ctx0: int, dc_q: int, ac_q: int):
-    """Decode one transform block; returns (dequantized (N,N) int32, eob)."""
+                ctx0: int, dc_q: int, ac_q: int,
+                counts=None, eob_counts=None):
+    """Decode one transform block; returns (dequantized (N,N) int32, eob).
+
+    counts/eob_counts: optional accumulators mirroring write_coeffs —
+    required for backward adaptation (decoder-side symbol counting,
+    vp9 detokenize INCREMENT_COUNT / eob_branch semantics)."""
     scan, _, nbrs = T.scan_order(tx_size, tx_type)
     band = T.coefband(tx_size)
     energy = _energy()
@@ -142,10 +147,16 @@ def read_coeffs(dec, tx_size: TxSize, tx_type: TxType, probs_full,
             (1 + token_cache[nbrs[c, 0]] + token_cache[nbrs[c, 1]]) >> 1)
         p = probs_full[band[c], pt]
         if not skip_eob:
+            if eob_counts is not None:
+                eob_counts[band[c], pt] += 1
             more = dec.read_bit(int(p[0]))
             if not more:
+                if counts is not None:
+                    counts[band[c], pt, int(Token.EOB)] += 1
                 break
         if not dec.read_bit(int(p[1])):
+            if counts is not None:
+                counts[band[c], pt, int(Token.ZERO)] += 1
             token_cache[scan[c]] = 0
             skip_eob = True
             c += 1
@@ -171,6 +182,8 @@ def read_coeffs(dec, tx_size: TxSize, tx_type: TxType, probs_full,
                 for i in range(T.CAT_NUM_EXTRA[tok]):
                     extra = (extra << 1) | dec.read_bit(int(cat_p[i]))
                 mag = T.CAT_BASE[tok] + extra
+        if counts is not None:
+            counts[band[c], pt, int(tok)] += 1
         token_cache[scan[c]] = int(energy[int(tok)])
         sign = dec.read_bit(128)
         q = dc_q if scan[c] == 0 else ac_q

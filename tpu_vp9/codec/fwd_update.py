@@ -23,15 +23,18 @@ from tpu_vp9.bitstream.tables import TxSize
 
 def serialize_with_updates(st, events, qindex: int, serialize_fn,
                            fc_base=None):
-    """Returns (tile_bytes, header_updates, fc_final).
+    """Returns (tile_bytes, header_updates, fc_final, counts).
 
     fc_base: inherited frame context (non-error-resilient persistence);
-    defaults to the spec default context.
+    defaults to the spec default context.  counts holds every symbol
+    count of the frame (probability-independent, so pass 1's counts
+    equal the final stream's) for backward adaptation.
     """
     fc0 = fc_base.copy() if fc_base is not None else T.default_frame_context()
+    from tpu_vp9.codec.adapt import new_mode_counts
     from tpu_vp9.codec.intra_frame import new_counts_sink
 
-    sink = new_counts_sink()
+    sink = {**new_counts_sink(), **new_mode_counts()}
     serialize_fn(st, events, qindex, fc=fc0, counts_sink=sink)
     counts = {ts: sink[("coef", ts)] for ts in TxSize}
     eobc = {ts: sink[("eob", ts)] for ts in TxSize}
@@ -46,4 +49,4 @@ def serialize_with_updates(st, events, qindex: int, serialize_fn,
         fc1.coef_probs[ts] = new_coef[ts]
     fc1.skip_probs = new_skip
     tile = serialize_fn(st, events, qindex, fc=fc1)
-    return tile, updates, fc1
+    return tile, updates, fc1, sink

@@ -565,6 +565,10 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
             ctx = pctx.ctx(mi_row, mi_col, bsize)
             MI.write_partition(enc, fc.partition_probs[ctx], part,
                                has_rows, has_cols)
+            if counts_sink is not None:
+                # decoder counts every partition symbol incl. forced ones
+                # (vp9 decodeframe read_partition)
+                counts_sink["partition"][ctx, int(part)] += 1
             if part != Partition.SPLIT or bsize == BlockSize.BLOCK_8X8:
                 sub = T.SUBSIZE[(part, bsize)]
                 pctx.update(mi_row, mi_col, sub, bsize)
@@ -578,34 +582,58 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
         iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
         enc.put_bit(1 if mi.is_inter else 0,
                     int(fc.intra_inter_probs[iictx]))
+        if counts_sink is not None:
+            counts_sink["intra_inter"][iictx, 1 if mi.is_inter else 0] += 1
         if (tx_mode == T.TxMode.TX_MODE_SELECT
                 and bsize >= BlockSize.BLOCK_8X8
                 and (not mi.skip or not mi.is_inter)):
             MI.write_tx_size(enc, fc, st.mig, mi_row, mi_col, bsize,
                              mi.tx_size)
+            if counts_sink is not None:
+                txctx = MI.tx_size_ctx(st.mig, mi_row, mi_col, bsize)
+                max_tx = T.MAX_TX_SIZE[bsize]
+                key = {3: "tx_p32", 2: "tx_p16", 1: "tx_p8"}[int(max_tx)]
+                counts_sink[key][txctx, int(mi.tx_size)] += 1
         if not mi.is_inter:
             grp = T.SIZE_GROUP[bsize]
             T.write_token(enc, "intra_mode_tree", fc.if_y_probs[grp],
                           int(mi.y_mode))
             T.write_token(enc, "intra_mode_tree",
                           fc.if_uv_probs[int(mi.y_mode)], int(mi.uv_mode))
+            if counts_sink is not None:
+                counts_sink["y_mode"][grp, int(mi.y_mode)] += 1
+                counts_sink["uv_mode"][int(mi.y_mode), int(mi.uv_mode)] += 1
         else:
             # single reference selection
             rctx = single_ref_p1_ctx(st.mig, mi_row, mi_col)
             not_last = mi.ref_frame[0] != int(RefFrame.LAST)
             enc.put_bit(1 if not_last else 0,
                         int(fc.single_ref_probs[rctx, 0]))
+            if counts_sink is not None:
+                counts_sink["single_ref"][rctx, 0, 1 if not_last else 0] += 1
             if not_last:
                 rctx2 = single_ref_p2_ctx(st.mig, mi_row, mi_col)
-                enc.put_bit(
-                    1 if mi.ref_frame[0] == int(RefFrame.ALTREF) else 0,
-                    int(fc.single_ref_probs[rctx2, 1]))
+                is_alt = mi.ref_frame[0] == int(RefFrame.ALTREF)
+                enc.put_bit(1 if is_alt else 0,
+                            int(fc.single_ref_probs[rctx2, 1]))
+                if counts_sink is not None:
+                    counts_sink["single_ref"][rctx2, 1,
+                                              1 if is_alt else 0] += 1
             # inter mode
             T.write_token(enc, "inter_mode_tree",
                           fc.inter_mode_probs[mi.mode_context],
                           int(mi.inter_mode))
+            if counts_sink is not None:
+                counts_sink["inter_mode"][mi.mode_context,
+                                          int(mi.inter_mode)] += 1
             if mi.inter_mode == 3:  # NEWMV
                 MV.write_mv(enc, mi.mv[0], mi.best_ref_mv, fc.nmv, False)
+                if counts_sink is not None:
+                    from tpu_vp9.codec.adapt import inc_mv
+
+                    inc_mv(counts_sink,
+                           (mi.mv[0][0] - mi.best_ref_mv[0],
+                            mi.mv[0][1] - mi.best_ref_mv[1]))
         # tokens
         y_tx = mi.tx_size
         uv_tx = MI.uv_tx_size(bsize, y_tx)
@@ -725,7 +753,8 @@ def encode_pframe(frame, refs, qindex: int,
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates
 
-        tile, st.header_updates, st.fc_final = serialize_with_updates(
+        tile, st.header_updates, st.fc_final, st.counts = \
+            serialize_with_updates(
             st, events, qindex, ser, fc_base)
     else:
         tile = ser(st, events, qindex, fc=fc_base)

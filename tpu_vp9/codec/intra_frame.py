@@ -593,7 +593,8 @@ def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates
 
-        tile, st.header_updates, st.fc_final = serialize_with_updates(
+        tile, st.header_updates, st.fc_final, st.counts = \
+            serialize_with_updates(
             st, events, qindex, serialize_frame, fc_base)
     else:
         tile = serialize_frame(st, events, qindex, fc=fc_base)

@@ -98,6 +98,11 @@ class EncoderConfig:
     # (prev-frame) MV candidates, ~5% smaller streams; True disables both
     # (each frame independently decodable after its references).
     error_resilient: bool = False
+    # frame_parallel_decoding=False (default): backward probability
+    # adaptation after every frame (the libvpx coding model); True writes
+    # fpdm=1 headers so decoders can parse frames in parallel (forward
+    # updates only, like the reference encoder)
+    frame_parallel_decoding: bool = False
 
     def validate(self) -> None:
         """Mirror of reference verify_settings (EbEncHandle.c:2203)."""

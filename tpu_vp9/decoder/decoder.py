@@ -320,7 +320,7 @@ class DecState:
     planes_ctx: list
     refs: list = None  # border-extended [y, u, v] of the LAST reference
     prev_mvs: object = None  # (ref0, mv) grids of the previous frame
-    counts: dict = field(default_factory=dict)
+    counts: dict = None  # symbol counters for backward adaptation
 
 
 def _decode_tx_block_intra(st: DecState, bd: BoolDecoder, plane_idx: int,
@@ -347,7 +347,12 @@ def _decode_tx_block_intra(st: DecState, bd: BoolDecoder, plane_idx: int,
     gx4 = ((mi_col * 2) >> ss) + x4
     gy4 = ((mi_row * 2) >> ss) + y4
     ctx0 = pc.get_ctx(gx4, gy4, tx)
-    deq, eob = tok.read_coeffs(bd, tx, tx_type, probs_full, ctx0, dc_q, ac_q)
+    cnt = ecnt = None
+    if st.counts is not None:
+        cnt = st.counts[("coef", tx)][1 if plane_idx else 0, 0]
+        ecnt = st.counts[("eob", tx)][1 if plane_idx else 0, 0]
+    deq, eob = tok.read_coeffs(bd, tx, tx_type, probs_full, ctx0, dc_q, ac_q,
+                               cnt, ecnt)
     if eob == 0:
         out = pred.astype(np.uint8)
     else:
@@ -381,8 +386,12 @@ def _decode_tx_block_inter(st: DecState, bd: BoolDecoder, plane_idx: int,
     gx4 = ((mi_col * 2) >> ss) + x4
     gy4 = ((mi_row * 2) >> ss) + y4
     ctx0 = pc.get_ctx(gx4, gy4, tx)
+    cnt = ecnt = None
+    if st.counts is not None:
+        cnt = st.counts[("coef", tx)][1 if plane_idx else 0, 1]
+        ecnt = st.counts[("eob", tx)][1 if plane_idx else 0, 1]
     deq, eob = tok.read_coeffs(bd, tx, TxType.DCT_DCT, probs_full, ctx0,
-                               dc_q, ac_q)
+                               dc_q, ac_q, cnt, ecnt)
     if eob == 0:
         out = pred.astype(np.uint8)
     else:
@@ -401,6 +410,8 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
     fc = st.fc
     sctx = MI.skip_ctx(st.mig, mi_row, mi_col)
     skip = bd.read_bit(int(fc.skip_probs[sctx])) == 1
+    if st.counts is not None:
+        st.counts["skip"][sctx, 1 if skip else 0] += 1
     if bsize < BlockSize.BLOCK_8X8:
         raise NotImplementedError("sub-8x8 decode not yet supported")
     max_tx = T.MAX_TX_SIZE[bsize]
@@ -414,6 +425,8 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
 
         iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
         is_inter = bd.read_bit(int(fc.intra_inter_probs[iictx])) == 1
+        if st.counts is not None:
+            st.counts["intra_inter"][iictx, 1 if is_inter else 0] += 1
 
     # tx size (read_tx_size: coded under TX_MODE_SELECT when the block
     # has coefficients or is intra)
@@ -421,6 +434,11 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
             and bsize >= BlockSize.BLOCK_8X8
             and (not skip or not is_inter)):
         y_tx = MI.read_tx_size_coded(bd, fc, st.mig, mi_row, mi_col, bsize)
+        if st.counts is not None:
+            txctx = MI.tx_size_ctx(st.mig, mi_row, mi_col, bsize)
+            key = {3: "tx_p32", 2: "tx_p16",
+                   1: "tx_p8"}[int(T.MAX_TX_SIZE[bsize])]
+            st.counts[key][txctx, int(y_tx)] += 1
     else:
         y_tx = TxSize(min(int(max_tx), tx_allowed))
 
@@ -444,6 +462,9 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
             bd, "intra_mode_tree", fc.if_y_probs[grp]))
         uv_mode = IntraMode(T.read_token(
             bd, "intra_mode_tree", fc.if_uv_probs[int(y_mode)]))
+        if st.counts is not None:
+            st.counts["y_mode"][grp, int(y_mode)] += 1
+            st.counts["uv_mode"][int(y_mode), int(uv_mode)] += 1
     mi = MI.ModeInfo(bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
                      tx_size=y_tx, skip=skip, is_inter=False)
     st.mig.set_block(mi_row, mi_col, bsize, mi)
@@ -499,9 +520,13 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
     # single reference selection (all sign biases equal: no compound)
     rctx = IF.single_ref_p1_ctx(st.mig, mi_row, mi_col)
     not_last = bd.read_bit(int(fc.single_ref_probs[rctx, 0]))
+    if st.counts is not None:
+        st.counts["single_ref"][rctx, 0, not_last] += 1
     if not_last:
         rctx2 = IF.single_ref_p2_ctx(st.mig, mi_row, mi_col)
         is_alt = bd.read_bit(int(fc.single_ref_probs[rctx2, 1]))
+        if st.counts is not None:
+            st.counts["single_ref"][rctx2, 1, is_alt] += 1
         ref_frame = int(RefFrame.ALTREF) if is_alt else int(RefFrame.GOLDEN)
     else:
         ref_frame = int(RefFrame.LAST)
@@ -512,6 +537,8 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
         st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=st.prev_mvs)
     inter_mode = T.read_token(bd, "inter_mode_tree",
                               fc.inter_mode_probs[mode_context])
+    if st.counts is not None:
+        st.counts["inter_mode"][mode_context, inter_mode] += 1
     nearest, near = MV.find_best_ref_mvs(
         mv_list, h.allow_high_precision_mv, mi_row, mi_col, bsize,
         st.mig.mi_rows, st.mig.mi_cols)
@@ -523,6 +550,10 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
         mvv = (0, 0)
     else:
         mvv = MV.read_mv(bd, nearest, fc.nmv, h.allow_high_precision_mv)
+        if st.counts is not None:
+            from tpu_vp9.codec.adapt import inc_mv
+
+            inc_mv(st.counts, (mvv[0] - nearest[0], mvv[1] - nearest[1]))
     mi = MI.ModeInfo(bsize=bsize, tx_size=y_tx, skip=skip, is_inter=True,
                      ref_frame=(ref_frame, -1), mv=(mvv, (0, 0)),
                      inter_mode=inter_mode)
@@ -568,6 +599,8 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
     else:
         probs = st.fc.partition_probs[ctx]
     part = MI.read_partition(bd, probs, has_rows, has_cols)
+    if st.counts is not None and not (st.h.is_keyframe or st.h.intra_only):
+        st.counts["partition"][ctx, int(part)] += 1
     sub = T.SUBSIZE[(part, bsize)]
     bw = 1 << MI.MI_WIDTH_LOG2[bsize]
     half = bw >> 1
@@ -593,7 +626,7 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
 
 
 def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None,
-                 prev_mvs=None):
+                 prev_mvs=None, last_was_key: bool = False):
     """Decode one frame payload. Returns (y, u, v, FrameHeader) with crop
     applied, or (None, None, None, header) for show_existing_frame.
 
@@ -617,10 +650,15 @@ def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None,
         fc = T.default_frame_context()
     else:
         fc = fc.copy()
+    # backward adaptation rebases on the context BEFORE forward updates
+    do_adapt = (not h.error_resilient
+                and not h.frame_parallel_decoding_mode)
+    pre_fc = fc.copy() if do_adapt else None
     compressed = payload[hdr_size : hdr_size + first_part]
     parse_compressed_header(h, compressed, fc)
-    if fc_state is not None and h.refresh_frame_context:
-        # frame_parallel_decoding_mode=1: save right after header parse
+    if (fc_state is not None and h.refresh_frame_context
+            and h.frame_parallel_decoding_mode):
+        # fpdm=1: save right after header parse (no adaptation)
         fc_state[h.frame_context_idx] = fc.copy()
     tile_data = payload[hdr_size + first_part :]
     if h.log2_tile_rows:
@@ -657,6 +695,11 @@ def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None,
         refs=refs,
         prev_mvs=prev_mvs,
     )
+    if do_adapt:
+        from tpu_vp9.codec.adapt import new_mode_counts
+        from tpu_vp9.codec.intra_frame import new_counts_sink
+
+        st.counts = {**new_counts_sink(), **new_mode_counts()}
     full_probs = {
         (ts, uv, ref): tok.full_probs_for(fc, ts, uv, is_inter=ref)
         for ts in TxSize for uv in (False, True) for ref in (False, True)
@@ -684,6 +727,16 @@ def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None,
             for sb_c in range(offs[t], offs[t + 1], 8):
                 _decode_partition(st, bd, sb_r, sb_c, BlockSize.BLOCK_64X64,
                                   full_probs)
+    if do_adapt:
+        from tpu_vp9.codec.adapt import adapt_frame_context
+
+        adapted = adapt_frame_context(
+            pre_fc, st.counts,
+            is_key=h.is_keyframe or h.intra_only,
+            after_key=last_was_key,
+            tx_select=h.tx_mode == T.TxMode.TX_MODE_SELECT)
+        if fc_state is not None and h.refresh_frame_context:
+            fc_state[h.frame_context_idx] = adapted
     if h.loop_filter.filter_level:
         from tpu_vp9.ops.loopfilter import loop_filter_frame
 
@@ -711,6 +764,7 @@ def decode_ivf(fh):
     dpb = [None] * 8
     fc_state = [T.default_frame_context() for _ in range(4)]
     last = None  # (header, mv_snapshot) of the previous decoded frame
+    last_was_key = False
     for pkt in read_ivf(fh):
         # use_prev_frame_mvs (vp9 decoder rule)
         prev_mvs = None
@@ -724,7 +778,8 @@ def decode_ivf(fh):
                     and lh.show_frame):
                 prev_mvs = lsnap
         y, u, v, h = decode_frame(pkt.payload, dpb=dpb, fc_state=fc_state,
-                                  prev_mvs=prev_mvs)
+                                  prev_mvs=prev_mvs,
+                                  last_was_key=last_was_key)
         if h.show_existing_frame:
             slot = dpb[h.show_existing_frame_index]
             yield slot[3][0], slot[3][1], slot[3][2], h
@@ -743,4 +798,5 @@ def decode_ivf(fh):
             if h.refresh_frame_mask & (1 << slot):
                 dpb[slot] = entry
         last = (h, getattr(h, "mv_snapshot", None))
+        last_was_key = h.is_keyframe
         yield y, u, v, h
