@@ -192,7 +192,8 @@ class Vp9Encoder:
                 use_tpu_me=sig.use_tpu_me, fc_base=fc_base,
                 restrict_mv_modes=restrict,
                 prev_mvs=(self._prev_snapshot
-                          if prev_usable else None))
+                          if prev_usable else None),
+                part_depths=sig.part_depths)
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select

@@ -216,6 +216,69 @@ def decide_partition_map(st: FrameState, refs, events, qindex: int,
     return out
 
 
+def decide_partition_tree(st: FrameState, refs, qindex: int,
+                          search_range: int, min_bs: BlockSize,
+                          max_bs: BlockSize, log2_tile_cols: int = 0):
+    """Full quadtree partition decision (64..min_bs) by open-loop cost
+    probes — the EP-block geometry of the reference's mode decision
+    (EbModeDecisionConfigurationProcess ADP depths), re-expressed as
+    recursive SAD probes instead of per-depth budgets.
+
+    Each node compares NONE (one probe at this size, centered on the
+    parent's best vector) against SPLIT (children's total + a syntax
+    bias); forced splits at frame edges follow partition_rule.  Returns
+    a decode-order event list compatible with walk_partition_fixed's.
+    """
+    from tpu_vp9.codec.intra_frame import tile_mi_offsets
+
+    ac_q = T.ac_quant(qindex)
+    split_bias = max(8, (40 * ac_q) >> 4)
+    mi_rows, mi_cols = st.mi_rows, st.mi_cols
+
+    def node(mi_row, mi_col, bsize, center):
+        if mi_row >= mi_rows or mi_col >= mi_cols:
+            return 0, []
+        has_rows, has_cols = MI.partition_rule(
+            bsize, mi_row, mi_col, mi_rows, mi_cols)
+        forced_split = not (has_rows and has_cols)
+        can_none = not forced_split and int(bsize) <= int(max_bs)
+        can_split = int(bsize) > int(min_bs)
+        cost_none = mv = None
+        if can_none:
+            r = search_range if bsize >= max_bs else 8
+            cost_none, mv = probe_inter_cost(st, refs, mi_row, mi_col,
+                                             bsize, r, center)
+        if not can_split and can_none:
+            return cost_none, [("part", mi_row, mi_col, bsize,
+                                Partition.NONE),
+                               ("leaf", mi_row, mi_col, bsize, None)]
+        sub = T.SUBSIZE[(Partition.SPLIT, bsize)]
+        half = (1 << MI.MI_WIDTH_LOG2[bsize]) >> 1
+        ccenter = mv if mv is not None else center
+        cost_split = split_bias
+        sub_events = []
+        for dr, dc in ((0, 0), (0, half), (half, 0), (half, half)):
+            c, ev = node(mi_row + dr, mi_col + dc, sub, ccenter)
+            cost_split += c
+            sub_events.extend(ev)
+        if can_none and cost_none <= cost_split:
+            return cost_none, [("part", mi_row, mi_col, bsize,
+                                Partition.NONE),
+                               ("leaf", mi_row, mi_col, bsize, None)]
+        return cost_split, ([("part", mi_row, mi_col, bsize,
+                              Partition.SPLIT)] + sub_events)
+
+    events = []
+    offs = tile_mi_offsets(mi_cols, log2_tile_cols)
+    for t in range(len(offs) - 1):
+        events.append(("tile", offs[t], offs[t + 1], None, None))
+        for sb_r in range(0, mi_rows, 8):
+            for sb_c in range(offs[t], offs[t + 1], 8):
+                _, ev = node(sb_r, sb_c, BlockSize.BLOCK_64X64, (0, 0))
+                events.extend(ev)
+    return events
+
+
 def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                       bsize: BlockSize, qindex: int, search_range: int = 16,
                       do_subpel: bool = True):
@@ -687,7 +750,7 @@ def encode_pframe(frame, refs, qindex: int,
                   adaptive_partition: bool = False, golden_refs=None,
                   tx_select: bool = False, use_tpu_me: bool = False,
                   fc_base=None, restrict_mv_modes: bool = False,
-                  prev_mvs=None):
+                  prev_mvs=None, part_depths=None):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -715,10 +778,16 @@ def encode_pframe(frame, refs, qindex: int,
                 st._tpu_mv = (mvs, n)
         except Exception:
             st._tpu_mv = None
-    events = walk_partition_fixed(mi_rows, mi_cols, block_size,
-                                  log2_tile_cols)
-    if adaptive_partition and block_size == BlockSize.BLOCK_32X32:
-        events = decide_partition_map(st, refs, events, qindex, search_range)
+    if part_depths is not None:
+        events = decide_partition_tree(st, refs, qindex, search_range,
+                                       part_depths[0], part_depths[1],
+                                       log2_tile_cols)
+    else:
+        events = walk_partition_fixed(mi_rows, mi_cols, block_size,
+                                      log2_tile_cols)
+        if adaptive_partition and block_size == BlockSize.BLOCK_32X32:
+            events = decide_partition_map(st, refs, events, qindex,
+                                          search_range)
     # phase 1: decisions (decode order; mvrefs see final neighbor choices)
     pending = []
     intra_leaves = []

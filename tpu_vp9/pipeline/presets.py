@@ -25,19 +25,25 @@ class PresetSignals:
     adaptive_partition: bool = False  # 32->16 split by cost probes
     tx_select: bool = False  # per-block transform size (TX_MODE_SELECT)
     use_tpu_me: bool = False  # batched device full-pel search
+    part_depths: tuple = None  # (min_bs, max_bs) quadtree partition RDO
 
 
 _LADDER = {
     0: PresetSignals(BlockSize.BLOCK_16X16, 32, True, 0.42, False, False,
-                     True),
+                     True, part_depths=(BlockSize.BLOCK_8X8,
+                                        BlockSize.BLOCK_64X64)),
     1: PresetSignals(BlockSize.BLOCK_16X16, 28, True, 0.42, False, False,
-                     True),
+                     True, part_depths=(BlockSize.BLOCK_8X8,
+                                        BlockSize.BLOCK_64X64)),
     2: PresetSignals(BlockSize.BLOCK_16X16, 24, True, 0.40, False, False,
-                     True),
+                     True, part_depths=(BlockSize.BLOCK_16X16,
+                                        BlockSize.BLOCK_64X64)),
     3: PresetSignals(BlockSize.BLOCK_32X32, 24, True, 0.40, False, True,
-                     True),
+                     True, part_depths=(BlockSize.BLOCK_16X16,
+                                        BlockSize.BLOCK_64X64)),
     4: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.40, False, True,
-                     True),
+                     True, part_depths=(BlockSize.BLOCK_16X16,
+                                        BlockSize.BLOCK_64X64)),
     5: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
                      True),
     6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
