@@ -69,11 +69,13 @@ def test_adaptive_stream_bit_exact():
     enc, dec = roundtrip(frames, qindex=120)
     # encode_stream uses fixed; now compare an explicitly adaptive encode
     from tpu_vp9.api import Vp9Encoder
-    from tpu_vp9.config import EncoderConfig
+    from tpu_vp9.config import EncoderConfig, PredStructure
 
     e = Vp9Encoder()
     e.set_parameter(EncoderConfig(source_width=128, source_height=96,
-                                  frame_rate=30, qp=30, enc_mode=5))
+                                  frame_rate=30, qp=30, enc_mode=5,
+        pred_structure=PredStructure.LOW_DELAY_P,
+        hierarchical_levels=0))
     e.init()
     pkts = []
     for fr in frames:

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from tpu_vp9.api import Vp9Encoder
-from tpu_vp9.config import EncoderConfig, RateControlMode
+from tpu_vp9.config import EncoderConfig, PredStructure, RateControlMode
 from tpu_vp9.decoder.decoder import decode_ivf
 from tpu_vp9.bitstream.ivf import (
     patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
@@ -18,7 +18,8 @@ from tpu_vp9.utils.yuv import synthetic_frames, write_y4m
 
 def small_cfg(**kw):
     base = dict(source_width=96, source_height=80, frame_rate=30, qp=40,
-                enc_mode=9)
+                enc_mode=9, pred_structure=PredStructure.LOW_DELAY_P,
+                hierarchical_levels=0)
     base.update(kw)
     return EncoderConfig(**base)
 

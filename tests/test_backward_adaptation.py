@@ -12,7 +12,7 @@ import numpy as np
 from tpu_vp9.api import Vp9Encoder
 from tpu_vp9.bitstream.ivf import write_ivf_frame, write_ivf_header
 from tpu_vp9.codec import adapt
-from tpu_vp9.config import EncoderConfig
+from tpu_vp9.config import EncoderConfig, PredStructure
 from tpu_vp9.decoder.decoder import decode_ivf
 from tpu_vp9.utils.yuv import synthetic_frames
 
@@ -22,7 +22,9 @@ def _roundtrip(fpdm, n=8, enc_mode=8, qp=40):
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(
         source_width=352, source_height=288, frame_rate=30, qp=qp,
-        enc_mode=enc_mode, intra_period=-1, frame_parallel_decoding=fpdm))
+        enc_mode=enc_mode, intra_period=-1, frame_parallel_decoding=fpdm,
+        pred_structure=PredStructure.LOW_DELAY_P,
+        hierarchical_levels=0))
     enc.init()
     pkts, recons = [], []
     for fr in frames:

@@ -9,7 +9,7 @@ from tpu_vp9.bitstream.ivf import (
     patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
 )
 from tpu_vp9.bitstream.tables import RefFrame
-from tpu_vp9.config import EncoderConfig
+from tpu_vp9.config import EncoderConfig, PredStructure
 from tpu_vp9.decoder.decoder import decode_ivf
 from tpu_vp9.utils.yuv import Frame420
 
@@ -34,7 +34,9 @@ def occlusion_frames():
 def encode_decode(frames, qp=35, golden_interval=99):
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(source_width=128, source_height=96,
-                                    frame_rate=30, qp=qp, enc_mode=7))
+                                    frame_rate=30, qp=qp, enc_mode=7,
+        pred_structure=PredStructure.LOW_DELAY_P,
+        hierarchical_levels=0))
     enc.init()
     enc.golden_interval = golden_interval
     pkts = []

@@ -8,16 +8,17 @@ from tpu_vp9.api import Vp9Encoder
 from tpu_vp9.bitstream.ivf import (
     patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
 )
-from tpu_vp9.config import EncoderConfig, PredStructure
+from tpu_vp9.config import EncoderConfig, PredStructure, PredStructure
 from tpu_vp9.decoder.decoder import decode_ivf
 from tpu_vp9.utils.yuv import synthetic_frames
 
 
-def encode(frames, pred=PredStructure.LOW_DELAY_P, qp=40):
+def encode(frames, pred=PredStructure.LOW_DELAY_P, qp=40, levels=-1):
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(source_width=96, source_height=80,
                                     frame_rate=30, qp=qp, enc_mode=8,
-                                    pred_structure=pred))
+                                    pred_structure=pred,
+                                    hierarchical_levels=levels))
     enc.init()
     pkts, recons = [], []
     for fr in frames:
@@ -50,7 +51,7 @@ def test_two_layer_roundtrip_and_structure():
 def test_two_layer_not_worse_quality():
     frames = list(synthetic_frames(96, 80, 9, seed=1, motion=True))
     pkts_h, _, dec_h = encode(frames, PredStructure.LOW_DELAY_P)
-    pkts_f, _, dec_f = encode(frames, PredStructure.RANDOM_ACCESS)  # flat
+    pkts_f, _, dec_f = encode(frames, PredStructure.LOW_DELAY_P, levels=0)  # flat
 
     def psnr(a, b):
         mse = np.mean((a.astype(float) - b.astype(float)) ** 2)

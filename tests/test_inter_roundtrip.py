@@ -97,13 +97,15 @@ def test_non_error_resilient_roundtrip():
     """Opt-in non-ER: frame-context persistence + restricted MV modes must
     still round-trip bit-exactly through the stateful decoder."""
     from tpu_vp9.api import Vp9Encoder
-    from tpu_vp9.config import EncoderConfig
+    from tpu_vp9.config import EncoderConfig, PredStructure
 
     frames = list(synthetic_frames(96, 80, 5, seed=11, motion=True))
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(source_width=96, source_height=80,
                                     frame_rate=30, qp=40, enc_mode=8,
-                                    error_resilient=False))
+                                    error_resilient=False,
+        pred_structure=PredStructure.LOW_DELAY_P,
+        hierarchical_levels=0))
     enc.init()
     pkts = []
     recons = []

@@ -3,7 +3,7 @@
 import numpy as np
 
 from tpu_vp9.api import Vp9Encoder
-from tpu_vp9.config import EncoderConfig
+from tpu_vp9.config import EncoderConfig, PredStructure
 from tpu_vp9.utils.yuv import Frame420
 
 
@@ -24,7 +24,9 @@ def test_cut_inserts_keyframe():
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(source_width=128, source_height=96,
                                     frame_rate=30, qp=40, enc_mode=8,
-                                    intra_period=255))
+                                    intra_period=255,
+        pred_structure=PredStructure.LOW_DELAY_P,
+        hierarchical_levels=0))
     enc.init()
     kinds = []
     for fr in cut_sequence():
@@ -39,7 +41,9 @@ def test_no_false_cuts_on_still():
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(source_width=128, source_height=96,
                                     frame_rate=30, qp=40, enc_mode=8,
-                                    intra_period=255))
+                                    intra_period=255,
+        pred_structure=PredStructure.LOW_DELAY_P,
+        hierarchical_levels=0))
     enc.init()
     rng = np.random.default_rng(1)
     base = rng.integers(0, 255, (96, 128)).astype(np.uint8)

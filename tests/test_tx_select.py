@@ -9,7 +9,7 @@ from tpu_vp9.bitstream.ivf import (
     patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
 )
 from tpu_vp9.bitstream.tables import TxSize
-from tpu_vp9.config import EncoderConfig
+from tpu_vp9.config import EncoderConfig, PredStructure
 from tpu_vp9.decoder.decoder import decode_ivf
 from tpu_vp9.utils.yuv import Frame420
 
@@ -35,7 +35,9 @@ def encode(frames, enc_mode=5, qp=40):
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(source_width=128, source_height=96,
                                     frame_rate=30, qp=qp,
-                                    enc_mode=enc_mode))
+                                    enc_mode=enc_mode,
+        pred_structure=PredStructure.LOW_DELAY_P,
+        hierarchical_levels=0))
     enc.init()
     pkts = []
     sts = []

@@ -91,6 +91,17 @@ class Vp9Encoder:
                 # fallback (openloop_mode_hints_np) feeding the wavefront.
                 self._sig = replace(self._sig, use_tpu_me=False)
         self._rc = RateControlState.create(self._cfg)
+        # random-access hierarchical (ALTREF-pyramid) engine
+        self._ra = None
+        from tpu_vp9.config import PredStructure
+
+        if (self._cfg.pred_structure == PredStructure.RANDOM_ACCESS
+                and self._cfg.hierarchical_levels >= 1):
+            from tpu_vp9.pipeline.gop import RaEncoder
+
+            self._ra = RaEncoder(self._cfg, self._sig, self._rc)
+            self._ra_buf = {}
+            self._ra_keys = set()
         self._initialized = True
 
     def close(self) -> None:
@@ -117,6 +128,16 @@ class Vp9Encoder:
         cfg, sig, rc = self._cfg, self._sig, self._rc
         idx = self._frame_idx
         self._frame_idx += 1
+        if self._ra is not None:
+            if force_keyframe:
+                self._ra_keys.add(idx)
+            elif (self._scd is not None and idx > 0
+                  and cfg.intra_period != -1
+                  and self._scd.is_scene_change(frame.y)):
+                self._ra_keys.add(idx)
+            self._ra_buf[idx] = frame
+            self._ra_drain(flush=False)
+            return
         is_key = force_keyframe or idx == 0 or (
             cfg.intra_period >= 0 and idx % (cfg.intra_period + 1) == 0)
         # scene-change detection (EbPictureDecisionProcess.c:100 analogue)
@@ -245,8 +266,79 @@ class Vp9Encoder:
         self._packets.append(Packet(data=payload, pts=idx, dts=idx,
                                     is_keyframe=is_key, qindex=qindex))
 
+    def _ra_drain(self, flush: bool) -> None:
+        """Encode every complete (or flush-truncated) minigop in the buffer.
+
+        Picture-decision analogue for random access: mini-GOP assembly and
+        split (EbPictureDecisionProcess.c:367-480) driven by keyframe
+        schedule, scene-cut requests, and input availability.
+        """
+        cfg, ra = self._cfg, self._ra
+        max_gop = 1 << cfg.hierarchical_levels
+        while True:
+            next_poc = ra.base_poc + 1 if ra.base_poc >= 0 else 0
+            # next scheduled/requested keyframe at or after next_poc
+            key_req = [k for k in self._ra_keys if k >= next_poc]
+            next_key = min(key_req) if key_req else None
+            if cfg.intra_period >= 0:
+                period = cfg.intra_period + 1
+                sched = ((next_poc + period - 1) // period) * period
+                next_key = sched if next_key is None else min(next_key, sched)
+            elif next_poc == 0:
+                next_key = 0
+            if next_key == next_poc:
+                if next_poc not in self._ra_buf:
+                    break
+                qov = self._qp_overridden(next_poc)
+                qindex = qov if qov is not None else \
+                    self._rc.frame_qindex(True)
+                pkt = ra.encode_key(self._ra_buf.pop(next_poc), next_poc,
+                                    qindex)
+                self._ra_keys.discard(next_poc)
+                self._emit_ra([pkt])
+                continue
+            # minigop span limited by the next keyframe
+            span = max_gop if next_key is None else next_key - 1 - ra.base_poc
+            if span <= 0:
+                break  # key is due but its frame hasn't arrived
+            gop = 1
+            while gop * 2 <= min(span, max_gop):
+                gop *= 2
+            avail = 0
+            while ra.base_poc + 1 + avail in self._ra_buf:
+                avail += 1
+            if avail < gop:
+                if not flush or avail == 0:
+                    break
+                gop = 1
+                while gop * 2 <= avail:
+                    gop *= 2
+            frames = {ra.base_poc + 1 + i: self._ra_buf[ra.base_poc + 1 + i]
+                      for i in range(gop)}
+            qov = self._qp_overridden(ra.base_poc + 1)
+            base_q = qov if qov is not None else self._rc.frame_qindex(False)
+            pkts = ra.encode_minigop(frames, ra.base_poc, gop, base_q)
+            for p in frames:
+                del self._ra_buf[p]
+            self._emit_ra(pkts)
+
+    def _qp_overridden(self, poc: int):
+        if poc in self._qp_overrides:
+            from tpu_vp9.pipeline.presets import qp_to_qindex
+
+            return qp_to_qindex(self._qp_overrides[poc])
+        return None
+
+    def _emit_ra(self, ra_packets) -> None:
+        for i, p in enumerate(ra_packets):
+            self._packets.append(Packet(
+                data=p.data, pts=p.pts, dts=p.dts,
+                is_keyframe=p.is_keyframe, qindex=p.qindex))
+
     def flush(self) -> None:
         """Signal end of stream (EB_BUFFERFLAG_EOS analogue)."""
+        if self._ra is not None and not self._eos:
+            self._ra_drain(flush=True)
         self._eos = True
 
     def get_packet(self, blocking: bool = False) -> Optional[Packet]:

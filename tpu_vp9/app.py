@@ -220,17 +220,31 @@ def main(argv=None) -> int:
             break
         tf = time.time()
         enc.send_picture(frame)
-        pkt = enc.get_packet()
-        max_latency = max(max_latency, time.time() - tf)
-        if out_fh and pkt:
-            write_ivf_frame(out_fh, pkt.data, pkt.pts)
-        if recon_fh:
-            y, u, v = enc.get_recon()
-            recon_fh.write(y.tobytes() + u.tobytes() + v.tobytes())
-        if pkt:
+        got = False
+        while True:
+            pkt = enc.get_packet()
+            if pkt is None:
+                break
+            got = True
+            if out_fh:
+                write_ivf_frame(out_fh, pkt.data, pkt.pts)
             total_bytes += len(pkt.data)
+        if got:
+            max_latency = max(max_latency, time.time() - tf)
+        if recon_fh:
+            recon = enc.get_recon()
+            if recon is not None:
+                y, u, v = recon
+                recon_fh.write(y.tobytes() + u.tobytes() + v.tobytes())
         n_coded += 1
     enc.flush()
+    while True:
+        pkt = enc.get_packet()
+        if pkt is None:
+            break
+        if out_fh:
+            write_ivf_frame(out_fh, pkt.data, pkt.pts)
+        total_bytes += len(pkt.data)
     elapsed = max(time.time() - t0, 1e-9)
     if out_fh:
         patch_ivf_frame_count(out_fh, n_coded)

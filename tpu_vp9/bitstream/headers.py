@@ -373,6 +373,38 @@ def assemble_frame(h: FrameHeader, tile_data: bytes, updates=None) -> bytes:
     return wb.data() + compressed + tile_data
 
 
+def split_superframe(payload: bytes) -> list:
+    """Split a packet into frame payloads (spec annex B).
+
+    Returns [payload] unchanged when no valid superframe index trails the
+    packet. Inverse of build_superframe.
+    """
+    if not payload:
+        return [payload]
+    marker = payload[-1]
+    if (marker & 0xE0) != 0xC0:
+        return [payload]
+    n_frames = (marker & 0x7) + 1
+    bytes_per_size = ((marker >> 3) & 0x3) + 1
+    index_len = 2 + n_frames * bytes_per_size
+    if len(payload) < index_len or payload[-index_len] != marker:
+        return [payload]
+    idx = payload[-index_len + 1 : -1]
+    sizes = []
+    for f in range(n_frames):
+        s = 0
+        for i in range(bytes_per_size):
+            s |= idx[f * bytes_per_size + i] << (8 * i)
+        sizes.append(s)
+    if sum(sizes) != len(payload) - index_len:
+        return [payload]
+    out, pos = [], 0
+    for s in sizes:
+        out.append(payload[pos : pos + s])
+        pos += s
+    return out
+
+
 def build_superframe(frames: list) -> bytes:
     """Pack multiple frame payloads into a VP9 superframe (spec annex B)."""
     if len(frames) == 1:

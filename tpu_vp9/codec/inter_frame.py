@@ -392,13 +392,21 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         return (best[0], ref_id, best[1], best[2], nearest, mode_context,
                 ref_planes)
 
-    results = [eval_ref(int(RefFrame.LAST), refs, 0, search_range)]
+    ranges = getattr(st, "_ref_ranges", None) or {}
+    results = [eval_ref(int(RefFrame.LAST), refs, 0,
+                        ranges.get(int(RefFrame.LAST), search_range))]
     golden_refs = getattr(st, "_golden_refs", None)
     # lossless GOLDEN skip: the cheapest possible GOLDEN mode costs
     # (1 + extra_rate) * lam even at zero SAD
     if golden_refs is not None and results[0][0] > 3 * lam:
-        results.append(eval_ref(int(RefFrame.GOLDEN), golden_refs, 2,
-                                max(search_range // 2, 8)))
+        results.append(eval_ref(
+            int(RefFrame.GOLDEN), golden_refs, 2,
+            ranges.get(int(RefFrame.GOLDEN), max(search_range // 2, 8))))
+    altref_refs = getattr(st, "_altref_refs", None)
+    if altref_refs is not None and results[0][0] > 3 * lam:
+        results.append(eval_ref(
+            int(RefFrame.ALTREF), altref_refs, 2,
+            ranges.get(int(RefFrame.ALTREF), search_range)))
     best_all = min(results, key=lambda x: x[0])
     best = (best_all[0], best_all[2], best_all[3])
     ref_id = best_all[1]
@@ -750,16 +758,22 @@ def encode_pframe(frame, refs, qindex: int,
                   adaptive_partition: bool = False, golden_refs=None,
                   tx_select: bool = False, use_tpu_me: bool = False,
                   fc_base=None, restrict_mv_modes: bool = False,
-                  prev_mvs=None, part_depths=None):
+                  prev_mvs=None, part_depths=None, altref_refs=None,
+                  ref_ranges=None):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
-    choose LAST vs GOLDEN per-block.  Returns (tile_bytes, FrameState).
+    choose LAST vs GOLDEN per-block.  altref_refs: optional third
+    reference (hierarchical-GOP future anchor).  ref_ranges: optional
+    {ref_id: full-pel search range} derived from temporal distance.
+    Returns (tile_bytes, FrameState).
     """
     h, w = frame.y.shape
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
     st._golden_refs = golden_refs
+    st._altref_refs = altref_refs
+    st._ref_ranges = ref_ranges
     st._restrict_mv = restrict_mv_modes
     st._prev_mvs = prev_mvs
     # Device ME pays off when the per-frame block count is large enough to

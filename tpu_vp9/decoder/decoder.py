@@ -761,14 +761,18 @@ def decode_ivf(fh):
     from tpu_vp9.bitstream.ivf import read_ivf
     from tpu_vp9.ops.inter import extend_borders
 
+    from tpu_vp9.bitstream.headers import split_superframe
+
     dpb = [None] * 8
     fc_state = [T.default_frame_context() for _ in range(4)]
     last = None  # (header, mv_snapshot) of the previous decoded frame
     last_was_key = False
-    for pkt in read_ivf(fh):
+    payloads = (sub for pkt in read_ivf(fh)
+                for sub in split_superframe(pkt.payload))
+    for payload in payloads:
         # use_prev_frame_mvs (vp9 decoder rule)
         prev_mvs = None
-        hdr0, _, _ = parse_uncompressed_header(pkt.payload)
+        hdr0, _, _ = parse_uncompressed_header(payload)
         if (last is not None and not hdr0.show_existing_frame
                 and not hdr0.error_resilient and not hdr0.is_keyframe
                 and not hdr0.intra_only):
@@ -777,7 +781,7 @@ def decode_ivf(fh):
                     and not lh.is_keyframe and not lh.intra_only
                     and lh.show_frame):
                 prev_mvs = lsnap
-        y, u, v, h = decode_frame(pkt.payload, dpb=dpb, fc_state=fc_state,
+        y, u, v, h = decode_frame(payload, dpb=dpb, fc_state=fc_state,
                                   prev_mvs=prev_mvs,
                                   last_was_key=last_was_key)
         if h.show_existing_frame:
@@ -799,4 +803,5 @@ def decode_ivf(fh):
                 dpb[slot] = entry
         last = (h, getattr(h, "mv_snapshot", None))
         last_was_key = h.is_keyframe
-        yield y, u, v, h
+        if h.show_frame:
+            yield y, u, v, h
