@@ -121,3 +121,61 @@ def test_ra_small_levels():
         mism, _, _ = _encode_decode(
             8, dict(qp=45, enc_mode=8, hierarchical_levels=lv))
         assert mism == 0
+
+
+def test_compound_prediction_bitexact():
+    """Noisy content makes past+future averaging win: compound blocks must
+    be chosen, serialized (reference mode SELECT/COMPOUND), and decode
+    bit-exactly (incl. sign-bias MV scaling both sides)."""
+    from tpu_vp9.utils.yuv import Frame420
+
+    W, H, N = 176, 144, 9
+    rng = np.random.default_rng(7)
+    frames = []
+    for f in synthetic_frames(W, H, N, seed=0, motion=True):
+        y = np.clip(f.y.astype(np.int16)
+                    + rng.integers(-6, 7, f.y.shape), 0, 255).astype(np.uint8)
+        frames.append(Frame420(y=y, u=f.u, v=f.v))
+    cfg = EncoderConfig(source_width=W, source_height=H, qp=40, enc_mode=8,
+                        hierarchical_levels=3)
+    enc = Vp9Encoder()
+    enc.set_parameter(cfg)
+    enc.init()
+    enc._ra.keep_recon = True
+    for f in frames:
+        enc.send_picture(f)
+    enc.flush()
+    buf = io.BytesIO()
+    write_ivf_header(buf, W, H, 30, 1)
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        write_ivf_frame(buf, p.data, p.pts)
+    buf.seek(0)
+    mism = 0
+    modes = set()
+    from tpu_vp9.bitstream.headers import split_superframe
+    from tpu_vp9.decoder.decoder import parse_uncompressed_header
+
+    for i, (y, u, v, h) in enumerate(decode_ivf(buf)):
+        ry, ru, rv = enc._ra.recon_log[i]
+        mism += int((y != ry).sum() + (u != ru).sum() + (v != rv).sum())
+    assert mism == 0
+    # at least one frame must carry compound prediction
+    buf.seek(0)
+    from tpu_vp9.bitstream.ivf import read_ivf
+    from tpu_vp9.decoder import decoder as D
+
+    n_comp_frames = 0
+    for pkt in read_ivf(buf):
+        for sub in split_superframe(pkt.payload):
+            hdr, hs, fp = parse_uncompressed_header(sub)
+            if hdr.show_existing_frame or hdr.is_keyframe:
+                continue
+            fc = __import__("tpu_vp9.bitstream.tables",
+                            fromlist=["t"]).default_frame_context()
+            D.parse_compressed_header(hdr, sub[hs : hs + fp], fc)
+            if hdr.reference_mode != 0:
+                n_comp_frames += 1
+    assert n_comp_frames >= 1

@@ -137,6 +137,12 @@ class FrameHeader:
     tx_mode: T.TxMode = T.TxMode.ALLOW_32X32
     show_existing_frame: bool = False
     show_existing_frame_index: int = 0
+    # 0=SINGLE_REFERENCE, 1=COMPOUND_REFERENCE, 2=REFERENCE_MODE_SELECT;
+    # only meaningful when compound is allowed (sign biases differ)
+    reference_mode: int = 0
+
+    def compound_allowed(self) -> bool:
+        return len(set(self.ref_sign_bias)) > 1
 
     @property
     def mi_cols(self) -> int:
@@ -343,9 +349,18 @@ def write_compressed_header(h: FrameHeader, updates=None) -> bytes:
         if h.interp_filter == T.InterpFilter.SWITCHABLE:
             _cond_no_update(enc, 4 * 2)
         _cond_no_update(enc, 4)  # intra_inter
-        # reference mode: all sign biases equal -> SINGLE_REFERENCE implied,
-        # no compound bits written (decoder infers; spec 6.3.12)
-        _cond_no_update(enc, 5 * 2)  # single_ref probs
+        # frame reference mode (spec 6.3.12): only coded when compound is
+        # possible (differing sign biases); otherwise SINGLE implied
+        if h.compound_allowed():
+            enc.put_bit(1 if h.reference_mode != 0 else 0, 128)
+            if h.reference_mode != 0:
+                enc.put_bit(1 if h.reference_mode == 2 else 0, 128)
+        if h.reference_mode == 2:
+            _cond_no_update(enc, 5)  # comp_inter probs
+        if h.reference_mode != 1:
+            _cond_no_update(enc, 5 * 2)  # single_ref probs
+        if h.reference_mode != 0:
+            _cond_no_update(enc, 5)  # comp_ref probs
         _cond_no_update(enc, 4 * 9)  # y mode probs
         _cond_no_update(enc, 16 * 3)  # partition probs
         # mv probs (write_nmv_probs): joints + per-component

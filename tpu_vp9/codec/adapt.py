@@ -117,13 +117,17 @@ def _tx_branch_counts(tx_counts):
 
 def adapt_mode_probs(fc, pre_fc, counts, tx_select: bool):
     """eb_vp9_adapt_mode_probs (inter frames only; no switchable interp,
-    no compound in the current streams — their counts stay zero and the
-    merges are identity via den==0)."""
+    compound merges are identity via den==0 when a frame codes no
+    compound blocks)."""
     fc.intra_inter_probs = mode_mv_merge_probs(
         pre_fc.intra_inter_probs, counts["intra_inter"][:, 0],
         counts["intra_inter"][:, 1])
-    fc.comp_inter_probs = pre_fc.comp_inter_probs.copy()
-    fc.comp_ref_probs = pre_fc.comp_ref_probs.copy()
+    fc.comp_inter_probs = mode_mv_merge_probs(
+        pre_fc.comp_inter_probs, counts["comp_inter"][:, 0],
+        counts["comp_inter"][:, 1])
+    fc.comp_ref_probs = mode_mv_merge_probs(
+        pre_fc.comp_ref_probs, counts["comp_ref"][:, 0],
+        counts["comp_ref"][:, 1])
     fc.single_ref_probs = np.stack([
         mode_mv_merge_probs(pre_fc.single_ref_probs[:, j],
                             counts["single_ref"][:, j, 0],
@@ -234,6 +238,8 @@ def new_mode_counts():
     return {
         "intra_inter": np.zeros((4, 2), np.int64),
         "single_ref": np.zeros((5, 2, 2), np.int64),
+        "comp_inter": np.zeros((5, 2), np.int64),
+        "comp_ref": np.zeros((5, 2), np.int64),
         "inter_mode": np.zeros((7, 4), np.int64),
         "y_mode": np.zeros((4, 10), np.int64),
         "uv_mode": np.zeros((10, 10), np.int64),

@@ -45,22 +45,128 @@ def intra_inter_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
     return 0
 
 
-def single_ref_p2_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
-    """vp9_pred_common.c:222 — GOLDEN vs ALTREF bit context (single-ref
-    streams: neighbors are intra or single-ref LAST/GOLDEN/ALTREF)."""
+def _has2(mi) -> bool:
+    return mi.is_inter and mi.ref_frame[1] > 0
+
+
+def compound_refs(sign_bias) -> tuple:
+    """(fixed_ref, (var_ref0, var_ref1)) from the header sign biases
+    (eb_vp9_setup_compound_reference_mode, vp9_pred_common.c:25)."""
+    LAST, GOLDEN, ALT = (int(RefFrame.LAST), int(RefFrame.GOLDEN),
+                         int(RefFrame.ALTREF))
+    if sign_bias[LAST] == sign_bias[GOLDEN]:
+        return ALT, (LAST, GOLDEN)
+    if sign_bias[LAST] == sign_bias[ALT]:
+        return GOLDEN, (LAST, ALT)
+    return LAST, (GOLDEN, ALT)
+
+
+def comp_inter_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
+                   fixed_ref: int) -> int:
+    """Reference-mode (single vs compound) bit context
+    (eb_vp9_get_reference_mode_context, vp9_pred_common.c:41)."""
     a = mig.above(mi_row, mi_col)
     l = mig.left(mi_row, mi_col)
-    LAST, GOLDEN = int(RefFrame.LAST), int(RefFrame.GOLDEN)
+    if a is not None and l is not None:
+        if not _has2(a) and not _has2(l):
+            return (int(a.ref_frame[0] == fixed_ref)
+                    ^ int(l.ref_frame[0] == fixed_ref))
+        if not _has2(a):
+            return 2 + int(a.ref_frame[0] == fixed_ref or not a.is_inter)
+        if not _has2(l):
+            return 2 + int(l.ref_frame[0] == fixed_ref or not l.is_inter)
+        return 4
+    if a is not None or l is not None:
+        edge = a if a is not None else l
+        if not _has2(edge):
+            return int(edge.ref_frame[0] == fixed_ref)
+        return 3
+    return 1
+
+
+def comp_ref_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
+                 sign_bias) -> int:
+    """Compound variable-ref bit context
+    (eb_vp9_get_pred_context_comp_ref_p, vp9_pred_common.c:81)."""
+    fixed_ref, var_refs = compound_refs(sign_bias)
+    var_idx = 0 if sign_bias[fixed_ref] else 1  # !fix_ref_idx
+    a = mig.above(mi_row, mi_col)
+    l = mig.left(mi_row, mi_col)
+    v1 = var_refs[1]
     if a is not None and l is not None:
         ai, li = not a.is_inter, not l.is_inter
         if ai and li:
             return 2
         if ai or li:
             edge = l if ai else a
-            if edge.ref_frame[0] == LAST:
-                return 3
-            return 4 * int(edge.ref_frame[0] == GOLDEN)
-        a0, l0 = a.ref_frame[0], l.ref_frame[0]
+            if not _has2(edge):
+                return 1 + 2 * int(edge.ref_frame[0] != v1)
+            return 1 + 2 * int(edge.ref_frame[var_idx] != v1)
+        a_sg, l_sg = not _has2(a), not _has2(l)
+        vrfa = a.ref_frame[0] if a_sg else a.ref_frame[var_idx]
+        vrfl = l.ref_frame[0] if l_sg else l.ref_frame[var_idx]
+        if vrfa == vrfl and v1 == vrfa:
+            return 0
+        if l_sg and a_sg:
+            if ((vrfa == fixed_ref and vrfl == var_refs[0])
+                    or (vrfl == fixed_ref and vrfa == var_refs[0])):
+                return 4
+            return 3 if vrfa == vrfl else 1
+        if l_sg or a_sg:
+            vrfc = vrfa if l_sg else vrfl
+            rfs = vrfa if a_sg else vrfl
+            if vrfc == v1 and rfs != v1:
+                return 1
+            if rfs == v1 and vrfc != v1:
+                return 2
+            return 4
+        return 4 if vrfa == vrfl else 2
+    if a is not None or l is not None:
+        edge = a if a is not None else l
+        if not edge.is_inter:
+            return 2
+        if _has2(edge):
+            return 4 * int(edge.ref_frame[var_idx] != v1)
+        return 3 * int(edge.ref_frame[0] != v1)
+    return 2
+
+
+def single_ref_p2_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
+    """GOLDEN vs ALTREF bit context, compound-aware
+    (eb_vp9_get_pred_context_single_ref_p2, vp9_pred_common.c:224)."""
+    a = mig.above(mi_row, mi_col)
+    l = mig.left(mi_row, mi_col)
+    LAST, GOLDEN, ALT = (int(RefFrame.LAST), int(RefFrame.GOLDEN),
+                         int(RefFrame.ALTREF))
+    if a is not None and l is not None:
+        ai, li = not a.is_inter, not l.is_inter
+        if ai and li:
+            return 2
+        if ai or li:
+            edge = l if ai else a
+            if not _has2(edge):
+                if edge.ref_frame[0] == LAST:
+                    return 3
+                return 4 * int(edge.ref_frame[0] == GOLDEN)
+            return 1 + 2 * int(edge.ref_frame[0] == GOLDEN
+                               or edge.ref_frame[1] == GOLDEN)
+        a2, l2 = _has2(a), _has2(l)
+        a0, a1 = a.ref_frame
+        l0, l1 = l.ref_frame
+        if a2 and l2:
+            if a0 == l0 and a1 == l1:
+                return 3 * int(a0 == GOLDEN or a1 == GOLDEN
+                               or l0 == GOLDEN or l1 == GOLDEN)
+            return 2
+        if a2 or l2:
+            rfs = a0 if not a2 else l0
+            crf1 = a0 if a2 else l0
+            crf2 = a1 if a2 else l1
+            if rfs == GOLDEN:
+                return 3 + int(crf1 == GOLDEN or crf2 == GOLDEN)
+            if rfs == ALT:
+                return int(crf1 == GOLDEN or crf2 == GOLDEN)
+            return 1 + 2 * int(crf1 == GOLDEN or crf2 == GOLDEN)
         if a0 == LAST and l0 == LAST:
             return 3
         if a0 == LAST or l0 == LAST:
@@ -69,14 +175,19 @@ def single_ref_p2_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
         return 2 * int(a0 == GOLDEN) + 2 * int(l0 == GOLDEN)
     if a is not None or l is not None:
         edge = a if a is not None else l
-        if not edge.is_inter or edge.ref_frame[0] == LAST:
+        if (not edge.is_inter
+                or (edge.ref_frame[0] == LAST and not _has2(edge))):
             return 2
-        return 4 * int(edge.ref_frame[0] == GOLDEN)
+        if not _has2(edge):
+            return 4 * int(edge.ref_frame[0] == GOLDEN)
+        return 3 * int(edge.ref_frame[0] == GOLDEN
+                       or edge.ref_frame[1] == GOLDEN)
     return 2
 
 
 def single_ref_p1_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
-    """vp9_pred_common.c:158 (single-reference streams: no compound)."""
+    """not-LAST bit context, compound-aware
+    (eb_vp9_get_pred_context_single_ref_p1, vp9_pred_common.c:158)."""
     a = mig.above(mi_row, mi_col)
     l = mig.left(mi_row, mi_col)
     LAST = int(RefFrame.LAST)
@@ -86,19 +197,41 @@ def single_ref_p1_ctx(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int) -> int:
             return 2
         if ai or li:
             edge = l if ai else a
-            return 4 * int(edge.ref_frame[0] == LAST)
-        return 2 * int(a.ref_frame[0] == LAST) + 2 * int(l.ref_frame[0] == LAST)
+            if not _has2(edge):
+                return 4 * int(edge.ref_frame[0] == LAST)
+            return 1 + int(edge.ref_frame[0] == LAST
+                           or edge.ref_frame[1] == LAST)
+        a2, l2 = _has2(a), _has2(l)
+        a0, a1 = a.ref_frame
+        l0, l1 = l.ref_frame
+        if a2 and l2:
+            return 1 + int(a0 == LAST or a1 == LAST
+                           or l0 == LAST or l1 == LAST)
+        if a2 or l2:
+            rfs = a0 if not a2 else l0
+            crf1 = a0 if a2 else l0
+            crf2 = a1 if a2 else l1
+            if rfs == LAST:
+                return 3 + int(crf1 == LAST or crf2 == LAST)
+            return int(crf1 == LAST or crf2 == LAST)
+        return 2 * int(a0 == LAST) + 2 * int(l0 == LAST)
     if a is not None or l is not None:
         edge = a if a is not None else l
         if not edge.is_inter:
             return 2
-        return 4 * int(edge.ref_frame[0] == LAST)
+        if not _has2(edge):
+            return 4 * int(edge.ref_frame[0] == LAST)
+        return 1 + int(edge.ref_frame[0] == LAST
+                       or edge.ref_frame[1] == LAST)
     return 2
 
 
 def predict_inter_planes(st: FrameState, refs, mi_row: int, mi_col: int,
-                         bsize: BlockSize, mv_q3):
-    """MC prediction for Y/U/V; returns list of (pred, px, py)."""
+                         bsize: BlockSize, mv_q3, refs2=None, mv2_q3=None):
+    """MC prediction for Y/U/V; returns list of (pred, px, py).
+
+    refs2/mv2_q3: second (compound) reference — predictions averaged
+    with spec rounding (vp9_reconinter convolve_avg semantics)."""
     out = []
     for pidx in range(3):
         ss = st.planes[pidx].subsampling
@@ -107,6 +240,12 @@ def predict_inter_planes(st: FrameState, refs, mi_row: int, mi_col: int,
         pred = inter_ops.predict_inter_block(
             refs[pidx], mi_row, mi_col, 0, 0, bw, bh, mv_q3, ss,
             st.mi_rows, st.mi_cols)
+        if refs2 is not None:
+            pred2 = inter_ops.predict_inter_block(
+                refs2[pidx], mi_row, mi_col, 0, 0, bw, bh, mv2_q3, ss,
+                st.mi_rows, st.mi_cols)
+            pred = ((pred.astype(np.uint16) + pred2.astype(np.uint16) + 1)
+                    >> 1).astype(np.uint8)
         px = (mi_col * 8) >> ss
         py = (mi_row * 8) >> ss
         out.append((pred, px, py))
@@ -307,11 +446,13 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     # restriction is needed
     restrict = getattr(st, "_restrict_mv", False) and prev_mvs is None
 
+    sign_bias = getattr(st, "_sign_bias", None) or (0, 0, 0, 0)
+
     def eval_ref(ref_id, ref_planes, extra_rate, me_range):
         mv_list, mode_context, stable = MV.find_mv_refs(
             st.mig, mi_row, mi_col, bsize, ref_id,
             st.mig.tile_mi_start, st.mig.tile_mi_end, return_stable=True,
-            prev_mvs=prev_mvs)
+            prev_mvs=prev_mvs, sign_bias=sign_bias)
         nearest, near = MV.find_best_ref_mvs(
             mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
         sad_cache = {}
@@ -341,7 +482,7 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         # change the decision (SAD >= 0), so skip it entirely
         if not newmv_ok or best[0] <= (10 + extra_rate) * lam:
             return (best[0], ref_id, best[1], best[2], nearest,
-                    mode_context, ref_planes)
+                    mode_context, ref_planes, near, c_sad)
         tpu_mv = None
         if ref_id == int(RefFrame.LAST):
             tmv = getattr(st, "_tpu_mv", None)
@@ -390,7 +531,7 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         if cost < best[0]:
             best = (cost, 3, new_mv)
         return (best[0], ref_id, best[1], best[2], nearest, mode_context,
-                ref_planes)
+                ref_planes, near, c_sad)
 
     ranges = getattr(st, "_ref_ranges", None) or {}
     results = [eval_ref(int(RefFrame.LAST), refs, 0,
@@ -414,6 +555,49 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     mode_context = best_all[5]
     chosen_refs = best_all[6]
 
+    # compound candidate: average the fixed ref (opposite sign bias) with
+    # a variable ref (EbModeDecision.c bi-pred injection analogue; spec
+    # ordering: ref_frame[sign_bias[fixed]] = fixed)
+    comp_choice = None
+    if len(set(sign_bias[1:4])) > 1 and len(results) > 1:
+        fixed_ref, var_refs = compound_refs(sign_bias)
+        by_ref = {r[1]: r for r in results}
+        fx = by_ref.get(fixed_ref)
+        if fx is not None:
+            idx = sign_bias[fixed_ref]
+
+            def comp_sad(p0_planes, p1_planes, mv0, mv1):
+                p0 = inter_ops.predict_inter_block(
+                    p0_planes[0], mi_row, mi_col, 0, 0, w, h, mv0, 0,
+                    st.mi_rows, st.mi_cols)
+                p1 = inter_ops.predict_inter_block(
+                    p1_planes[0], mi_row, mi_col, 0, 0, w, h, mv1, 0,
+                    st.mi_rows, st.mi_cols)
+                avg = (p0.astype(np.int32) + p1.astype(np.int32) + 1) >> 1
+                return int(np.abs(avg - src.astype(np.int32)).sum())
+
+            for var in var_refs:
+                vr = by_ref.get(var)
+                if vr is None:
+                    continue
+                pair = [None, None]
+                pair[idx], pair[1 - idx] = fx, vr
+                cands = [(0, pair[0][4], pair[1][4], 4),
+                         (1, pair[0][7], pair[1][7], 5),
+                         (2, (0, 0), (0, 0), 3),
+                         (3, pair[0][3], pair[1][3], 22)]
+                seen = set()
+                for mode, mv0, mv1, rate in cands:
+                    k = (mode >= 3, mv0, mv1)
+                    if k in seen:
+                        continue
+                    seen.add(k)
+                    cost = comp_sad(pair[0][6], pair[1][6], mv0, mv1) \
+                        + rate * lam
+                    if cost < best[0] and (comp_choice is None
+                                           or cost < comp_choice[0]):
+                        comp_choice = (cost, mode, mv0, mv1, pair)
+
     # intra DC fallback — decided open-loop (source-based references);
     # exact recon happens in decode-order phase 3
     from tpu_vp9.ops import intra as intra_ops
@@ -427,7 +611,8 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     intra_cost = int(np.abs(
         dc_pred - src[:n, :n].astype(np.int32)).sum()) + 15 * lam
 
-    if intra_cost < best[0]:
+    inter_best = comp_choice[0] if comp_choice is not None else best[0]
+    if intra_cost < inter_best:
         mi = MI.ModeInfo(bsize=bsize, y_mode=IntraMode.DC_PRED,
                          uv_mode=IntraMode.DC_PRED,
                          tx_size=T.MAX_TX_SIZE[bsize], skip=False,
@@ -435,6 +620,20 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         mi.tile_mi_start = st.tile_mi_start
         st.mig.set_block(mi_row, mi_col, bsize, mi)
         return None
+
+    if comp_choice is not None:
+        _, mode, mv0, mv1, pair = comp_choice
+        mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize],
+                         skip=False, is_inter=True,
+                         ref_frame=(pair[0][1], pair[1][1]),
+                         mv=(tuple(mv0), tuple(mv1)), inter_mode=mode)
+        mi.mode_context = pair[0][5]
+        mi.best_ref_mv = pair[0][4]
+        mi.best_ref_mv2 = pair[1][4]
+        st.mig.set_block(mi_row, mi_col, bsize, mi)
+        preds = predict_inter_planes(st, pair[0][6], mi_row, mi_col, bsize,
+                                     mv0, refs2=pair[1][6], mv2_q3=mv1)
+        return (mi, mi_row, mi_col, bsize, preds)
 
     _, offset, mvv = best
     mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize], skip=False,
@@ -600,7 +799,9 @@ def _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias):
 
 def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
                      counts_sink=None,
-                     tx_mode=T.TxMode.ALLOW_32X32) -> bytes:
+                     tx_mode=T.TxMode.ALLOW_32X32,
+                     reference_mode: int = 0,
+                     sign_bias=(0, 0, 0, 0)) -> bytes:
     """Pass B for a P frame (single tile)."""
     if fc is None:
         fc = T.default_frame_context()
@@ -675,21 +876,41 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
                 counts_sink["y_mode"][grp, int(mi.y_mode)] += 1
                 counts_sink["uv_mode"][int(mi.y_mode), int(mi.uv_mode)] += 1
         else:
-            # single reference selection
-            rctx = single_ref_p1_ctx(st.mig, mi_row, mi_col)
-            not_last = mi.ref_frame[0] != int(RefFrame.LAST)
-            enc.put_bit(1 if not_last else 0,
-                        int(fc.single_ref_probs[rctx, 0]))
-            if counts_sink is not None:
-                counts_sink["single_ref"][rctx, 0, 1 if not_last else 0] += 1
-            if not_last:
-                rctx2 = single_ref_p2_ctx(st.mig, mi_row, mi_col)
-                is_alt = mi.ref_frame[0] == int(RefFrame.ALTREF)
-                enc.put_bit(1 if is_alt else 0,
-                            int(fc.single_ref_probs[rctx2, 1]))
+            compound = mi.ref_frame[1] > 0
+            if reference_mode == 2:
+                fixed_ref, _ = compound_refs(sign_bias)
+                cctx = comp_inter_ctx(st.mig, mi_row, mi_col, fixed_ref)
+                enc.put_bit(1 if compound else 0,
+                            int(fc.comp_inter_probs[cctx]))
                 if counts_sink is not None:
-                    counts_sink["single_ref"][rctx2, 1,
-                                              1 if is_alt else 0] += 1
+                    counts_sink["comp_inter"][cctx,
+                                              1 if compound else 0] += 1
+            if compound:
+                fixed_ref, var_refs = compound_refs(sign_bias)
+                idx = sign_bias[fixed_ref]
+                var = mi.ref_frame[1 - idx]
+                rctx = comp_ref_ctx(st.mig, mi_row, mi_col, sign_bias)
+                bit = 1 if var == var_refs[1] else 0
+                enc.put_bit(bit, int(fc.comp_ref_probs[rctx]))
+                if counts_sink is not None:
+                    counts_sink["comp_ref"][rctx, bit] += 1
+            else:
+                # single reference selection
+                rctx = single_ref_p1_ctx(st.mig, mi_row, mi_col)
+                not_last = mi.ref_frame[0] != int(RefFrame.LAST)
+                enc.put_bit(1 if not_last else 0,
+                            int(fc.single_ref_probs[rctx, 0]))
+                if counts_sink is not None:
+                    counts_sink["single_ref"][rctx, 0,
+                                              1 if not_last else 0] += 1
+                if not_last:
+                    rctx2 = single_ref_p2_ctx(st.mig, mi_row, mi_col)
+                    is_alt = mi.ref_frame[0] == int(RefFrame.ALTREF)
+                    enc.put_bit(1 if is_alt else 0,
+                                int(fc.single_ref_probs[rctx2, 1]))
+                    if counts_sink is not None:
+                        counts_sink["single_ref"][rctx2, 1,
+                                                  1 if is_alt else 0] += 1
             # inter mode
             T.write_token(enc, "inter_mode_tree",
                           fc.inter_mode_probs[mi.mode_context],
@@ -698,13 +919,16 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
                 counts_sink["inter_mode"][mi.mode_context,
                                           int(mi.inter_mode)] += 1
             if mi.inter_mode == 3:  # NEWMV
-                MV.write_mv(enc, mi.mv[0], mi.best_ref_mv, fc.nmv, False)
-                if counts_sink is not None:
-                    from tpu_vp9.codec.adapt import inc_mv
+                best_refs = (mi.best_ref_mv,
+                             getattr(mi, "best_ref_mv2", (0, 0)))
+                for i in range(2 if compound else 1):
+                    MV.write_mv(enc, mi.mv[i], best_refs[i], fc.nmv, False)
+                    if counts_sink is not None:
+                        from tpu_vp9.codec.adapt import inc_mv
 
-                    inc_mv(counts_sink,
-                           (mi.mv[0][0] - mi.best_ref_mv[0],
-                            mi.mv[0][1] - mi.best_ref_mv[1]))
+                        inc_mv(counts_sink,
+                               (mi.mv[i][0] - best_refs[i][0],
+                                mi.mv[i][1] - best_refs[i][1]))
         # tokens
         y_tx = mi.tx_size
         uv_tx = MI.uv_tx_size(bsize, y_tx)
@@ -759,7 +983,7 @@ def encode_pframe(frame, refs, qindex: int,
                   tx_select: bool = False, use_tpu_me: bool = False,
                   fc_base=None, restrict_mv_modes: bool = False,
                   prev_mvs=None, part_depths=None, altref_refs=None,
-                  ref_ranges=None):
+                  ref_ranges=None, sign_bias=(0, 0, 0)):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -776,6 +1000,7 @@ def encode_pframe(frame, refs, qindex: int,
     st._ref_ranges = ref_ranges
     st._restrict_mv = restrict_mv_modes
     st._prev_mvs = prev_mvs
+    st._sign_bias = (0,) + tuple(sign_bias)
     # Device ME pays off when the per-frame block count is large enough to
     # amortize the host<->device round-trip (and its one-time compile).
     if use_tpu_me and w * h >= 1280 * 720:
@@ -830,9 +1055,32 @@ def encode_pframe(frame, refs, qindex: int,
         st.tile_mi_start = getattr(mi, "tile_mi_start", 0)
         _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias)
     tx_mode = T.TxMode.TX_MODE_SELECT if tx_select else T.TxMode.ALLOW_32X32
+    # frame-level reference mode from the per-block outcomes (libvpx
+    # vp9_encodeframe: SINGLE if no compound blocks, COMPOUND if all,
+    # SELECT otherwise)
+    reference_mode = 0
+    if len(set(sign_bias)) > 1:
+        n_comp = n_single = 0
+        for ev, mi_row, mi_col, bsize, _ in events:
+            if ev != "leaf":
+                continue
+            mi = st.mig.get(mi_row, mi_col)
+            if mi is None or not mi.is_inter:
+                continue
+            if mi.ref_frame[1] > 0:
+                n_comp += 1
+            else:
+                n_single += 1
+        if n_comp and n_single:
+            reference_mode = 2
+        elif n_comp:
+            reference_mode = 1
+    st.reference_mode = reference_mode
     import functools
 
-    ser = functools.partial(serialize_pframe, tx_mode=tx_mode)
+    ser = functools.partial(serialize_pframe, tx_mode=tx_mode,
+                            reference_mode=reference_mode,
+                            sign_bias=st._sign_bias)
     if prob_update:
         from tpu_vp9.codec.fwd_update import serialize_with_updates
 

@@ -114,8 +114,10 @@ class ModeInfoGrid:
         self.f_skip = np.zeros(shape, bool)
         self.f_inter = np.zeros(shape, bool)
         self.f_ref0 = np.zeros(shape, np.int8)
+        self.f_ref1 = np.zeros(shape, np.int8)  # -1 = single reference
         self.f_mode = np.zeros(shape, np.int8)  # combined mode 0..13
         self.f_mv = np.zeros(shape + (2,), np.int32)  # mv[0] per mi (q3)
+        self.f_mv1 = np.zeros(shape + (2,), np.int32)  # mv[1] (compound)
 
     def set_block(self, mi_row: int, mi_col: int, bsize: BlockSize,
                   mi: ModeInfo) -> None:
@@ -129,16 +131,21 @@ class ModeInfoGrid:
         self.f_skip[sl] = mi.skip
         self.f_inter[sl] = mi.is_inter
         self.f_ref0[sl] = mi.ref_frame[0] if mi.is_inter else 0
+        self.f_ref1[sl] = mi.ref_frame[1] if mi.is_inter else -1
         self.f_mode[sl] = (10 + int(mi.inter_mode)) if mi.is_inter \
             else int(mi.y_mode)
         if mi.is_inter:
             self.f_mv[sl] = (int(mi.mv[0][0]), int(mi.mv[0][1]))
+            self.f_mv1[sl] = (int(mi.mv[1][0]), int(mi.mv[1][1]))
         else:
             self.f_mv[sl] = (0, 0)
+            self.f_mv1[sl] = (0, 0)
 
     def snapshot_mvs(self):
-        """(ref0, mv) grids for use as the next frame's temporal MVs."""
-        return self.f_ref0.copy(), self.f_mv.copy()
+        """(ref0, ref1, mv0, mv1) grids — the spec's MV_REF motion field
+        consumed by the next frame's temporal candidate scan."""
+        return (self.f_ref0.copy(), self.f_ref1.copy(),
+                self.f_mv.copy(), self.f_mv1.copy())
 
     def refresh_fields(self) -> None:
         """Re-derive field arrays from the object grid (after mutating

@@ -74,8 +74,15 @@ def _clamp(mv, lo_col, hi_col, lo_row, hi_row):
 def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                  bsize: BlockSize, ref_frame: int,
                  tile_mi_col_start: int = 0, tile_mi_col_end: int = 1 << 30,
-                 return_stable: bool = False, prev_mvs=None):
+                 return_stable: bool = False, prev_mvs=None,
+                 sign_bias=(0, 0, 0, 0)):
     """Returns (mv_ref_list[2], mode_context[, stable_count]).
+
+    prev_mvs: (ref0, ref1, mv0, mv1) grids of the previous decoded frame
+    (ModeInfoGrid.snapshot_mvs) or None when use_prev_frame_mvs is off.
+    sign_bias: per-ref-id sign biases indexed by RefFrame value (entry 0
+    unused); candidates from a ref with a different bias are negated
+    (spec scale_mv / vp9_mvref_common.h:139).
 
     stable_count = candidates found by the same-ref spatial scans, i.e.
     BEFORE the point where a conformant decoder would insert temporal
@@ -89,11 +96,17 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
     mv_list = []
     context_counter = 0
     different_ref_found = False
+    this_bias = sign_bias[ref_frame]
 
     def inside(pos):
         r, c = mi_row + pos[0], mi_col + pos[1]
         return (r >= 0 and c >= tile_mi_col_start and r < mig.mi_rows
                 and c < min(mig.mi_cols, tile_mi_col_end))
+
+    def flip(mv, cand_ref):
+        if sign_bias[cand_ref] != this_bias:
+            return (-mv[0], -mv[1])
+        return mv
 
     def add(mv):
         # ADD_MV_REF_LIST semantics: unique-2 early exit
@@ -135,38 +148,51 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                     done = True
                     break
     stable_count = len(mv_list)  # decoder inserts temporal MVs after here
-    # temporal pass 1: same-ref MV of the co-located prev-frame mi
-    # (use_prev_frame_mvs; prev_mvs = (ref0_grid, mv_grid) or None)
+    # temporal pass 1: same-ref MV of the co-located prev-frame MV_REF
+    # (use_prev_frame_mvs)
     if not done and prev_mvs is not None:
-        pref, pmv = prev_mvs
-        if pref[mi_row, mi_col] == ref_frame:
-            if add((int(pmv[mi_row, mi_col, 0]),
-                    int(pmv[mi_row, mi_col, 1]))):
+        pref0, pref1, pmv0, pmv1 = prev_mvs
+        if pref0[mi_row, mi_col] == ref_frame:
+            if add((int(pmv0[mi_row, mi_col, 0]),
+                    int(pmv0[mi_row, mi_col, 1]))):
+                done = True
+        elif pref1[mi_row, mi_col] == ref_frame:
+            if add((int(pmv1[mi_row, mi_col, 0]),
+                    int(pmv1[mi_row, mi_col, 1]))):
                 done = True
     if not done and different_ref_found:
-        # different-ref pass (sign-bias flip is a no-op: all biases equal)
+        # different-ref pass with sign-bias scaling
+        # (IF_DIFF_REF_FRAME_ADD_MV, vp9_mvref_common.h:166)
         for pos in search:
             if not inside(pos):
                 continue
             cand = mig.grid[mi_row + pos[0], mi_col + pos[1]]
             if cand.is_inter:
                 if cand.ref_frame[0] != ref_frame:
-                    if add(cand.mv[0]):
+                    if add(flip(cand.mv[0], cand.ref_frame[0])):
                         done = True
                         break
                 if (cand.ref_frame[1] > 0 and cand.ref_frame[1] != ref_frame
                         and cand.mv[1] != cand.mv[0]):
-                    if add(cand.mv[1]):
+                    if add(flip(cand.mv[1], cand.ref_frame[1])):
                         done = True
                         break
 
-    # temporal pass 2: different-ref MV of the co-located prev-frame mi
-    # (sign-bias flip is a no-op: all biases equal in our streams)
+    # temporal pass 2: different-ref MVs of the co-located prev-frame
+    # MV_REF, sign-bias scaled
     if not done and prev_mvs is not None:
-        pref, pmv = prev_mvs
-        pr = int(pref[mi_row, mi_col])
-        if pr != ref_frame and pr > 0:
-            add((int(pmv[mi_row, mi_col, 0]), int(pmv[mi_row, mi_col, 1])))
+        pref0, pref1, pmv0, pmv1 = prev_mvs
+        p0 = int(pref0[mi_row, mi_col])
+        if p0 != ref_frame and p0 > 0:
+            mv0 = (int(pmv0[mi_row, mi_col, 0]), int(pmv0[mi_row, mi_col, 1]))
+            if add(flip(mv0, p0)):
+                done = True
+        if not done:
+            p1 = int(pref1[mi_row, mi_col])
+            mv0 = (int(pmv0[mi_row, mi_col, 0]), int(pmv0[mi_row, mi_col, 1]))
+            mv1 = (int(pmv1[mi_row, mi_col, 0]), int(pmv1[mi_row, mi_col, 1]))
+            if p1 > 0 and p1 != ref_frame and mv1 != mv0:
+                add(flip(mv1, p1))
 
     while len(mv_list) < MAX_MV_REF_CANDIDATES:
         mv_list.append((0, 0))

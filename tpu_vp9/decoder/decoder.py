@@ -265,13 +265,24 @@ def parse_compressed_header(h: FrameHeader, data: bytes, fc) -> None:
         for i in range(4):
             fc.intra_inter_probs[i] = _diff_update_prob(
                 bd, int(fc.intra_inter_probs[i]))
-        # reference mode: compound only possible with differing sign biases
+        # frame reference mode (spec 6.3.12)
+        h.reference_mode = 0
         if len(set(h.ref_sign_bias)) > 1:
-            raise NotImplementedError("compound prediction not supported")
-        for i in range(5):
-            for j in range(2):
-                fc.single_ref_probs[i, j] = _diff_update_prob(
-                    bd, int(fc.single_ref_probs[i, j]))
+            if bd.read_bit(128):
+                h.reference_mode = 2 if bd.read_bit(128) else 1
+        if h.reference_mode == 2:
+            for i in range(5):
+                fc.comp_inter_probs[i] = _diff_update_prob(
+                    bd, int(fc.comp_inter_probs[i]))
+        if h.reference_mode != 1:
+            for i in range(5):
+                for j in range(2):
+                    fc.single_ref_probs[i, j] = _diff_update_prob(
+                        bd, int(fc.single_ref_probs[i, j]))
+        if h.reference_mode != 0:
+            for i in range(5):
+                fc.comp_ref_probs[i] = _diff_update_prob(
+                    bd, int(fc.comp_ref_probs[i]))
         for i in range(4):
             for j in range(9):
                 fc.if_y_probs[i, j] = _diff_update_prob(
@@ -517,45 +528,84 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
 
     h = st.h
     fc = st.fc
-    # single reference selection (all sign biases equal: no compound)
-    rctx = IF.single_ref_p1_ctx(st.mig, mi_row, mi_col)
-    not_last = bd.read_bit(int(fc.single_ref_probs[rctx, 0]))
-    if st.counts is not None:
-        st.counts["single_ref"][rctx, 0, not_last] += 1
-    if not_last:
-        rctx2 = IF.single_ref_p2_ctx(st.mig, mi_row, mi_col)
-        is_alt = bd.read_bit(int(fc.single_ref_probs[rctx2, 1]))
+    sign_bias = (0,) + tuple(h.ref_sign_bias)
+    # reference frame selection (spec read_ref_frames)
+    compound = False
+    if h.reference_mode == 2:
+        fixed_ref, _ = IF.compound_refs(sign_bias)
+        cctx = IF.comp_inter_ctx(st.mig, mi_row, mi_col, fixed_ref)
+        compound = bd.read_bit(int(fc.comp_inter_probs[cctx])) == 1
         if st.counts is not None:
-            st.counts["single_ref"][rctx2, 1, is_alt] += 1
-        ref_frame = int(RefFrame.ALTREF) if is_alt else int(RefFrame.GOLDEN)
+            st.counts["comp_inter"][cctx, 1 if compound else 0] += 1
+    elif h.reference_mode == 1:
+        compound = True
+    if compound:
+        fixed_ref, var_refs = IF.compound_refs(sign_bias)
+        rctx = IF.comp_ref_ctx(st.mig, mi_row, mi_col, sign_bias)
+        bit = bd.read_bit(int(fc.comp_ref_probs[rctx]))
+        if st.counts is not None:
+            st.counts["comp_ref"][rctx, bit] += 1
+        idx = sign_bias[fixed_ref]
+        rf = [0, 0]
+        rf[idx] = fixed_ref
+        rf[1 - idx] = var_refs[bit]
+        ref_frames = (rf[0], rf[1])
     else:
-        ref_frame = int(RefFrame.LAST)
-    if st.refs.get(ref_frame) is None:
-        raise ValueError(f"reference {ref_frame} unavailable")
-    mv_list, mode_context = MV.find_mv_refs(
-        st.mig, mi_row, mi_col, bsize, ref_frame,
-        st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=st.prev_mvs)
+        rctx = IF.single_ref_p1_ctx(st.mig, mi_row, mi_col)
+        not_last = bd.read_bit(int(fc.single_ref_probs[rctx, 0]))
+        if st.counts is not None:
+            st.counts["single_ref"][rctx, 0, not_last] += 1
+        if not_last:
+            rctx2 = IF.single_ref_p2_ctx(st.mig, mi_row, mi_col)
+            is_alt = bd.read_bit(int(fc.single_ref_probs[rctx2, 1]))
+            if st.counts is not None:
+                st.counts["single_ref"][rctx2, 1, is_alt] += 1
+            ref_frames = (int(RefFrame.ALTREF) if is_alt
+                          else int(RefFrame.GOLDEN), -1)
+        else:
+            ref_frames = (int(RefFrame.LAST), -1)
+    n_refs = 2 if compound else 1
+    for r in ref_frames[:n_refs]:
+        if st.refs.get(r) is None:
+            raise ValueError(f"reference {r} unavailable")
+    nearests, nears, mode_context = [], [], 0
+    for i in range(n_refs):
+        mv_list, mctx = MV.find_mv_refs(
+            st.mig, mi_row, mi_col, bsize, ref_frames[i],
+            st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=st.prev_mvs,
+            sign_bias=sign_bias)
+        if i == 0:
+            mode_context = mctx
+        nst, nr = MV.find_best_ref_mvs(
+            mv_list, h.allow_high_precision_mv, mi_row, mi_col, bsize,
+            st.mig.mi_rows, st.mig.mi_cols)
+        nearests.append(nst)
+        nears.append(nr)
     inter_mode = T.read_token(bd, "inter_mode_tree",
                               fc.inter_mode_probs[mode_context])
     if st.counts is not None:
         st.counts["inter_mode"][mode_context, inter_mode] += 1
-    nearest, near = MV.find_best_ref_mvs(
-        mv_list, h.allow_high_precision_mv, mi_row, mi_col, bsize,
-        st.mig.mi_rows, st.mig.mi_cols)
-    if inter_mode == 0:
-        mvv = nearest
-    elif inter_mode == 1:
-        mvv = near
-    elif inter_mode == 2:
-        mvv = (0, 0)
-    else:
-        mvv = MV.read_mv(bd, nearest, fc.nmv, h.allow_high_precision_mv)
-        if st.counts is not None:
-            from tpu_vp9.codec.adapt import inc_mv
+    mvs = []
+    for i in range(n_refs):
+        if inter_mode == 0:
+            mvs.append(nearests[i])
+        elif inter_mode == 1:
+            mvs.append(nears[i])
+        elif inter_mode == 2:
+            mvs.append((0, 0))
+        else:
+            mvv = MV.read_mv(bd, nearests[i], fc.nmv,
+                             h.allow_high_precision_mv)
+            if st.counts is not None:
+                from tpu_vp9.codec.adapt import inc_mv
 
-            inc_mv(st.counts, (mvv[0] - nearest[0], mvv[1] - nearest[1]))
+                inc_mv(st.counts, (mvv[0] - nearests[i][0],
+                                   mvv[1] - nearests[i][1]))
+            mvs.append(mvv)
+    if n_refs == 1:
+        mvs.append((0, 0))
     mi = MI.ModeInfo(bsize=bsize, tx_size=y_tx, skip=skip, is_inter=True,
-                     ref_frame=(ref_frame, -1), mv=(mvv, (0, 0)),
+                     ref_frame=ref_frames, mv=(mvs[0], mvs[1]),
                      inter_mode=inter_mode)
     st.mig.set_block(mi_row, mi_col, bsize, mi)
 
@@ -568,9 +618,16 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
         w, hh = T.BLOCK_WH[bsize]
         bw, bh = w >> ss, hh >> ss
         pred = inter_ops.predict_inter_block(
-            st.refs[ref_frame][pidx], mi_row, mi_col, 0, 0, bw, bh, mvv, ss,
-            st.mig.mi_rows, st.mig.mi_cols,
+            st.refs[ref_frames[0]][pidx], mi_row, mi_col, 0, 0, bw, bh,
+            mvs[0], ss, st.mig.mi_rows, st.mig.mi_cols,
             h.interp_filter)
+        if compound:
+            pred2 = inter_ops.predict_inter_block(
+                st.refs[ref_frames[1]][pidx], mi_row, mi_col, 0, 0, bw, bh,
+                mvs[1], ss, st.mig.mi_rows, st.mig.mi_cols,
+                h.interp_filter)
+            pred = ((pred.astype(np.uint16) + pred2.astype(np.uint16) + 1)
+                    >> 1).astype(np.uint8)
         px = (mi_col * 8) >> ss
         py = (mi_row * 8) >> ss
         if skip:

@@ -340,6 +340,10 @@ class RaEncoder:
                 64, max(8, (sig.search_range
                             * max(1, abs(gf.poc - gf.golden_poc))) // 2))
         prev_mvs = self._prev_mvs_for(w, h)
+        # ALTREF anchors are future frames: opposite sign bias, which also
+        # unlocks compound (past+future averaged) prediction
+        sign_bias = ((0, 0, 1) if alt is not None and gf.alt_poc > gf.poc
+                     else (0, 0, 0))
         tile, st = encode_pframe(
             frame, refs, qindex, sig.block_size, sig.search_range,
             qbias=sig.qbias, do_subpel=sig.do_subpel,
@@ -347,7 +351,7 @@ class RaEncoder:
             golden_refs=golden, altref_refs=alt, ref_ranges=ranges,
             tx_select=sig.tx_select, use_tpu_me=sig.use_tpu_me,
             fc_base=fc_base, restrict_mv_modes=False, prev_mvs=prev_mvs,
-            part_depths=sig.part_depths)
+            part_depths=sig.part_depths, sign_bias=sign_bias)
         # DPB wiring: LAST/GOLDEN/ALTREF -> slots; refresh for references
         last_slot = self.dpb.slot(gf.last_poc)
         golden_slot = (self.dpb.slot(gf.golden_poc)
@@ -366,6 +370,8 @@ class RaEncoder:
                      else TxMode.ALLOW_32X32),
             refresh_frame_mask=refresh_mask,
             ref_dpb_index=(last_slot, golden_slot, alt_slot),
+            ref_sign_bias=sign_bias,
+            reference_mode=getattr(st, "reference_mode", 0),
             reset_frame_context=0,
             refresh_frame_context=not er and gf.is_ref,
             frame_parallel_decoding_mode=fpdm,
