@@ -316,8 +316,8 @@ class Vp9Encoder:
             frames = {ra.base_poc + 1 + i: self._ra_buf[ra.base_poc + 1 + i]
                       for i in range(gop)}
             qov = self._qp_overridden(ra.base_poc + 1)
-            base_q = qov if qov is not None else self._rc.frame_qindex(False)
-            pkts = ra.encode_minigop(frames, ra.base_poc, gop, base_q)
+            pkts = ra.encode_minigop(frames, ra.base_poc, gop,
+                                     qindex_override=qov)
             for p in frames:
                 del self._ra_buf[p]
             self._emit_ra(pkts)

@@ -90,25 +90,18 @@ def plan_minigop(base_poc: int, gop_len: int, golden_poc: int) -> list:
     return out
 
 
-def layer_qindex(base_q: int, layer: int, n_layers: int) -> int:
-    """CQP per-layer quantizer ladder (eb_vp9_qp_scaling_calc analogue).
+def layer_qindex(base_q: int, layer: int, n_layers: int,
+                 tune: int = 1) -> int:
+    """CQP per-layer quantizer ladder via the exact libvpx curve math
+    (eb_vp9_qp_scaling_calc, EbRateControlProcess.c:44): layer-0 anchors
+    (ARF/base) target 0.35x of the base q-value, interior layers the
+    tune's delta-rate fractions."""
+    from tpu_vp9.pipeline import rc_curves as C
 
-    Layer 0 anchors (ARF/base) get a quality boost that scales with the
-    operating point; the deepest (non-reference) layer is quantized
-    harder.  Mirrors the *intent* of EbRateControlProcess.c:44 without
-    the libvpx rc-curve lookup.
-    """
     if n_layers <= 1:
         return base_q
-    boost = min(48, max(10, base_q // 4))
-    if layer == 0:
-        q = base_q - boost
-    else:
-        # interior layers interpolate toward a +penalty at the leaves
-        leaf_penalty = min(24, max(6, base_q // 10))
-        frac = layer / max(1, n_layers - 1)
-        q = base_q - int(boost * (1.0 - frac) * 0.5) + int(leaf_penalty * frac)
-    return int(np.clip(q, 1, 255))
+    return C.qp_scaling_qindex(base_q, False, layer, tune=tune,
+                               five_level=n_layers > 5)
 
 
 class DpbAllocator:
@@ -259,10 +252,12 @@ class RaEncoder:
                         qindex=qindex, temporal_layer=0)
 
     def encode_minigop(self, frames: dict, base_poc: int, gop_len: int,
-                       base_qindex: int) -> list:
+                       qindex_override=None) -> list:
         """Encode frames base_poc+1..base_poc+gop_len; returns RaPackets.
 
         frames: {poc: Frame420} for every poc in that range.
+        qindex_override: qp-file base qindex (per-layer ladder still
+        applies); None = ask the rate controller per frame.
         """
         cfg, sig = self.cfg, self.sig
         er = cfg.error_resilient
@@ -293,10 +288,10 @@ class RaEncoder:
                 assert not hidden
                 packets.append(RaPacket(
                     data=payload, pts=gf.poc, dts=gf.poc, is_keyframe=False,
-                    qindex=base_qindex, temporal_layer=gf.temporal_layer))
+                    qindex=0, temporal_layer=gf.temporal_layer))
             else:
                 pkt_payload, qindex = self._encode_inter_frame(
-                    frames[gf.poc], gf, base_qindex, n_layers)
+                    frames[gf.poc], gf, qindex_override, n_layers)
                 if gf.show:
                     packets.append(RaPacket(
                         data=build_superframe(hidden + [pkt_payload]),
@@ -315,12 +310,16 @@ class RaEncoder:
         # top anchor becomes GOLDEN when the interval has passed
         return packets
 
-    def _encode_inter_frame(self, frame, gf: GopFrame, base_qindex: int,
+    def _encode_inter_frame(self, frame, gf: GopFrame, qindex_override,
                             n_layers: int):
         cfg, sig = self.cfg, self.sig
         er = cfg.error_resilient
         h, w = frame.y.shape
-        qindex = layer_qindex(base_qindex, gf.temporal_layer, n_layers)
+        if qindex_override is not None:
+            qindex = layer_qindex(qindex_override, gf.temporal_layer,
+                                  n_layers, tune=int(cfg.tune))
+        else:
+            qindex = self.rc.frame_qindex(False, gf.temporal_layer)
         fc_base = self._fc_for_frame(False)
         refs = self.planes_of[gf.last_poc]
         golden = (self.planes_of.get(gf.golden_poc)

@@ -1,10 +1,12 @@
-"""Rate control: CQP (with keyframe QP scaling), VBR, CBR + VBV.
+"""Rate control: CQP (libvpx-curve QP scaling), VBR, CBR + VBV.
 
 Capability parity with the reference RC kernel
 (``EbRateControlProcess.c``: CQP qp-scaling ``:44``, VBR ``:434/:1067``,
-CBR ``:2243``, VBV ``:4378``) — re-expressed as a compact per-frame
-controller suitable for frame-parallel operation: all state lives in a
-small dataclass that can be psum-merged across shards.
+CBR ``:2243``, VBV ``:4378``) built on the exact libvpx curve math in
+``rc_curves.py`` (bits_per_mb projection, rate-correction factors,
+minq LUTs) — re-expressed as a compact per-frame controller suitable
+for frame-parallel operation: all state lives in a small dataclass that
+can be psum-merged across shards.
 """
 
 from __future__ import annotations
@@ -13,7 +15,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from tpu_vp9.config import EncoderConfig, RateControlMode
+from tpu_vp9.config import EncoderConfig, RateControlMode, Tune
+from tpu_vp9.pipeline import rc_curves as C
 from tpu_vp9.pipeline.presets import qp_to_qindex
 
 
@@ -21,56 +24,109 @@ from tpu_vp9.pipeline.presets import qp_to_qindex
 class RateControlState:
     cfg: EncoderConfig
     qindex: int = 100
+    mbs: int = 0  # 16x16 macroblock count (libvpx bits_per_mb unit)
     target_bits_per_frame: float = 0.0
     buffer_level: float = 0.0  # VBV fullness (bits)
     buffer_size: float = 0.0
     total_bits: float = 0.0
     frames_coded: int = 0
-    err_accum: float = 0.0
+    # libvpx-style per-frame-type rate correction factors
+    corr_key: float = 1.0
+    corr_inter: float = 1.0
+    vbr_bits_off_target: float = 0.0
+    _last: tuple = None  # (qindex, is_key, target) of the pending frame
 
     @classmethod
     def create(cls, cfg: EncoderConfig) -> "RateControlState":
         st = cls(cfg=cfg)
         st.qindex = qp_to_qindex(cfg.qp)
+        st.mbs = max(1, ((cfg.source_width + 15) // 16)
+                     * ((cfg.source_height + 15) // 16))
         if cfg.rate_control_mode != RateControlMode.CQP:
             fps = max(cfg.fps, 1.0)
             st.target_bits_per_frame = cfg.target_bit_rate / fps
             st.buffer_size = cfg.vbv_buf_size or 2 * cfg.target_bit_rate
             st.buffer_level = st.buffer_size * 0.5
-            st.qindex = 128  # start mid-range; adapts quickly
         return st
 
-    def frame_qindex(self, is_keyframe: bool) -> int:
-        q = self.qindex
-        if is_keyframe:
-            # keyframe boost (CQP qp-scaling analogue: ~3/4 of inter q)
-            q = int(q * 0.72)
-        return int(np.clip(q, qp_to_qindex(self.cfg.min_qp_allowed),
-                           qp_to_qindex(self.cfg.max_qp_allowed)))
+    # -- q selection ---------------------------------------------------------
+
+    def frame_qindex(self, is_keyframe: bool,
+                     temporal_layer: int = -1) -> int:
+        """temporal_layer >= 0 engages the per-layer CQP ladder (RA
+        pyramids); -1 = structure-agnostic (low-delay paths manage their
+        own layer offsets)."""
+        lo = qp_to_qindex(self.cfg.min_qp_allowed)
+        hi = qp_to_qindex(self.cfg.max_qp_allowed)
+        if self.cfg.rate_control_mode == RateControlMode.CQP:
+            q = self._cqp_qindex(is_keyframe, temporal_layer)
+            return int(np.clip(q, lo, hi))
+        # VBR/CBR: project bits at q via the libvpx curve and pick the
+        # lowest q meeting this frame's target (vp9_rc_regulate_q)
+        target = self._frame_target(is_keyframe, temporal_layer)
+        cf = self.corr_key if is_keyframe else self.corr_inter
+        q = C.regulate_q(target, self.mbs, is_keyframe, cf, lo, hi)
+        if not is_keyframe and temporal_layer > 0:  # noqa: SIM102
+            # non-reference/enhancement frames ride above the regulated q
+            q = min(hi, q + 4 * temporal_layer)
+        self._last = (q, is_keyframe, target)
+        return int(q)
+
+    def _cqp_qindex(self, is_key: bool, temporal_layer: int) -> int:
+        base = qp_to_qindex(self.cfg.qp)
+        if not self.cfg.enable_qp_scaling:
+            return base
+        if not is_key and temporal_layer < 0:
+            return base  # caller manages its own layer offsets
+        return C.qp_scaling_qindex(
+            base, is_key, temporal_layer, tune=int(self.cfg.tune),
+            five_level=self.cfg.hierarchical_levels >= 5)
+
+    def _frame_target(self, is_key: bool, temporal_layer: int) -> float:
+        target = self.target_bits_per_frame
+        if is_key:
+            return target * 6.0  # kf boost budget (rc kf_boost analogue)
+        if self.cfg.rate_control_mode == RateControlMode.CBR:
+            # one-pass CBR: lean against VBV drift
+            # (vp9_calc_pframe_target_size_one_pass_cbr semantics)
+            drift = (self.buffer_level - 0.5 * self.buffer_size)
+            target += drift / max(self.cfg.fps, 1.0) * 0.5
+        else:
+            # VBR: redistribute accumulated over/undershoot
+            target += self.vbr_bits_off_target * 0.05
+        return max(target, 64.0)
+
+    # -- feedback -------------------------------------------------------------
 
     def update(self, frame_bits: int, is_keyframe: bool) -> None:
-        """Post-encode feedback (the packetization->RC edge)."""
+        """Post-encode feedback (the packetization->RC edge):
+        vp9_rc_update_rate_correction_factors + postencode_update."""
         self.total_bits += frame_bits
         self.frames_coded += 1
         if self.cfg.rate_control_mode == RateControlMode.CQP:
             return
-        target = self.target_bits_per_frame
-        if is_keyframe:
-            target = target * 4  # keyframes are allowed a boost budget
-        err = frame_bits / max(target, 1.0)
-        # multiplicative-increase controller on log bit error
-        step = 12.0 if self.cfg.rate_control_mode == RateControlMode.CBR else 8.0
-        self.qindex += int(np.clip(step * np.log2(max(err, 1e-3)), -16, 16))
-        # long-term drift correction
-        avg = self.total_bits / self.frames_coded
-        drift = avg / max(self.target_bits_per_frame, 1.0)
-        self.qindex += int(np.clip(4.0 * np.log2(max(drift, 1e-3)), -4, 4))
-        self.qindex = int(np.clip(self.qindex, 0, 255))
+        if self._last is not None:
+            q_used, was_key, _ = self._last
+            cf = self.corr_key if was_key else self.corr_inter
+            proj = max(C.projected_bits(q_used, self.mbs, was_key, cf), 1)
+            ratio = frame_bits / proj
+            # gradual correction (libvpx adjusts by up to a factor of 2)
+            adj = float(np.clip(ratio, 0.5, 2.0))
+            cf = float(np.clip(cf * (0.75 + 0.25 * adj),
+                               C.MIN_BPB_FACTOR, C.MAX_BPB_FACTOR))
+            if was_key:
+                self.corr_key = cf
+            else:
+                self.corr_inter = cf
+            self._last = None
+        self.vbr_bits_off_target += self.target_bits_per_frame - frame_bits
+        # clamp accumulated debt to ~one second of bits
+        cap = self.target_bits_per_frame * max(self.cfg.fps, 1.0)
+        self.vbr_bits_off_target = float(
+            np.clip(self.vbr_bits_off_target, -cap, cap))
         if self.cfg.rate_control_mode == RateControlMode.CBR:
             # VBV accounting: drain at target rate, fill with frame bits
             self.buffer_level += self.target_bits_per_frame - frame_bits
-            self.buffer_level = min(self.buffer_level, self.buffer_size)
-            if self.buffer_level < 0.15 * self.buffer_size:
-                self.qindex = min(self.qindex + 12, 255)  # emergency
-            elif self.buffer_level > 0.85 * self.buffer_size:
-                self.qindex = max(self.qindex - 6, 0)
+            self.buffer_level = float(
+                np.clip(self.buffer_level, -self.buffer_size,
+                        self.buffer_size))
