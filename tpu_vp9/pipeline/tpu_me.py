@@ -71,7 +71,22 @@ def tpu_block_motion(src_plane, ref_padded, border: int, n: int, r: int):
             x0 = border + bc * n - r
             regions[i] = ref_padded[y0 : y0 + win, x0 : x0 + win]
             i += 1
-    dy, dx, _ = full_search_sse(jnp.asarray(blocks), jnp.asarray(regions),
-                                n, r)
+    dy = dx = None
+    try:
+        # Pallas kernel: per-block search stays in VMEM (no (D,B,D) HBM
+        # round trip); falls back to the XLA scan formulation on any
+        # lowering trouble.
+        import jax as _jax
+
+        if _jax.devices()[0].platform == "tpu":
+            from tpu_vp9.ops.pallas_kernels import sad_full_search
+
+            dy, dx, _ = sad_full_search(jnp.asarray(blocks),
+                                        jnp.asarray(regions), n, r)
+    except Exception:
+        dy = dx = None
+    if dy is None:
+        dy, dx, _ = full_search_sse(jnp.asarray(blocks),
+                                    jnp.asarray(regions), n, r)
     out = np.stack([np.asarray(dy), np.asarray(dx)], axis=-1)
     return out.reshape(rows, cols, 2)
