@@ -205,6 +205,15 @@ class Vp9Encoder:
             # machinery keeps candidates invariant to any temporal-MV
             # state instead
             prev_usable = restrict and not self._last_was_droppable
+            lmap = None
+            if sig.qpm or sig.denoise:
+                from tpu_vp9.pipeline.picture_analysis import (
+                    analyze_picture,
+                )
+
+                stats = analyze_picture(frame, denoise=sig.denoise)
+                if sig.qpm:
+                    lmap = stats.sb_lambda_map()
             tile, st = encode_pframe(
                 frame, self._refs, qindex, sig.block_size,
                 sig.search_range, qbias=sig.qbias, do_subpel=sig.do_subpel,
@@ -214,7 +223,7 @@ class Vp9Encoder:
                 restrict_mv_modes=restrict,
                 prev_mvs=(self._prev_snapshot
                           if prev_usable else None),
-                part_depths=sig.part_depths)
+                part_depths=sig.part_depths, lambda_map=lmap)
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select

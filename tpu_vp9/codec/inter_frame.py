@@ -433,6 +433,13 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     src = pl.source[py : py + h, px : px + w]
 
     lam = max(1, (ac_q * ac_q) >> 6)
+    lmap = getattr(st, "_lambda_map", None)
+    if lmap is not None:
+        # QPM/BEA analogue: per-SB RDMULT modulation
+        # (EbEncDecProcess.c:5515 rdmult-from-qindex, seg-less variant)
+        sr = min(mi_row >> 3, lmap.shape[0] - 1)
+        sc = min(mi_col >> 3, lmap.shape[1] - 1)
+        lam = max(1, int(lam * float(lmap[sr, sc])))
     filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
 
     def mc_sad(ref_planes, mv_q3):
@@ -983,7 +990,7 @@ def encode_pframe(frame, refs, qindex: int,
                   tx_select: bool = False, use_tpu_me: bool = False,
                   fc_base=None, restrict_mv_modes: bool = False,
                   prev_mvs=None, part_depths=None, altref_refs=None,
-                  ref_ranges=None, sign_bias=(0, 0, 0)):
+                  ref_ranges=None, sign_bias=(0, 0, 0), lambda_map=None):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -1001,6 +1008,7 @@ def encode_pframe(frame, refs, qindex: int,
     st._restrict_mv = restrict_mv_modes
     st._prev_mvs = prev_mvs
     st._sign_bias = (0,) + tuple(sign_bias)
+    st._lambda_map = lambda_map
     # Device ME pays off when the per-frame block count is large enough to
     # amortize the host<->device round-trip (and its one-time compile).
     if use_tpu_me and w * h >= 1280 * 720:

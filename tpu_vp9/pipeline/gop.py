@@ -339,6 +339,14 @@ class RaEncoder:
                 64, max(8, (sig.search_range
                             * max(1, abs(gf.poc - gf.golden_poc))) // 2))
         prev_mvs = self._prev_mvs_for(w, h)
+        # picture analysis -> QPM/BEA lambda map (quality presets)
+        lmap = None
+        if sig.qpm or sig.denoise:
+            from tpu_vp9.pipeline.picture_analysis import analyze_picture
+
+            stats = analyze_picture(frame, denoise=sig.denoise)
+            if sig.qpm:
+                lmap = stats.sb_lambda_map()
         # ALTREF anchors are future frames: opposite sign bias, which also
         # unlocks compound (past+future averaged) prediction
         sign_bias = ((0, 0, 1) if alt is not None and gf.alt_poc > gf.poc
@@ -350,7 +358,8 @@ class RaEncoder:
             golden_refs=golden, altref_refs=alt, ref_ranges=ranges,
             tx_select=sig.tx_select, use_tpu_me=sig.use_tpu_me,
             fc_base=fc_base, restrict_mv_modes=False, prev_mvs=prev_mvs,
-            part_depths=sig.part_depths, sign_bias=sign_bias)
+            part_depths=sig.part_depths, sign_bias=sign_bias,
+            lambda_map=lmap)
         # DPB wiring: LAST/GOLDEN/ALTREF -> slots; refresh for references
         last_slot = self.dpb.slot(gf.last_poc)
         golden_slot = (self.dpb.slot(gf.golden_poc)

@@ -26,6 +26,8 @@ class PresetSignals:
     tx_select: bool = False  # per-block transform size (TX_MODE_SELECT)
     use_tpu_me: bool = False  # batched device full-pel search
     part_depths: tuple = None  # (min_bs, max_bs) quadtree partition RDO
+    qpm: bool = False  # QPM/BEA analogue: per-SB lambda from analysis maps
+    denoise: bool = False  # pre-encode weak denoise when noise detected
 
 
 _LADDER = {
@@ -69,9 +71,15 @@ def derive_signals(cfg: EncoderConfig) -> PresetSignals:
         sig = dataclasses.replace(
             sig, search_range=max(sig.search_range,
                                   64 if px >= 3840 * 2160 else 48))
+    if int(cfg.enc_mode) <= 5:
+        # quality presets run the analysis-driven QPM/BEA analogue
+        sig = dataclasses.replace(sig, qpm=True)
     if cfg.tune == Tune.SQ:
-        # visual tune: slightly wider deadzone on high-energy coeffs
-        sig = dataclasses.replace(sig, qbias=max(sig.qbias - 0.02, 0.3))
+        # visual tune: slightly wider deadzone on high-energy coeffs,
+        # QPM always on, denoiser gated by the noise estimate
+        sig = dataclasses.replace(sig, qbias=max(sig.qbias - 0.02, 0.3),
+                                  qpm=True,
+                                  denoise=int(cfg.enc_mode) <= 6)
     if not cfg.enable_hme:
         sig = dataclasses.replace(sig,
                                   search_range=min(sig.search_range, 8))
