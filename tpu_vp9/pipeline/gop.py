@@ -307,7 +307,15 @@ class RaEncoder:
                     self.planes_of.pop(p, None)
         assert not hidden
         self.base_poc = base_poc + gop_len
-        # top anchor becomes GOLDEN when the interval has passed
+        # long-term GOLDEN refresh: rotate the anchor onto the new base
+        # once it has aged past ~2 minigops (picture-manager long-term
+        # reference policy analogue)
+        if self.base_poc - self.golden_poc >= max(2 * gop_len, 8):
+            old_g = self.golden_poc
+            self.golden_poc = self.base_poc
+            if old_g != self.base_poc and old_g in self.dpb.slot_of:
+                self.dpb.release(old_g)
+                self.planes_of.pop(old_g, None)
         return packets
 
     def _encode_inter_frame(self, frame, gf: GopFrame, qindex_override,
