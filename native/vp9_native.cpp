@@ -512,3 +512,125 @@ void subpel_refine_c(const uint8_t* base, int stride, const uint8_t* src,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused MC + SAD for mode-decision candidate evaluation.  Mirrors
+// tpu_vp9.ops.inter.predict_inter_block (clamp_mv_to_umv_border, q3->q4,
+// exact 2-stage 8-tap convolve, full-pel identity fast path) followed by
+// an abs-diff sum vs the source block.  This is the reference's
+// "prediction + SAD" fast loop (EbEncDecProcess.c perform_fast_loop
+// analogue) with the per-call Python overhead removed.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Predict one square luma block (ss=0) into out[n*n].
+// padded: border-extended plane; stride its row stride; border offset.
+static void mc_predict_y(const uint8_t* padded, int stride, int border,
+                         int mi_row, int mi_col, int n,
+                         int mv_row_q3, int mv_col_q3,
+                         int mi_rows, int mi_cols,
+                         const int16_t* filters, uint8_t* out) {
+    // clamp_mv_to_umv_border, ss=0 (q4 units)
+    const int spel_left = (4 + n) << 4;
+    const int spel_right = spel_left - 16;
+    const int spel_top = spel_left;
+    const int spel_bottom = spel_top - 16;
+    int row = mv_row_q3 * 2, col = mv_col_q3 * 2;
+    const int mb_to_left = -((mi_col * 8) * 8);
+    const int mb_to_right = ((mi_cols - n / 8 - mi_col) * 8) * 8;
+    const int mb_to_top = -((mi_row * 8) * 8);
+    const int mb_to_bottom = ((mi_rows - n / 8 - mi_row) * 8) * 8;
+    col = clamp_i(col, mb_to_left * 2 - spel_left,
+                  mb_to_right * 2 + spel_right);
+    row = clamp_i(row, mb_to_top * 2 - spel_top,
+                  mb_to_bottom * 2 + spel_bottom);
+    const int px = mi_col * 8, py = mi_row * 8;
+    const int x_q4 = (px << 4) + col, y_q4 = (py << 4) + row;
+    const int x0 = x_q4 >> 4, y0 = y_q4 >> 4;
+    const int sx = x_q4 & 15, sy = y_q4 & 15;
+    const uint8_t* base =
+        padded + (int64_t)(border + y0) * stride + (border + x0);
+    if (sx == 0 && sy == 0) {
+        for (int y = 0; y < n; ++y)
+            for (int x = 0; x < n; ++x) out[y * n + x] = base[y * stride + x];
+        return;
+    }
+    const int16_t* fx = filters + sx * 8;
+    const int16_t* fy = filters + sy * 8;
+    int inter[71 * 64];
+    const int ih = n + 7;
+    const uint8_t* win = base - 3 * stride - 3;
+    for (int y = 0; y < ih; ++y) {
+        const uint8_t* rowp = win + (int64_t)y * stride;
+        for (int x = 0; x < n; ++x) {
+            int sum = 0;
+            for (int k = 0; k < 8; ++k) sum += rowp[x + k] * fx[k];
+            inter[y * 64 + x] = clamp_i((sum + 64) >> 7, 0, 255);
+        }
+    }
+    for (int y = 0; y < n; ++y) {
+        for (int x = 0; x < n; ++x) {
+            int sum = 0;
+            for (int k = 0; k < 8; ++k) sum += inter[(y + k) * 64 + x] * fy[k];
+            out[y * n + x] = (uint8_t)clamp_i((sum + 64) >> 7, 0, 255);
+        }
+    }
+}
+
+int64_t mc_block_sad(const uint8_t* padded, int stride, int border,
+                     int mi_row, int mi_col, int n,
+                     int mv_row_q3, int mv_col_q3,
+                     int mi_rows, int mi_cols,
+                     const uint8_t* src, int src_stride,
+                     const int16_t* filters) {
+    uint8_t pred[64 * 64];
+    mc_predict_y(padded, stride, border, mi_row, mi_col, n, mv_row_q3,
+                 mv_col_q3, mi_rows, mi_cols, filters, pred);
+    int64_t sad = 0;
+    for (int y = 0; y < n; ++y) {
+        const uint8_t* s = src + (int64_t)y * src_stride;
+        const uint8_t* p = pred + y * n;
+        for (int x = 0; x < n; ++x) {
+            int d = (int)p[x] - (int)s[x];
+            sad += d < 0 ? -d : d;
+        }
+    }
+    return sad;
+}
+
+// Compound (two-reference averaged) MC + SAD: round-to-even average per
+// spec ((p0 + p1 + 1) >> 1), as in tpu_vp9 comp_sad.
+int64_t mc_block_sad_avg(const uint8_t* padded0, int stride0,
+                         const uint8_t* padded1, int stride1, int border,
+                         int mi_row, int mi_col, int n,
+                         int mv0_row_q3, int mv0_col_q3,
+                         int mv1_row_q3, int mv1_col_q3,
+                         int mi_rows, int mi_cols,
+                         const uint8_t* src, int src_stride,
+                         const int16_t* filters) {
+    uint8_t p0[64 * 64], p1[64 * 64];
+    mc_predict_y(padded0, stride0, border, mi_row, mi_col, n, mv0_row_q3,
+                 mv0_col_q3, mi_rows, mi_cols, filters, p0);
+    mc_predict_y(padded1, stride1, border, mi_row, mi_col, n, mv1_row_q3,
+                 mv1_col_q3, mi_rows, mi_cols, filters, p1);
+    int64_t sad = 0;
+    for (int y = 0; y < n; ++y) {
+        const uint8_t* s = src + (int64_t)y * src_stride;
+        for (int x = 0; x < n; ++x) {
+            int avg = ((int)p0[y * n + x] + (int)p1[y * n + x] + 1) >> 1;
+            int d = avg - (int)s[x];
+            sad += d < 0 ? -d : d;
+        }
+    }
+    return sad;
+}
+
+// Batched bool-coder bit writes: one ctypes crossing for a run of
+// (bit, prob) pairs accumulated on the Python side.
+void boolenc_put_many(BoolEnc* e, const uint8_t* bits, const uint8_t* probs,
+                      int64_t count) {
+    for (int64_t i = 0; i < count; ++i) put_bit(e, bits[i], probs[i]);
+}
+
+}  // extern "C"

@@ -157,3 +157,79 @@ def test_native_subpel_refine_matches_python(monkeypatch):
         want = me_ops.subpel_refine(src, ref, px, py, BORDER, mv, filters)
         monkeypatch.undo()
         assert got == want, (px, py, mv)
+
+
+def test_native_mc_sad_matches_python():
+    """Fused MC+SAD == predict_inter_block + abs-sum, incl. UMV clamping."""
+    from tpu_vp9.native import native_mc_sad, native_mc_sad_avg, get_lib
+    from tpu_vp9.ops import inter as inter_ops
+    from tpu_vp9.ops.inter import extend_borders, BORDER
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    w, h = 128, 96
+    mi_rows, mi_cols = h // 8, w // 8
+    plane = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    plane2 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    ref = extend_borders(plane, w, h)
+    ref2 = extend_borders(plane2, w, h)
+    src_full = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    cases = [
+        (0, 0, 8, (0, 0)), (0, 0, 8, (-999, -999)),   # clamp far corner
+        (4, 6, 16, (13, -27)), (2, 2, 32, (5, 3)),
+        (0, 8, 64, (999, 999)),                        # clamp other corner
+        (8, 12, 8, (-3, 7)), (6, 10, 16, (31, -31)),
+    ]
+    for mi_row, mi_col, n, mv in cases:
+        if mi_row * 8 + n > h or mi_col * 8 + n > w:
+            continue
+        src = src_full[mi_row * 8 : mi_row * 8 + n,
+                       mi_col * 8 : mi_col * 8 + n]
+        pred = inter_ops.predict_inter_block(
+            ref, mi_row, mi_col, 0, 0, n, n, mv, 0, mi_rows, mi_cols)
+        want = int(np.abs(pred.astype(np.int32)
+                          - src.astype(np.int32)).sum())
+        got = native_mc_sad(ref, BORDER, mi_row, mi_col, n, mv,
+                            mi_rows, mi_cols, src)
+        assert got == want, (mi_row, mi_col, n, mv)
+        # compound average path
+        mv2 = (mv[1] // 2, mv[0] // 2)
+        pred2 = inter_ops.predict_inter_block(
+            ref2, mi_row, mi_col, 0, 0, n, n, mv2, 0, mi_rows, mi_cols)
+        avg = (pred.astype(np.int32) + pred2.astype(np.int32) + 1) >> 1
+        want2 = int(np.abs(avg - src.astype(np.int32)).sum())
+        got2 = native_mc_sad_avg(ref, ref2, BORDER, mi_row, mi_col, n,
+                                 mv, mv2, mi_rows, mi_cols, src)
+        assert got2 == want2, (mi_row, mi_col, n, mv)
+
+
+def test_native_boolenc_buffered_matches_python():
+    """Buffered put_many path == Python BoolEncoder byte-for-byte."""
+    from tpu_vp9.bitstream.bool_coder import BoolEncoder
+    from tpu_vp9.native import get_lib, NativeBoolEncoder
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    ops = []
+    for _ in range(4000):
+        if rng.random() < 0.8:
+            ops.append(("bit", int(rng.integers(0, 2)),
+                        int(rng.integers(1, 256))))
+        else:
+            nb = int(rng.integers(1, 9))
+            ops.append(("lit", int(rng.integers(0, 1 << nb)), nb))
+    py, nat_enc = BoolEncoder(), NativeBoolEncoder()
+    for kind, a, b in ops:
+        if kind == "bit":
+            py.put_bit(a, b)
+            nat_enc.put_bit(a, b)
+        else:
+            py.put_literal(a, b)
+            nat_enc.put_literal(a, b)
+    assert py.finalize() == nat_enc.finalize()

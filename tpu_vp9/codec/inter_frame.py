@@ -442,7 +442,14 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         lam = max(1, int(lam * float(lmap[sr, sc])))
     filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
 
+    from tpu_vp9 import native as nat
+
+    use_native = w == h and nat.get_lib() is not None
+
     def mc_sad(ref_planes, mv_q3):
+        if use_native:
+            return nat.native_mc_sad(ref_planes[0], BORDER, mi_row, mi_col,
+                                     w, mv_q3, st.mi_rows, st.mi_cols, src)
         pred = inter_ops.predict_inter_block(
             ref_planes[0], mi_row, mi_col, 0, 0, w, h, mv_q3, 0,
             st.mi_rows, st.mi_cols)
@@ -574,6 +581,10 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
             idx = sign_bias[fixed_ref]
 
             def comp_sad(p0_planes, p1_planes, mv0, mv1):
+                if use_native:
+                    return nat.native_mc_sad_avg(
+                        p0_planes[0], p1_planes[0], BORDER, mi_row, mi_col,
+                        w, mv0, mv1, st.mi_rows, st.mi_cols, src)
                 p0 = inter_ops.predict_inter_block(
                     p0_planes[0], mi_row, mi_col, 0, 0, w, h, mv0, 0,
                     st.mi_rows, st.mi_cols)

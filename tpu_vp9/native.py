@@ -94,6 +94,25 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.mc_block_sad.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16)]
+    lib.mc_block_sad.restype = ctypes.c_int64
+    lib.mc_block_sad_avg.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16)]
+    lib.mc_block_sad_avg.restype = ctypes.c_int64
+    lib.boolenc_put_many.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     _register_tables(lib)
     _lib = lib
     return _lib
@@ -131,7 +150,12 @@ def _register_tables(lib) -> None:
 
 
 class NativeBoolEncoder:
-    """Drop-in replacement for bitstream.bool_coder.BoolEncoder."""
+    """Drop-in replacement for bitstream.bool_coder.BoolEncoder.
+
+    Bit writes are buffered on the Python side and flushed to the C++
+    coder in batches (one ctypes crossing per run instead of per bit) —
+    flushes happen before any call that needs coder state.
+    """
 
     def __init__(self) -> None:
         self._lib = get_lib()
@@ -139,15 +163,32 @@ class NativeBoolEncoder:
             raise RuntimeError("native library unavailable")
         self._enc = self._lib.boolenc_new()
         self._lib.boolenc_start(self._enc)
+        self._bits = bytearray()
+        self._probs = bytearray()
+
+    def _flush(self) -> None:
+        if not self._bits:
+            return
+        b = np.frombuffer(self._bits, np.uint8)
+        p = np.frombuffer(self._probs, np.uint8)
+        self._lib.boolenc_put_many(
+            self._enc, b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b))
+        self._bits = bytearray()
+        self._probs = bytearray()
 
     def put_bit(self, bit: int, prob: int) -> None:
-        self._lib.boolenc_put(self._enc, bit, prob)
+        self._bits.append(1 if bit else 0)
+        self._probs.append(prob)
 
     def put_literal(self, value: int, bits: int) -> None:
-        self._lib.boolenc_literal(self._enc, value, bits)
+        for k in range(bits - 1, -1, -1):
+            self._bits.append((value >> k) & 1)
+            self._probs.append(128)
 
     def write_coeffs(self, levels2d, tx_size, tx_type, probs_full,
                      ctx0: int, counts=None, eob_counts=None) -> int:
+        self._flush()
         lv, lvp = _as_i32(np.asarray(levels2d).reshape(-1))
         pf = np.ascontiguousarray(probs_full, dtype=np.uint8)
         pfp = pf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
@@ -163,6 +204,7 @@ class NativeBoolEncoder:
             self._enc, lvp, int(tx_size), int(tx_type), pfp, ctx0, cp, ep)
 
     def finalize(self) -> bytes:
+        self._flush()
         cap = self._lib.boolenc_size(self._enc) + 64
         out = np.zeros(int(cap), np.uint8)
         n = self._lib.boolenc_finalize(
@@ -175,6 +217,7 @@ class NativeBoolEncoder:
         return data
 
     def __len__(self) -> int:
+        self._flush()
         return int(self._lib.boolenc_size(self._enc))
 
 
@@ -255,6 +298,60 @@ def native_subpel_refine(ref_padded, border: int, px: int, py: int,
         _FILTERS_I16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return (int(out[0]), int(out[1])), int(out[2])
+
+
+def _filters_i16():
+    global _FILTERS_I16
+    if _FILTERS_I16 is None:
+        from tpu_vp9.bitstream import tables as T
+
+        _FILTERS_I16 = np.ascontiguousarray(
+            T.subpel_filters(T.InterpFilter.EIGHTTAP), np.int16)
+    return _FILTERS_I16
+
+
+def native_mc_sad(ref_padded, border: int, mi_row: int, mi_col: int, n: int,
+                  mv_q3, mi_rows: int, mi_cols: int, src_block):
+    """Fused MC (exact 8-tap, UMV clamp) + SAD for a square luma block.
+
+    ref_padded: border-extended uint8 plane; src_block: any uint8 view.
+    Returns int SAD or None if the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = _filters_i16()
+    src = np.asarray(src_block)
+    if src.dtype != np.uint8 or src.strides[1] != 1:
+        src = np.ascontiguousarray(src, np.uint8)
+    return int(lib.mc_block_sad(
+        ref_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ref_padded.strides[0], border, mi_row, mi_col, n,
+        int(mv_q3[0]), int(mv_q3[1]), mi_rows, mi_cols,
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
+
+
+def native_mc_sad_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
+                      mi_col: int, n: int, mv0_q3, mv1_q3, mi_rows: int,
+                      mi_cols: int, src_block):
+    """Compound averaged MC + SAD ((p0 + p1 + 1) >> 1 per spec)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = _filters_i16()
+    src = np.asarray(src_block)
+    if src.dtype != np.uint8 or src.strides[1] != 1:
+        src = np.ascontiguousarray(src, np.uint8)
+    return int(lib.mc_block_sad_avg(
+        ref0_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ref0_padded.strides[0],
+        ref1_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ref1_padded.strides[0], border, mi_row, mi_col, n,
+        int(mv0_q3[0]), int(mv0_q3[1]), int(mv1_q3[0]), int(mv1_q3[1]),
+        mi_rows, mi_cols,
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
 
 
 def native_sad_search(src_block, region, region_stride: int, r: int):
