@@ -80,6 +80,7 @@ class Vp9Encoder:
         from tpu_vp9.pipeline.picture_decision import SceneChangeDetector
 
         self._scd = SceneChangeDetector()
+        self._tpu_ok = True
         if self._sig.use_tpu_me:
             from dataclasses import replace
 
@@ -90,6 +91,7 @@ class Vp9Encoder:
                 # stays on — open-loop mode decision has a fast numpy
                 # fallback (openloop_mode_hints_np) feeding the wavefront.
                 self._sig = replace(self._sig, use_tpu_me=False)
+                self._tpu_ok = False
         self._rc = RateControlState.create(self._cfg)
         # random-access hierarchical (ALTREF-pyramid) engine
         self._ra = None
@@ -102,7 +104,39 @@ class Vp9Encoder:
             self._ra = RaEncoder(self._cfg, self._sig, self._rc)
             self._ra_buf = {}
             self._ra_keys = set()
+            # initial-RC lookahead window (look_ahead_distance analogue:
+            # (2 << hier) + 1 for CQP, else up to one intra period)
+            from tpu_vp9.config import RateControlMode
+            from tpu_vp9.pipeline.lookahead import LookaheadWindow
+
+            dist = (2 << self._cfg.hierarchical_levels) + 1
+            if (self._cfg.rate_control_mode != RateControlMode.CQP
+                    and self._cfg.intra_period > 0):
+                dist = max(dist, min(self._cfg.intra_period, 64))
+            self._la = LookaheadWindow(dist)
+        self._sc = None
+        if self._cfg.speed_control:
+            from tpu_vp9.pipeline.speed_control import SpeedControl
+
+            self._sc = SpeedControl(target_fps=max(self._cfg.fps, 1.0),
+                                    base_mode=self._cfg.enc_mode)
         self._initialized = True
+
+    def _speed_report(self, n_frames: int, seconds: float) -> None:
+        """Feed the speed controller; re-derive preset signals on change
+        (dynamic SCS update in ResourceCoordination)."""
+        if self._sc is None:
+            return
+        new_mode = self._sc.report(n_frames, seconds)
+        if new_mode is None:
+            return
+        from dataclasses import replace
+
+        self._sig = derive_signals(replace(self._cfg, enc_mode=new_mode))
+        if self._sig.use_tpu_me and not self._tpu_ok:
+            self._sig = replace(self._sig, use_tpu_me=False)
+        if getattr(self, "_ra", None) is not None:
+            self._ra.sig = self._sig
 
     def close(self) -> None:
         self._initialized = False
@@ -128,6 +162,10 @@ class Vp9Encoder:
         cfg, sig, rc = self._cfg, self._sig, self._rc
         idx = self._frame_idx
         self._frame_idx += 1
+        if self._sc is not None and self._ra is None:
+            import time as _time
+
+            _sc_t0 = _time.perf_counter()
         if self._ra is not None:
             if force_keyframe:
                 self._ra_keys.add(idx)
@@ -136,7 +174,16 @@ class Vp9Encoder:
                   and self._scd.is_scene_change(frame.y)):
                 self._ra_keys.add(idx)
             self._ra_buf[idx] = frame
-            self._ra_drain(flush=False)
+            self._la.push(idx, frame.y)
+            if self._sc is not None:
+                import time as _time
+
+                n0, t0 = len(self._packets), _time.perf_counter()
+                self._ra_drain(flush=False)
+                self._speed_report(len(self._packets) - n0,
+                                   _time.perf_counter() - t0)
+            else:
+                self._ra_drain(flush=False)
             return
         is_key = force_keyframe or idx == 0 or (
             cfg.intra_period >= 0 and idx % (cfg.intra_period + 1) == 0)
@@ -274,6 +321,8 @@ class Vp9Encoder:
         )
         self._packets.append(Packet(data=payload, pts=idx, dts=idx,
                                     is_keyframe=is_key, qindex=qindex))
+        if self._sc is not None:
+            self._speed_report(1, _time.perf_counter() - _sc_t0)
 
     def _ra_drain(self, flush: bool) -> None:
         """Encode every complete (or flush-truncated) minigop in the buffer.
@@ -325,8 +374,12 @@ class Vp9Encoder:
             frames = {ra.base_poc + 1 + i: self._ra_buf[ra.base_poc + 1 + i]
                       for i in range(gop)}
             qov = self._qp_overridden(ra.base_poc + 1)
+            # initial-RC edge: hand the high-level controller this
+            # window's relative complexities before QPs are assigned
+            self._rc.set_lookahead_scales(self._la.scales(frames))
             pkts = ra.encode_minigop(frames, ra.base_poc, gop,
                                      qindex_override=qov)
+            self._la.drop(frames)
             for p in frames:
                 del self._ra_buf[p]
             self._emit_ra(pkts)

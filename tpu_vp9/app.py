@@ -95,6 +95,7 @@ def config_from_args(args, width: int, height: int) -> EncoderConfig:
         vbv_buf_size=args.vbv_bufsize,
         profile=args.profile,
         level=args.level,
+        speed_control=bool(args.speed_ctrl),
     )
 
 

@@ -327,7 +327,8 @@ class RaEncoder:
             qindex = layer_qindex(qindex_override, gf.temporal_layer,
                                   n_layers, tune=int(cfg.tune))
         else:
-            qindex = self.rc.frame_qindex(False, gf.temporal_layer)
+            qindex = self.rc.frame_qindex(False, gf.temporal_layer,
+                                          poc=gf.poc)
         fc_base = self._fc_for_frame(False)
         refs = self.planes_of[gf.last_poc]
         golden = (self.planes_of.get(gf.golden_poc)

@@ -35,6 +35,10 @@ class RateControlState:
     corr_inter: float = 1.0
     vbr_bits_off_target: float = 0.0
     _last: tuple = None  # (qindex, is_key, target) of the pending frame
+    # lookahead (initial-RC) relative complexity per poc; 1.0 = average
+    # (EbInitialRateControlProcess + eb_vp9_high_level_rc_input_picture
+    # analogue: future-frame complexity shapes each frame's bit target)
+    la_scale: dict = field(default_factory=dict)
 
     @classmethod
     def create(cls, cfg: EncoderConfig) -> "RateControlState":
@@ -51,11 +55,16 @@ class RateControlState:
 
     # -- q selection ---------------------------------------------------------
 
+    def set_lookahead_scales(self, scales: dict) -> None:
+        """Install per-poc relative-complexity multipliers from the
+        lookahead window (replaces any previous window's entries)."""
+        self.la_scale = dict(scales)
+
     def frame_qindex(self, is_keyframe: bool,
-                     temporal_layer: int = -1) -> int:
+                     temporal_layer: int = -1, poc: int = -1) -> int:
         """temporal_layer >= 0 engages the per-layer CQP ladder (RA
         pyramids); -1 = structure-agnostic (low-delay paths manage their
-        own layer offsets)."""
+        own layer offsets).  poc indexes the lookahead complexity map."""
         lo = qp_to_qindex(self.cfg.min_qp_allowed)
         hi = qp_to_qindex(self.cfg.max_qp_allowed)
         if self.cfg.rate_control_mode == RateControlMode.CQP:
@@ -64,6 +73,8 @@ class RateControlState:
         # VBR/CBR: project bits at q via the libvpx curve and pick the
         # lowest q meeting this frame's target (vp9_rc_regulate_q)
         target = self._frame_target(is_keyframe, temporal_layer)
+        if not is_keyframe:
+            target *= float(self.la_scale.get(poc, 1.0))
         cf = self.corr_key if is_keyframe else self.corr_inter
         q = C.regulate_q(target, self.mbs, is_keyframe, cf, lo, hi)
         if not is_keyframe and temporal_layer > 0:  # noqa: SIM102
