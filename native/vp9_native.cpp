@@ -524,23 +524,23 @@ void subpel_refine_c(const uint8_t* base, int stride, const uint8_t* src,
 
 extern "C" {
 
-// Predict one square luma block (ss=0) into out[n*n].
+// Predict one luma block (ss=0, w x h, w/h in {8..64}) into out[h*w].
 // padded: border-extended plane; stride its row stride; border offset.
 static void mc_predict_y(const uint8_t* padded, int stride, int border,
-                         int mi_row, int mi_col, int n,
+                         int mi_row, int mi_col, int w, int h,
                          int mv_row_q3, int mv_col_q3,
                          int mi_rows, int mi_cols,
                          const int16_t* filters, uint8_t* out) {
     // clamp_mv_to_umv_border, ss=0 (q4 units)
-    const int spel_left = (4 + n) << 4;
+    const int spel_left = (4 + w) << 4;
     const int spel_right = spel_left - 16;
-    const int spel_top = spel_left;
+    const int spel_top = (4 + h) << 4;
     const int spel_bottom = spel_top - 16;
     int row = mv_row_q3 * 2, col = mv_col_q3 * 2;
     const int mb_to_left = -((mi_col * 8) * 8);
-    const int mb_to_right = ((mi_cols - n / 8 - mi_col) * 8) * 8;
+    const int mb_to_right = ((mi_cols - w / 8 - mi_col) * 8) * 8;
     const int mb_to_top = -((mi_row * 8) * 8);
-    const int mb_to_bottom = ((mi_rows - n / 8 - mi_row) * 8) * 8;
+    const int mb_to_bottom = ((mi_rows - h / 8 - mi_row) * 8) * 8;
     col = clamp_i(col, mb_to_left * 2 - spel_left,
                   mb_to_right * 2 + spel_right);
     row = clamp_i(row, mb_to_top * 2 - spel_top,
@@ -552,46 +552,46 @@ static void mc_predict_y(const uint8_t* padded, int stride, int border,
     const uint8_t* base =
         padded + (int64_t)(border + y0) * stride + (border + x0);
     if (sx == 0 && sy == 0) {
-        for (int y = 0; y < n; ++y)
-            for (int x = 0; x < n; ++x) out[y * n + x] = base[y * stride + x];
+        for (int y = 0; y < h; ++y)
+            for (int x = 0; x < w; ++x) out[y * w + x] = base[y * stride + x];
         return;
     }
     const int16_t* fx = filters + sx * 8;
     const int16_t* fy = filters + sy * 8;
     int inter[71 * 64];
-    const int ih = n + 7;
+    const int ih = h + 7;
     const uint8_t* win = base - 3 * stride - 3;
     for (int y = 0; y < ih; ++y) {
         const uint8_t* rowp = win + (int64_t)y * stride;
-        for (int x = 0; x < n; ++x) {
+        for (int x = 0; x < w; ++x) {
             int sum = 0;
             for (int k = 0; k < 8; ++k) sum += rowp[x + k] * fx[k];
             inter[y * 64 + x] = clamp_i((sum + 64) >> 7, 0, 255);
         }
     }
-    for (int y = 0; y < n; ++y) {
-        for (int x = 0; x < n; ++x) {
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
             int sum = 0;
             for (int k = 0; k < 8; ++k) sum += inter[(y + k) * 64 + x] * fy[k];
-            out[y * n + x] = (uint8_t)clamp_i((sum + 64) >> 7, 0, 255);
+            out[y * w + x] = (uint8_t)clamp_i((sum + 64) >> 7, 0, 255);
         }
     }
 }
 
 int64_t mc_block_sad(const uint8_t* padded, int stride, int border,
-                     int mi_row, int mi_col, int n,
+                     int mi_row, int mi_col, int w, int h,
                      int mv_row_q3, int mv_col_q3,
                      int mi_rows, int mi_cols,
                      const uint8_t* src, int src_stride,
                      const int16_t* filters) {
     uint8_t pred[64 * 64];
-    mc_predict_y(padded, stride, border, mi_row, mi_col, n, mv_row_q3,
+    mc_predict_y(padded, stride, border, mi_row, mi_col, w, h, mv_row_q3,
                  mv_col_q3, mi_rows, mi_cols, filters, pred);
     int64_t sad = 0;
-    for (int y = 0; y < n; ++y) {
+    for (int y = 0; y < h; ++y) {
         const uint8_t* s = src + (int64_t)y * src_stride;
-        const uint8_t* p = pred + y * n;
-        for (int x = 0; x < n; ++x) {
+        const uint8_t* p = pred + y * w;
+        for (int x = 0; x < w; ++x) {
             int d = (int)p[x] - (int)s[x];
             sad += d < 0 ? -d : d;
         }
@@ -603,27 +603,129 @@ int64_t mc_block_sad(const uint8_t* padded, int stride, int border,
 // spec ((p0 + p1 + 1) >> 1), as in tpu_vp9 comp_sad.
 int64_t mc_block_sad_avg(const uint8_t* padded0, int stride0,
                          const uint8_t* padded1, int stride1, int border,
-                         int mi_row, int mi_col, int n,
+                         int mi_row, int mi_col, int w, int h,
                          int mv0_row_q3, int mv0_col_q3,
                          int mv1_row_q3, int mv1_col_q3,
                          int mi_rows, int mi_cols,
                          const uint8_t* src, int src_stride,
                          const int16_t* filters) {
     uint8_t p0[64 * 64], p1[64 * 64];
-    mc_predict_y(padded0, stride0, border, mi_row, mi_col, n, mv0_row_q3,
+    mc_predict_y(padded0, stride0, border, mi_row, mi_col, w, h, mv0_row_q3,
                  mv0_col_q3, mi_rows, mi_cols, filters, p0);
-    mc_predict_y(padded1, stride1, border, mi_row, mi_col, n, mv1_row_q3,
+    mc_predict_y(padded1, stride1, border, mi_row, mi_col, w, h, mv1_row_q3,
                  mv1_col_q3, mi_rows, mi_cols, filters, p1);
     int64_t sad = 0;
-    for (int y = 0; y < n; ++y) {
+    for (int y = 0; y < h; ++y) {
         const uint8_t* s = src + (int64_t)y * src_stride;
-        for (int x = 0; x < n; ++x) {
-            int avg = ((int)p0[y * n + x] + (int)p1[y * n + x] + 1) >> 1;
+        for (int x = 0; x < w; ++x) {
+            int avg = ((int)p0[y * w + x] + (int)p1[y * w + x] + 1) >> 1;
             int d = avg - (int)s[x];
             sad += d < 0 ? -d : d;
         }
     }
     return sad;
+}
+
+// Rectangular full-pel exhaustive SAD search (w x h block, strided src).
+void sad_full_search_rect(const uint8_t* src, int src_stride, int w, int h,
+                          const uint8_t* region, int region_stride, int r,
+                          int32_t* best) {
+    int best_sad = INT32_MAX, best_dy = 0, best_dx = 0;
+    for (int dy = 0; dy <= 2 * r; ++dy) {
+        for (int dx = 0; dx <= 2 * r; ++dx) {
+            const uint8_t* q = region + dy * region_stride + dx;
+            int sad = 0;
+            for (int y = 0; y < h; ++y) {
+                const uint8_t* a = src + (int64_t)y * src_stride;
+                const uint8_t* bptr = q + (int64_t)y * region_stride;
+                for (int x = 0; x < w; ++x) {
+                    int d = (int)a[x] - (int)bptr[x];
+                    sad += d < 0 ? -d : d;
+                }
+                if (sad >= best_sad) break;
+            }
+            if (sad < best_sad) {
+                best_sad = sad;
+                best_dy = dy - r;
+                best_dx = dx - r;
+            }
+        }
+    }
+    best[0] = best_dy;
+    best[1] = best_dx;
+    best[2] = best_sad;
+}
+
+// Rectangular iterative half/quarter-pel refinement (strided src).
+void subpel_refine_rect(const uint8_t* base, int stride, const uint8_t* src,
+                        int src_stride, int w, int h,
+                        int mv_row_q3, int mv_col_q3,
+                        const int16_t* filters, int32_t* out) {
+    auto sad_at = [&](int row_q3, int col_q3) -> int64_t {
+        int x_q4 = col_q3 * 2, y_q4 = row_q3 * 2;
+        int x0 = x_q4 >> 4, y0 = y_q4 >> 4;
+        int sx = x_q4 & 15, sy = y_q4 & 15;
+        const uint8_t* win = base + (int64_t)(y0 - 3) * stride + (x0 - 3);
+        const int16_t* fx = filters + sx * 8;
+        const int16_t* fy = filters + sy * 8;
+        if (sx == 0 && sy == 0) {
+            const uint8_t* p = base + (int64_t)y0 * stride + x0;
+            int64_t sad = 0;
+            for (int y = 0; y < h; ++y)
+                for (int x = 0; x < w; ++x) {
+                    int d = (int)p[(int64_t)y * stride + x]
+                            - (int)src[(int64_t)y * src_stride + x];
+                    sad += d < 0 ? -d : d;
+                }
+            return sad;
+        }
+        int inter[71 * 64];
+        const int ih = h + 7;
+        for (int y = 0; y < ih; ++y) {
+            const uint8_t* rowp = win + (int64_t)y * stride;
+            for (int x = 0; x < w; ++x) {
+                int sum = 0;
+                for (int k = 0; k < 8; ++k) sum += rowp[x + k] * fx[k];
+                inter[y * 64 + x] = clamp_i((sum + 64) >> 7, 0, 255);
+            }
+        }
+        int64_t sad = 0;
+        for (int y = 0; y < h; ++y) {
+            for (int x = 0; x < w; ++x) {
+                int sum = 0;
+                for (int k = 0; k < 8; ++k)
+                    sum += inter[(y + k) * 64 + x] * fy[k];
+                sum = clamp_i((sum + 64) >> 7, 0, 255);
+                int d = sum - (int)src[(int64_t)y * src_stride + x];
+                sad += d < 0 ? -d : d;
+            }
+        }
+        return sad;
+    };
+    int br = mv_row_q3, bc = mv_col_q3;
+    int64_t best = sad_at(br, bc);
+    static const int steps[2] = {4, 2};
+    for (int si = 0; si < 2; ++si) {
+        int st = steps[si];
+        bool improved = true;
+        while (improved) {
+            improved = false;
+            const int cand[4][2] = {{-st, 0}, {st, 0}, {0, -st}, {0, st}};
+            for (int k = 0; k < 4; ++k) {
+                int rr = br + cand[k][0], cc = bc + cand[k][1];
+                int64_t s = sad_at(rr, cc);
+                if (s < best) {
+                    best = s;
+                    br = rr;
+                    bc = cc;
+                    improved = true;
+                }
+            }
+        }
+    }
+    out[0] = br;
+    out[1] = bc;
+    out[2] = (int32_t)best;
 }
 
 // Batched bool-coder bit writes: one ctypes crossing for a run of

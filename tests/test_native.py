@@ -152,7 +152,7 @@ def test_native_subpel_refine_matches_python(monkeypatch):
     for px, py, mv in ((32, 32, (0, 0)), (64, 16, (2, -3)), (0, 0, (1, 1))):
         src = np.ascontiguousarray(plane[py + 1 : py + 33, px + 2 : px + 34])
         got = me_ops.subpel_refine(src, ref, px, py, BORDER, mv, filters)
-        monkeypatch.setattr(nat, "native_subpel_refine",
+        monkeypatch.setattr(nat, "native_subpel_refine_rect",
                             lambda *a, **k: None)
         want = me_ops.subpel_refine(src, ref, px, py, BORDER, mv, filters)
         monkeypatch.undo()
@@ -192,7 +192,7 @@ def test_native_mc_sad_matches_python():
             ref, mi_row, mi_col, 0, 0, n, n, mv, 0, mi_rows, mi_cols)
         want = int(np.abs(pred.astype(np.int32)
                           - src.astype(np.int32)).sum())
-        got = native_mc_sad(ref, BORDER, mi_row, mi_col, n, mv,
+        got = native_mc_sad(ref, BORDER, mi_row, mi_col, n, n, mv,
                             mi_rows, mi_cols, src)
         assert got == want, (mi_row, mi_col, n, mv)
         # compound average path
@@ -201,7 +201,7 @@ def test_native_mc_sad_matches_python():
             ref2, mi_row, mi_col, 0, 0, n, n, mv2, 0, mi_rows, mi_cols)
         avg = (pred.astype(np.int32) + pred2.astype(np.int32) + 1) >> 1
         want2 = int(np.abs(avg - src.astype(np.int32)).sum())
-        got2 = native_mc_sad_avg(ref, ref2, BORDER, mi_row, mi_col, n,
+        got2 = native_mc_sad_avg(ref, ref2, BORDER, mi_row, mi_col, n, n,
                                  mv, mv2, mi_rows, mi_cols, src)
         assert got2 == want2, (mi_row, mi_col, n, mv)
 

@@ -400,12 +400,40 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
             c, ev = node(mi_row + dr, mi_col + dc, sub, ccenter)
             cost_split += c
             sub_events.extend(ev)
-        if can_none and cost_none <= cost_split:
-            return cost_none, [("part", mi_row, mi_col, bsize,
-                                Partition.NONE),
-                               ("leaf", mi_row, mi_col, bsize, None)]
-        return cost_split, ([("part", mi_row, mi_col, bsize,
-                              Partition.SPLIT)] + sub_events)
+        # rectangular candidates (the reference's H/V partitions in its
+        # 681-entry EP-block geometry): two w x h/2 or w/2 x h halves,
+        # probed around the parent's vector.  Only interior nodes — edge
+        # nodes keep their forced-split handling above.
+        best_rect = None
+        if can_none and can_split:
+            rect_bias = max(4, split_bias >> 1)
+            for part, offs in ((Partition.HORZ, ((0, 0), (half, 0))),
+                               (Partition.VERT, ((0, 0), (0, half)))):
+                rsub = T.SUBSIZE[(part, bsize)]
+                cost_r = rect_bias
+                evs = [("part", mi_row, mi_col, bsize, part)]
+                for dr, dc in offs:
+                    r, c = mi_row + dr, mi_col + dc
+                    if r >= mi_rows or c >= mi_cols:
+                        continue
+                    s, _ = probe_inter_cost(st, refs, r, c, rsub, 8, ccenter)
+                    cost_r += s
+                    evs.append(("leaf", r, c, rsub, None))
+                if best_rect is None or cost_r < best_rect[0]:
+                    best_rect = (cost_r, evs)
+        # preference order on ties: NONE, then rect, then SPLIT (min()
+        # keeps the first minimal entry)
+        cands = []
+        if can_none:
+            cands.append((cost_none,
+                          [("part", mi_row, mi_col, bsize, Partition.NONE),
+                           ("leaf", mi_row, mi_col, bsize, None)]))
+        if best_rect is not None:
+            cands.append(best_rect)
+        cands.append((cost_split,
+                      [("part", mi_row, mi_col, bsize, Partition.SPLIT)]
+                      + sub_events))
+        return min(cands, key=lambda x: x[0])
 
     events = []
     offs = tile_mi_offsets(mi_cols, log2_tile_cols)
@@ -444,12 +472,13 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
 
     from tpu_vp9 import native as nat
 
-    use_native = w == h and nat.get_lib() is not None
+    use_native = nat.get_lib() is not None
 
     def mc_sad(ref_planes, mv_q3):
         if use_native:
             return nat.native_mc_sad(ref_planes[0], BORDER, mi_row, mi_col,
-                                     w, mv_q3, st.mi_rows, st.mi_cols, src)
+                                     w, h, mv_q3, st.mi_rows, st.mi_cols,
+                                     src)
         pred = inter_ops.predict_inter_block(
             ref_planes[0], mi_row, mi_col, 0, 0, w, h, mv_q3, 0,
             st.mi_rows, st.mi_cols)
@@ -584,7 +613,7 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                 if use_native:
                     return nat.native_mc_sad_avg(
                         p0_planes[0], p1_planes[0], BORDER, mi_row, mi_col,
-                        w, mv0, mv1, st.mi_rows, st.mi_cols, src)
+                        w, h, mv0, mv1, st.mi_rows, st.mi_cols, src)
                 p0 = inter_ops.predict_inter_block(
                     p0_planes[0], mi_row, mi_col, 0, 0, w, h, mv0, 0,
                     st.mi_rows, st.mi_cols)

@@ -96,7 +96,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32)]
     lib.mc_block_sad.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int16)]
@@ -104,12 +104,21 @@ def get_lib():
     lib.mc_block_sad_avg.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int16)]
     lib.mc_block_sad_avg.restype = ctypes.c_int64
+    lib.sad_full_search_rect.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    lib.subpel_refine_rect.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32)]
     lib.boolenc_put_many.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
@@ -310,9 +319,10 @@ def _filters_i16():
     return _FILTERS_I16
 
 
-def native_mc_sad(ref_padded, border: int, mi_row: int, mi_col: int, n: int,
-                  mv_q3, mi_rows: int, mi_cols: int, src_block):
-    """Fused MC (exact 8-tap, UMV clamp) + SAD for a square luma block.
+def native_mc_sad(ref_padded, border: int, mi_row: int, mi_col: int,
+                  w: int, h: int, mv_q3, mi_rows: int, mi_cols: int,
+                  src_block):
+    """Fused MC (exact 8-tap, UMV clamp) + SAD for a w x h luma block.
 
     ref_padded: border-extended uint8 plane; src_block: any uint8 view.
     Returns int SAD or None if the library is unavailable.
@@ -326,15 +336,15 @@ def native_mc_sad(ref_padded, border: int, mi_row: int, mi_col: int, n: int,
         src = np.ascontiguousarray(src, np.uint8)
     return int(lib.mc_block_sad(
         ref_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ref_padded.strides[0], border, mi_row, mi_col, n,
+        ref_padded.strides[0], border, mi_row, mi_col, w, h,
         int(mv_q3[0]), int(mv_q3[1]), mi_rows, mi_cols,
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
 
 
 def native_mc_sad_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
-                      mi_col: int, n: int, mv0_q3, mv1_q3, mi_rows: int,
-                      mi_cols: int, src_block):
+                      mi_col: int, w: int, h: int, mv0_q3, mv1_q3,
+                      mi_rows: int, mi_cols: int, src_block):
     """Compound averaged MC + SAD ((p0 + p1 + 1) >> 1 per spec)."""
     lib = get_lib()
     if lib is None:
@@ -347,11 +357,54 @@ def native_mc_sad_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
         ref0_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ref0_padded.strides[0],
         ref1_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ref1_padded.strides[0], border, mi_row, mi_col, n,
+        ref1_padded.strides[0], border, mi_row, mi_col, w, h,
         int(mv0_q3[0]), int(mv0_q3[1]), int(mv1_q3[0]), int(mv1_q3[1]),
         mi_rows, mi_cols,
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
+
+
+def native_sad_search_rect(src_block, region, region_stride: int, r: int):
+    """Rect full-pel exhaustive search; src_block may be a strided view."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.asarray(src_block)
+    if src.dtype != np.uint8 or src.strides[1] != 1:
+        src = np.ascontiguousarray(src, np.uint8)
+    h, w = src.shape
+    reg = np.ascontiguousarray(region, dtype=np.uint8)
+    best = np.zeros(3, np.int32)
+    lib.sad_full_search_rect(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
+        w, h, reg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        region_stride, r,
+        best.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return int(best[0]), int(best[1]), int(best[2])
+
+
+def native_subpel_refine_rect(ref_padded, border: int, px: int, py: int,
+                              src_block, mv_full):
+    """Rect iterative subpel refinement; returns (mv_q3, sad) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = _filters_i16()
+    src = np.asarray(src_block)
+    if src.dtype != np.uint8 or src.strides[1] != 1:
+        src = np.ascontiguousarray(src, np.uint8)
+    h, w = src.shape
+    stride = ref_padded.strides[0]
+    base = ref_padded[border + py : border + py + 1,
+                      border + px : border + px + 1]
+    out = np.zeros(3, np.int32)
+    lib.subpel_refine_rect(
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride,
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
+        w, h, mv_full[0] * 8, mv_full[1] * 8,
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return (int(out[0]), int(out[1])), int(out[2])
 
 
 def native_sad_search(src_block, region, region_stride: int, r: int):

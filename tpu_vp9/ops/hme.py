@@ -48,7 +48,7 @@ def hme_search(src_block: np.ndarray, pyramid, px: int, py: int,
     full_pel_search.  Falls back to a direct search for blocks too small
     to downsample twice.
     """
-    n = src_block.shape[0]
+    n = min(src_block.shape)
     if n < 8 or total_range < 16:
         return me_ops.full_pel_search(src_block, pyramid[0], px, py,
                                       border, total_range, center)

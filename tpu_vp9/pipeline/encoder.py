@@ -44,7 +44,7 @@ def _make_refs(st, width: int, height: int):
 def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
                   block_size=BlockSize.BLOCK_32X32, search_range: int = 16,
                   do_subpel: bool = True, use_tpu_hints: bool = False,
-                  log2_tile_cols: int = 0):
+                  log2_tile_cols: int = 0, part_depths=None):
     """Encode frames as IPPP... CQP. Returns list[EncodedFrame].
 
     intra_period: -1 = only first frame is key; else a keyframe every
@@ -76,7 +76,8 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
         else:
             tile, st = encode_pframe(frame, refs, qindex, block_size,
                                      search_range, do_subpel=do_subpel,
-                                     log2_tile_cols=log2_tile_cols)
+                                     log2_tile_cols=log2_tile_cols,
+                                     part_depths=part_depths)
             hdr = FrameHeader(
                 width=w, height=h, is_keyframe=False, error_resilient=True,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,
