@@ -16,7 +16,9 @@ import sys
 _CACHED = None
 
 
-def tpu_alive(timeout_s: float = 25.0) -> bool:
+def tpu_alive(timeout_s: float = 60.0) -> bool:
+    # cold backend init through the tunnel is ~15-30 s; a wedged device
+    # hangs forever, so the timeout just needs to separate those regimes
     """True if a non-CPU jax backend answers a trivial computation."""
     global _CACHED
     if _CACHED is not None:
