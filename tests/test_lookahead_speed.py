@@ -102,3 +102,48 @@ def test_speed_control_end_to_end_smoke():
     buf.seek(0)
     n = sum(1 for _ in decode_ivf(buf))
     assert n == len(frames)
+
+
+def test_trace_spans_accumulate():
+    from tpu_vp9.utils import trace
+
+    trace.reset()
+    trace.enable(True)
+    try:
+        with trace.span("stage_a"):
+            pass
+        with trace.span("stage_a"):
+            pass
+        with trace.span("stage_b"):
+            pass
+        s = trace.summary()
+        assert s["stage_a"]["count"] == 2
+        assert s["stage_b"]["count"] == 1
+        assert s["stage_a"]["total_s"] >= 0
+    finally:
+        trace.enable(False)
+        trace.reset()
+
+
+def test_cli_trace_flag(tmp_path):
+    import io
+    import subprocess
+    import sys
+
+    from tpu_vp9.utils import yuv
+
+    frames = list(yuv.synthetic_frames(64, 64, 3, seed=1, motion=True))
+    clip = tmp_path / "t.y4m"
+    with open(clip, "wb") as fh:
+        yuv.write_y4m(fh, frames)
+    out = tmp_path / "t.ivf"
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_vp9.app", "-i", str(clip), "-b",
+         str(out), "-q", "40", "-enc-mode", "9", "-trace", "1"],
+        capture_output=True, text=True, timeout=240,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "TRACE:" in r.stdout
+    assert "mode_decision" in r.stdout or "serialize" in r.stdout

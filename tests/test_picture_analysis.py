@@ -93,3 +93,64 @@ def test_qpm_stream_still_bitexact():
         ry, ru, rv = enc._ra.recon_log[i]
         mism += int((y != ry).sum() + (u != ru).sum() + (v != rv).sum())
     assert mism == 0
+
+
+def test_denoise_strong_smooths_more_than_weak():
+    from tpu_vp9.pipeline.picture_analysis import (
+        denoise_strong, denoise_weak, estimate_noise_level,
+    )
+
+    rng = np.random.default_rng(4)
+    base = np.full((64, 64), 120, np.uint8)
+    noisy = np.clip(base.astype(np.int32)
+                    + rng.integers(-40, 41, base.shape), 0, 255
+                    ).astype(np.uint8)
+    nw = estimate_noise_level(denoise_weak(noisy))
+    ns = estimate_noise_level(denoise_strong(noisy))
+    n0 = estimate_noise_level(noisy)
+    assert ns < nw < n0
+    assert denoise_strong(noisy).dtype == np.uint8
+
+
+def test_aura_map_flags_isolated_activity():
+    from tpu_vp9.pipeline.picture_analysis import aura_map
+
+    var16 = np.full((8, 8), 10.0)
+    var16[3, 4] = 5000.0  # isolated busy block in flat surroundings
+    m = aura_map(var16)
+    assert m[3, 4]
+    assert m.sum() == 1
+    # a uniformly busy picture has no aura
+    assert not aura_map(np.full((8, 8), 5000.0)).any()
+
+
+def test_dark_density_and_high_contrast():
+    from tpu_vp9.pipeline.picture_analysis import (
+        dark_area_density, high_contrast_maps,
+    )
+
+    y = np.full((64, 64), 200, np.uint8)
+    y[:16, :16] = 10  # one dark block
+    d = dark_area_density(y)
+    assert d[0, 0] == 1.0 and d[1, 1] == 0.0
+    y2 = np.full((64, 64), 100, np.uint8)
+    y2[16:32, 16:24] = 255
+    y2[16:32, 24:32] = 0  # high dynamic range block
+    sp, tm = high_contrast_maps(y2)
+    assert sp[1, 1] and not sp[0, 0]
+    assert not tm.any()
+    _, tm2 = high_contrast_maps(y2, prev_y=np.zeros_like(y2))
+    assert tm2.any()
+
+
+def test_analyze_picture_populates_classifier_maps():
+    from tpu_vp9.pipeline.picture_analysis import analyze_picture
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    fr = list(synthetic_frames(64, 64, 1, seed=0))[0]
+    stats = analyze_picture(fr)
+    assert stats.aura16 is not None and stats.aura16.shape == (4, 4)
+    assert stats.dark16 is not None
+    assert stats.hc_spatial16 is not None
+    lam = stats.sb_lambda_map()
+    assert lam.shape == (1, 1) and 0.7 <= float(lam[0, 0]) <= 1.4

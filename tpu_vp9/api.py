@@ -411,3 +411,11 @@ class Vp9Encoder:
     def get_recon(self):
         """Last encoded picture's reconstruction (y, u, v) or None."""
         return self._last_recon
+
+    def get_trace_summary(self) -> dict:
+        """Per-stage timing summary when tracing is enabled
+        (utils.trace; the observability the reference's commented-out
+        segment-trace hooks never shipped)."""
+        from tpu_vp9.utils.trace import summary
+
+        return summary()

@@ -66,6 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-level", dest="level", type=int, default=0)
     p.add_argument("-nch", dest="channels", type=int, default=1)
     p.add_argument("-speed-ctrl", dest="speed_ctrl", type=int, default=0)
+    p.add_argument("-trace", dest="trace", type=int, default=0)
     return p
 
 
@@ -191,6 +192,10 @@ def main(argv=None) -> int:
     if args.fps_num == 0:
         cfg.frame_rate_numerator = fps_num
         cfg.frame_rate_denominator = fps_den
+    if args.trace:
+        from tpu_vp9.utils.trace import enable as _trace_enable
+
+        _trace_enable(True)
 
     enc = Vp9Encoder()
     try:
@@ -257,6 +262,12 @@ def main(argv=None) -> int:
     print(f"SUMMARY: {n_coded} frames, {fps_val:.2f} fps, "
           f"{kbps:.1f} kbps, avg {total_bytes // max(n_coded, 1)} B/frame, "
           f"max latency {max_latency * 1000:.1f} ms")
+    if getattr(args, "trace", 0):
+        import json as _json
+
+        from tpu_vp9.utils.trace import summary as _trace_summary
+
+        print("TRACE:", _json.dumps(_trace_summary()))
     return 0
 
 

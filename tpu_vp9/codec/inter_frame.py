@@ -1065,43 +1065,50 @@ def encode_pframe(frame, refs, qindex: int,
                 st._tpu_mv = (mvs, n)
         except Exception:
             st._tpu_mv = None
-    if part_depths is not None:
-        events = decide_partition_tree(st, refs, qindex, search_range,
-                                       part_depths[0], part_depths[1],
-                                       log2_tile_cols)
-    else:
-        events = walk_partition_fixed(mi_rows, mi_cols, block_size,
-                                      log2_tile_cols)
-        if adaptive_partition and block_size == BlockSize.BLOCK_32X32:
-            events = decide_partition_map(st, refs, events, qindex,
-                                          search_range)
+    from tpu_vp9.utils.trace import span
+
+    with span("partition"):
+        if part_depths is not None:
+            events = decide_partition_tree(st, refs, qindex, search_range,
+                                           part_depths[0], part_depths[1],
+                                           log2_tile_cols)
+        else:
+            events = walk_partition_fixed(mi_rows, mi_cols, block_size,
+                                          log2_tile_cols)
+            if adaptive_partition and block_size == BlockSize.BLOCK_32X32:
+                events = decide_partition_map(st, refs, events, qindex,
+                                              search_range)
     # phase 1: decisions (decode order; mvrefs see final neighbor choices)
     pending = []
     intra_leaves = []
-    for ev, mi_row, mi_col, bsize, _ in events:
-        if ev == "tile":
-            st.tile_mi_start = mi_row
-            st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
-            continue
-        if ev != "leaf":
-            continue
-        entry = decide_leaf_inter(st, refs, mi_row, mi_col, bsize, qindex,
-                                  search_range, do_subpel)
-        if entry is None:
-            intra_leaves.append((mi_row, mi_col, bsize))
-        else:
-            pending.append(entry)
+    with span("mode_decision"):
+        for ev, mi_row, mi_col, bsize, _ in events:
+            if ev == "tile":
+                st.tile_mi_start = mi_row
+                st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
+                continue
+            if ev != "leaf":
+                continue
+            entry = decide_leaf_inter(st, refs, mi_row, mi_col, bsize,
+                                      qindex, search_range, do_subpel)
+            if entry is None:
+                intra_leaves.append((mi_row, mi_col, bsize))
+            else:
+                pending.append(entry)
     # phase 2: all inter blocks batched (independent of each other)
-    if tx_select:
-        decide_tx_sizes(st, pending, qindex, qbias)
-        for mi, mi_row, mi_col, bsize, _ in pending:
-            st.mig.set_block(mi_row, mi_col, bsize, mi)  # refresh tx field
-    batch_encode_inter_blocks(st, pending, qindex, qbias)
+    with span("batch_txfm"):
+        if tx_select:
+            decide_tx_sizes(st, pending, qindex, qbias)
+            for mi, mi_row, mi_col, bsize, _ in pending:
+                st.mig.set_block(mi_row, mi_col, bsize, mi)  # refresh tx
+        batch_encode_inter_blocks(st, pending, qindex, qbias)
     # phase 3: intra-fallback leaves, exact recon in decode order
-    for mi_row, mi_col, bsize in intra_leaves:
-        mi = st.mig.get(mi_row, mi_col)
-        st.tile_mi_start = getattr(mi, "tile_mi_start", 0)
-        _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex, qbias)
+    with span("intra_fallback"):
+        for mi_row, mi_col, bsize in intra_leaves:
+            mi = st.mig.get(mi_row, mi_col)
+            st.tile_mi_start = getattr(mi, "tile_mi_start", 0)
+            _encode_intra_in_inter(st, mi, mi_row, mi_col, bsize, qindex,
+                                   qbias)
     tx_mode = T.TxMode.TX_MODE_SELECT if tx_select else T.TxMode.ALLOW_32X32
     # frame-level reference mode from the per-block outcomes (libvpx
     # vp9_encodeframe: SINGLE if no compound blocks, COMPOUND if all,
@@ -1129,13 +1136,14 @@ def encode_pframe(frame, refs, qindex: int,
     ser = functools.partial(serialize_pframe, tx_mode=tx_mode,
                             reference_mode=reference_mode,
                             sign_bias=st._sign_bias)
-    if prob_update:
-        from tpu_vp9.codec.fwd_update import serialize_with_updates
+    with span("serialize"):
+        if prob_update:
+            from tpu_vp9.codec.fwd_update import serialize_with_updates
 
-        tile, st.header_updates, st.fc_final, st.counts = \
-            serialize_with_updates(
-            st, events, qindex, ser, fc_base)
-    else:
-        tile = ser(st, events, qindex, fc=fc_base)
-        st.fc_final = fc_base
+            tile, st.header_updates, st.fc_final, st.counts = \
+                serialize_with_updates(
+                st, events, qindex, ser, fc_base)
+        else:
+            tile = ser(st, events, qindex, fc=fc_base)
+            st.fc_final = fc_base
     return tile, st

@@ -95,6 +95,14 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
 def _apply_loop_filter(st, hdr, qindex, is_key, enabled=True):
     """Pick the frame filter level and filter the recon in place."""
     from tpu_vp9.ops.loopfilter import loop_filter_frame, pick_filter_level
+    from tpu_vp9.utils.trace import span
+
+    with span("loop_filter"):
+        return _apply_loop_filter_inner(st, hdr, qindex, is_key, enabled)
+
+
+def _apply_loop_filter_inner(st, hdr, qindex, is_key, enabled=True):
+    from tpu_vp9.ops.loopfilter import loop_filter_frame, pick_filter_level
 
     lvl = pick_filter_level(qindex, is_key) if enabled else 0
     hdr.loop_filter.filter_level = lvl

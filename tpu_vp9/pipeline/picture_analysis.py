@@ -81,6 +81,62 @@ def denoise_weak(y: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def denoise_strong(y: np.ndarray) -> np.ndarray:
+    """Separable [1 2 2 2 1]/8 smoothing — the reference's strong luma
+    filter family (EbPictureAnalysisProcess.c strong filter), engaged at
+    high noise estimates."""
+    a = y.astype(np.uint32)
+    pad = np.pad(a, 2, mode="edge")
+    horiz = (pad[2:-2, :-4] + 2 * pad[2:-2, 1:-3] + 2 * pad[2:-2, 2:-2]
+             + 2 * pad[2:-2, 3:-1] + pad[2:-2, 4:] + 4) >> 3
+    pad2 = np.pad(horiz, 2, mode="edge")
+    out = (pad2[:-4, 2:-2] + 2 * pad2[1:-3, 2:-2] + 2 * pad2[2:-2, 2:-2]
+           + 2 * pad2[3:-1, 2:-2] + pad2[4:, 2:-2] + 4) >> 3
+    return out.astype(np.uint8)
+
+
+def dark_area_density(y: np.ndarray, n: int = 16,
+                      thresh: int = 60) -> np.ndarray:
+    """Fraction of dark pixels per block (derive_picture_activity_stats
+    dark-area density, EbSourceBasedOperationsProcess.c:367)."""
+    h, w = y.shape
+    rows, cols = h // n, w // n
+    dark = (y[: rows * n, : cols * n] < thresh)
+    return dark.reshape(rows, n, cols, n).mean(axis=(1, 3))
+
+
+def aura_map(var16: np.ndarray, ratio: float = 8.0,
+             floor: float = 100.0) -> np.ndarray:
+    """Aura / isolated-region detector
+    (EbSourceBasedOperationsProcess.c:221/:324, aura detection
+    EbModeDecisionConfigurationProcess.c:193): blocks whose activity
+    towers over every neighbor — halos around sharp objects on flat
+    background — are flagged so mode decision protects them."""
+    v = np.maximum(var16, 1.0)
+    pad = np.pad(v, 1, mode="edge")
+    neigh = np.stack([pad[:-2, 1:-1], pad[2:, 1:-1],
+                      pad[1:-1, :-2], pad[1:-1, 2:]])
+    return (v > floor) & (v > ratio * neigh.max(axis=0) + 1e-9)
+
+
+def high_contrast_maps(y: np.ndarray, prev_y=None, n: int = 16):
+    """(spatial, temporal) high-contrast block maps
+    (EbSourceBasedOperationsProcess.c:444/:466): spatial = strong
+    within-block dynamic range; temporal = large mean shift vs the
+    previous source picture (None -> all False)."""
+    h, w = y.shape
+    rows, cols = h // n, w // n
+    blk = y[: rows * n, : cols * n].reshape(rows, n, cols, n)
+    rng = blk.max(axis=(1, 3)).astype(np.int32) \
+        - blk.min(axis=(1, 3)).astype(np.int32)
+    spatial = rng > 150
+    if prev_y is None:
+        return spatial, np.zeros_like(spatial)
+    pblk = prev_y[: rows * n, : cols * n].reshape(rows, n, cols, n)
+    dm = np.abs(blk.mean(axis=(1, 3)) - pblk.mean(axis=(1, 3)))
+    return spatial, dm > 40
+
+
 def edge_map(y: np.ndarray, n: int = 16) -> np.ndarray:
     """Per-block mean gradient magnitude (edge detection :4545)."""
     a = y.astype(np.int32)
@@ -121,6 +177,9 @@ class PictureStats:
     luma_hist: np.ndarray
     noise_level: float
     pyramid: tuple  # (full, quarter, sixteenth) luma planes
+    aura16: np.ndarray = None  # isolated high-activity blocks
+    dark16: np.ndarray = None  # dark-pixel density
+    hc_spatial16: np.ndarray = None  # spatial high-contrast blocks
 
     def sb_lambda_map(self, sb: int = 64) -> np.ndarray:
         """QPM/BEA analogue: per-SB lambda multipliers.
@@ -144,6 +203,12 @@ class PictureStats:
         lam = np.clip((act / med) ** 0.5, 0.7, 1.4)
         lam = np.where(m < 50, np.minimum(lam, 0.85), lam)  # dark areas
         lam = np.where(s > 0.5, np.minimum(lam, 0.9), lam)  # skin
+        if self.aura16 is not None:
+            # aura/isolated regions: tighten lambda so halos around
+            # sharp objects don't smear (aura_derivation analogue)
+            a = self.aura16[: srows * k, : scols * k] \
+                .reshape(srows, k, scols, k).mean((1, 3))
+            lam = np.where(a > 0, np.minimum(lam, 0.8), lam)
         return lam.astype(np.float32)
 
 
@@ -156,14 +221,22 @@ def analyze_picture(frame, denoise: bool = False) -> PictureStats:
     y = frame.y
     if denoise:
         lvl = estimate_noise_level(y)
-        if lvl > 2.5:
+        if lvl > 6.0:
+            # heavy noise: strong filter (the reference's strong/weak
+            # gate on the per-picture noise class)
+            frame.y[:] = denoise_strong(y)
+            y = frame.y
+        elif lvl > 2.5:
             frame.y[:] = denoise_weak(y)
             y = frame.y
     mean16, var16 = block_mean_variance(y, 16)
     sk, gr = skin_grass_maps(y, frame.u, frame.v, 16)
+    hc_sp, _ = high_contrast_maps(y)
     return PictureStats(
         mean16=mean16, var16=var16, edge16=edge_map(y, 16),
         skin16=sk, grass16=gr, luma_hist=luma_histogram(y),
         noise_level=estimate_noise_level(y),
         pyramid=build_decimation_pyramid(y),
+        aura16=aura_map(var16), dark16=dark_area_density(y),
+        hc_spatial16=hc_sp,
     )
