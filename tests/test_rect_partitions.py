@@ -160,3 +160,44 @@ def test_native_rect_kernels_match_python(monkeypatch):
     want = me_ops.subpel_refine(src2, ref, 18, 8, BORDER, (1, 2), filters)
     monkeypatch.undo()
     assert got == want
+
+
+def test_intra_partition_tree_roundtrip_and_rq():
+    """Variance-quadtree keyframe partitioning: mixed sizes, bit-exact
+    decode, and better RQ than fixed-size on mixed content."""
+    rng = np.random.default_rng(0)
+    h, w = 288, 352
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (100 + 40 * np.sin(yy / 60) + 20 * np.cos(xx / 80)).astype(np.uint8)
+    y[100:200, 100:240] = rng.integers(0, 255, (100, 140))  # heavy texture
+    y[40:48, :] = 255
+    y[44, :] = 0  # sharp band
+    fr = type("F", (), {})()
+    fr.y = y
+    fr.u = np.full((h // 2, w // 2), 128, np.uint8)
+    fr.v = fr.u.copy()
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+    tile_f, st_f = encode_keyframe(fr, 60, BlockSize.BLOCK_16X16)
+    tile_t, st_t = encode_keyframe(
+        fr, 60, part_depths=(BlockSize.BLOCK_8X8, BlockSize.BLOCK_64X64))
+    p_f = psnr(y, st_f.planes[0].recon[:h, :w])
+    p_t = psnr(y, st_t.planes[0].recon[:h, :w])
+    # RD-fair check (BD rule of thumb: 1 dB ~ 20% rate): the byte saving
+    # must outweigh any PSNR drop at that exchange rate
+    saved_frac = 1.0 - len(tile_t) / len(tile_f)
+    assert saved_frac > (p_f - p_t) / 5.0, (len(tile_f), len(tile_t),
+                                            p_f, p_t)
+    # mixed leaf sizes chosen
+    sizes = {m.bsize for m in st_t.mig.grid.reshape(-1) if m is not None}
+    assert len(sizes) >= 2
+    # conformance: decode bit-exact
+    hdr = FrameHeader(width=w, height=h, is_keyframe=True,
+                      error_resilient=True, base_qindex=60,
+                      tx_mode=TxMode.ALLOW_32X32)
+    payload = assemble_frame(hdr, tile_t, st_t.header_updates)
+    yd, ud, vd, _ = decode_frame(payload, dpb=[None] * 8)
+    np.testing.assert_array_equal(yd, st_t.planes[0].recon[:h, :w])

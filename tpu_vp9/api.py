@@ -236,7 +236,8 @@ class Vp9Encoder:
         if is_key:
             tile, st = encode_keyframe(frame, qindex, sig.block_size,
                                        qbias=sig.qbias, fc_base=fc_base,
-                                       open_loop_md=sig.use_tpu_hints)
+                                       open_loop_md=sig.use_tpu_hints,
+                                       part_depths=sig.part_depths)
             hdr = FrameHeader(width=w, height=h, is_keyframe=True,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.ALLOW_32X32,

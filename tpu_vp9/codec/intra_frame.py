@@ -133,6 +133,92 @@ def walk_partition_fixed(mi_rows: int, mi_cols: int, target: BlockSize,
     return events
 
 
+def decide_partition_tree_intra(y: np.ndarray, mi_rows: int, mi_cols: int,
+                                qindex: int, min_bs: BlockSize,
+                                max_bs: BlockSize, log2_tile_cols: int = 0,
+                                split_bias: float = 16.0):
+    """Open-loop quadtree partition RDO for intra frames.
+
+    The MDC kernel's prediction_partition_loop analogue
+    (EbModeDecisionConfigurationProcess.c:1899): per-node cost is a
+    rate-distortion proxy from the block's luma variance against the
+    quantizer scale — splitting pays off exactly where quadrants are
+    heterogeneous (parent variance ≫ pooled child variance).  Returns a
+    decode-order event list compatible with walk_partition_fixed's.
+    """
+    h, w = y.shape
+    r8, c8 = mi_rows, mi_cols
+    # per-8x8 mean / second-moment grids (edge blocks padded by edge
+    # replication so overhang area doesn't skew the stats)
+    yp = np.pad(y.astype(np.float64),
+                ((0, r8 * 8 - h), (0, c8 * 8 - w)), mode="edge")
+    b = yp.reshape(r8, 8, c8, 8)
+    m = {0: b.mean((1, 3))}
+    s2 = {0: (b.astype(np.float64) ** 2).mean((1, 3))}
+    # aggregate to 16/32/64 levels (k = log2(size/8))
+    for k in (1, 2, 3):
+        pm, ps = m[k - 1], s2[k - 1]
+        pm_ = np.pad(pm, ((0, pm.shape[0] % 2), (0, pm.shape[1] % 2)),
+                     mode="edge")
+        ps_ = np.pad(ps, ((0, ps.shape[0] % 2), (0, ps.shape[1] % 2)),
+                     mode="edge")
+        m[k] = 0.25 * (pm_[0::2, 0::2] + pm_[0::2, 1::2]
+                       + pm_[1::2, 0::2] + pm_[1::2, 1::2])
+        s2[k] = 0.25 * (ps_[0::2, 0::2] + ps_[0::2, 1::2]
+                        + ps_[1::2, 0::2] + ps_[1::2, 1::2])
+    q2 = max((T.ac_quant(qindex) / 8.0) ** 2, 1.0)
+    lvl_of = {BlockSize.BLOCK_8X8: 0, BlockSize.BLOCK_16X16: 1,
+              BlockSize.BLOCK_32X32: 2, BlockSize.BLOCK_64X64: 3}
+    # split_bias: per-leaf syntax overhead in npix*log2(1+var/q2) units
+
+    def node_cost(mi_row, mi_col, bsize):
+        k = lvl_of[bsize]
+        r, c = mi_row >> k, mi_col >> k
+        r = min(r, m[k].shape[0] - 1)
+        c = min(c, m[k].shape[1] - 1)
+        var = max(s2[k][r, c] - m[k][r, c] ** 2, 0.0)
+        npix = (8 << k) ** 2
+        return npix * np.log2(1.0 + var / q2)
+
+    def node(mi_row, mi_col, bsize):
+        if mi_row >= mi_rows or mi_col >= mi_cols:
+            return 0.0, []
+        has_rows, has_cols = MI.partition_rule(
+            bsize, mi_row, mi_col, mi_rows, mi_cols)
+        forced = not (has_rows and has_cols)
+        can_none = not forced and int(bsize) <= int(max_bs)
+        can_split = int(bsize) > int(min_bs)
+        if can_none and not can_split:
+            return node_cost(mi_row, mi_col, bsize), [
+                ("part", mi_row, mi_col, bsize, Partition.NONE),
+                ("leaf", mi_row, mi_col, bsize, None)]
+        sub = T.SUBSIZE[(Partition.SPLIT, bsize)]
+        half = (1 << MI.MI_WIDTH_LOG2[bsize]) >> 1
+        cost_split, sub_ev = 3 * split_bias, []
+        for dr, dc in ((0, 0), (0, half), (half, 0), (half, half)):
+            cst, ev = node(mi_row + dr, mi_col + dc, sub)
+            cost_split += cst
+            sub_ev.extend(ev)
+        if can_none:
+            cost_none = node_cost(mi_row, mi_col, bsize)
+            if cost_none <= cost_split:
+                return cost_none, [
+                    ("part", mi_row, mi_col, bsize, Partition.NONE),
+                    ("leaf", mi_row, mi_col, bsize, None)]
+        return cost_split, ([("part", mi_row, mi_col, bsize,
+                              Partition.SPLIT)] + sub_ev)
+
+    events = []
+    offs = tile_mi_offsets(mi_cols, log2_tile_cols)
+    for t in range(len(offs) - 1):
+        events.append(("tile", offs[t], offs[t + 1], None, None))
+        for sb_r in range(0, mi_rows, 8):
+            for sb_c in range(offs[t], offs[t + 1], 8):
+                _, ev = node(sb_r, sb_c, BlockSize.BLOCK_64X64)
+                events.extend(ev)
+    return events
+
+
 def plane_block_geometry(bsize: BlockSize, plane_ss: int):
     """(w4, h4): plane block size in 4px units."""
     w, h = T.BLOCK_WH[BlockSize(bsize)]
@@ -551,19 +637,28 @@ def encode_keyframe_wavefront(st: FrameState, events, qindex: int,
 def encode_keyframe(frame, qindex: int, block_size=BlockSize.BLOCK_32X32,
                     qbias: float = 0.38, y_mode_hints=None,
                     prob_update: bool = True, log2_tile_cols: int = 0,
-                    fc_base=None, open_loop_md: bool = False):
+                    fc_base=None, open_loop_md: bool = False,
+                    part_depths=None):
     """Encode one intra frame; returns (tile_bytes, FrameState).
 
     y_mode_hints: optional (R, C) array of IntraMode per target-size block
     (from the TPU open-loop analysis); edge/odd-size leaves fall back to
     the local search.  open_loop_md computes hints on the host when not
     supplied, enabling the wavefront-batched reconstruction pass.
+    part_depths: (min_bs, max_bs) engages the variance-quadtree partition
+    RDO instead of the fixed-size walk (quality presets).
     """
     h, w = frame.y.shape
     mi_rows, mi_cols = (h + 7) >> 3, (w + 7) >> 3
     st = make_frame_state(frame, mi_rows, mi_cols)
-    events = walk_partition_fixed(mi_rows, mi_cols, block_size,
-                                  log2_tile_cols)
+    if part_depths is not None:
+        events = decide_partition_tree_intra(
+            frame.y, mi_rows, mi_cols, qindex, part_depths[0],
+            part_depths[1], log2_tile_cols)
+        y_mode_hints = None  # hint grid is target-size based
+    else:
+        events = walk_partition_fixed(mi_rows, mi_cols, block_size,
+                                      log2_tile_cols)
     n_px = T.BLOCK_WH[block_size][0]
     if (y_mode_hints is None and open_loop_md
             and w >= n_px and h >= n_px):
