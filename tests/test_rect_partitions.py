@@ -201,3 +201,89 @@ def test_intra_partition_tree_roundtrip_and_rq():
     payload = assemble_frame(hdr, tile_t, st_t.header_updates)
     yd, ud, vd, _ = decode_frame(payload, dpb=[None] * 8)
     np.testing.assert_array_equal(yd, st_t.planes[0].recon[:h, :w])
+
+
+def test_sub8x8_intra_roundtrip_and_rq():
+    """BLOCK_4X4 keyframe leaves (4 bmi sub-modes): bit-exact decode and
+    RD improvement over an 8x8-min partition tree on detailed content."""
+    import io
+
+    from tpu_vp9.bitstream.ivf import (
+        patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
+    )
+    from tpu_vp9.decoder.decoder import decode_ivf
+    from tpu_vp9.pipeline.encoder import encode_stream
+
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (100 + 40 * np.sin(yy / 50) + 20 * np.cos(xx / 70)).astype(np.uint8)
+    y[30:70, 40:100] = rng.integers(0, 255, (40, 60))
+    fr = type("F", (), {})()
+    fr.y = y
+    fr.u = np.full((h // 2, w // 2), 128, np.uint8)
+    fr.v = fr.u.copy()
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+    results = {}
+    for minbs in (BlockSize.BLOCK_8X8, BlockSize.BLOCK_4X4):
+        enc = encode_stream([fr], qindex=60,
+                            part_depths=(minbs, BlockSize.BLOCK_64X64))
+        buf = io.BytesIO()
+        write_ivf_header(buf, w, h, 30, 1)
+        write_ivf_frame(buf, enc[0].payload, 0)
+        patch_ivf_frame_count(buf, 1)
+        buf.seek(0)
+        yd, ud, vd, _ = next(iter(decode_ivf(buf)))
+        st = enc[0].state
+        np.testing.assert_array_equal(yd, st.planes[0].recon[:h, :w])
+        np.testing.assert_array_equal(ud, st.planes[1].recon[:h // 2,
+                                                             :w // 2])
+        results[minbs] = (len(enc[0].payload), psnr(y, yd), st)
+    b8, p8, _ = results[BlockSize.BLOCK_8X8]
+    b4, p4, st4 = results[BlockSize.BLOCK_4X4]
+    # 4x4 leaves must actually be chosen on this content
+    n4 = sum(1 for m in {id(m): m for m in st4.mig.grid.reshape(-1)
+                         if m is not None}.values()
+             if m.bsize == BlockSize.BLOCK_4X4)
+    assert n4 > 0
+    # RD-fair: byte saving outweighs any PSNR drop (1 dB ~ 20% rate)
+    saved = 1.0 - b4 / b8
+    assert saved > (p8 - p4) / 5.0, (b8, b4, p8, p4)
+
+
+def test_sub8x8_sub_modes_differ_within_block():
+    """The per-4x4 bmi search must pick distinct modes when content
+    demands it (not a single block-wide mode)."""
+    from tpu_vp9.codec.intra_frame import encode_keyframe
+
+    rng = np.random.default_rng(2)
+    h, w = 64, 64
+    # alternating horizontal/vertical stripe texture at 4px scale: each
+    # 4x4 sub-block wants a different directional predictor
+    y = np.zeros((h, w), np.uint8)
+    for by in range(0, h, 4):
+        for bx in range(0, w, 4):
+            if ((by ^ bx) >> 2) & 1:
+                y[by : by + 4, bx : bx + 4] = (
+                    np.arange(4, dtype=np.uint8) * 60)[None, :]
+            else:
+                y[by : by + 4, bx : bx + 4] = (
+                    np.arange(4, dtype=np.uint8) * 60)[:, None]
+    y = np.clip(y.astype(np.int32)
+                + rng.integers(-8, 9, y.shape), 0, 255).astype(np.uint8)
+    fr = type("F", (), {})()
+    fr.y = y
+    fr.u = np.full((h // 2, w // 2), 128, np.uint8)
+    fr.v = fr.u.copy()
+    _, st = encode_keyframe(
+        fr, 40, part_depths=(BlockSize.BLOCK_4X4, BlockSize.BLOCK_64X64))
+    varied = False
+    for m in {id(m): m for m in st.mig.grid.reshape(-1)
+              if m is not None}.values():
+        if m.bsize == BlockSize.BLOCK_4X4 and len(set(m.sub_modes)) > 1:
+            varied = True
+    assert varied

@@ -372,6 +372,9 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
 
     ac_q = T.ac_quant(qindex)
     split_bias = max(8, (40 * ac_q) >> 4)
+    # inter blocks stop at 8x8 (sub-8x8 bmi MVs not emitted yet)
+    if int(min_bs) < int(BlockSize.BLOCK_8X8):
+        min_bs = BlockSize.BLOCK_8X8
     mi_rows, mi_cols = st.mi_rows, st.mi_cols
 
     def node(mi_row, mi_col, bsize, center):

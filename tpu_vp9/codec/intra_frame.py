@@ -148,35 +148,40 @@ def decide_partition_tree_intra(y: np.ndarray, mi_rows: int, mi_cols: int,
     """
     h, w = y.shape
     r8, c8 = mi_rows, mi_cols
-    # per-8x8 mean / second-moment grids (edge blocks padded by edge
-    # replication so overhang area doesn't skew the stats)
-    yp = np.pad(y.astype(np.float64),
-                ((0, r8 * 8 - h), (0, c8 * 8 - w)), mode="edge")
-    b = yp.reshape(r8, 8, c8, 8)
-    m = {0: b.mean((1, 3))}
-    s2 = {0: (b.astype(np.float64) ** 2).mean((1, 3))}
-    # aggregate to 16/32/64 levels (k = log2(size/8))
-    for k in (1, 2, 3):
-        pm, ps = m[k - 1], s2[k - 1]
-        pm_ = np.pad(pm, ((0, pm.shape[0] % 2), (0, pm.shape[1] % 2)),
-                     mode="edge")
-        ps_ = np.pad(ps, ((0, ps.shape[0] % 2), (0, ps.shape[1] % 2)),
-                     mode="edge")
-        m[k] = 0.25 * (pm_[0::2, 0::2] + pm_[0::2, 1::2]
-                       + pm_[1::2, 0::2] + pm_[1::2, 1::2])
-        s2[k] = 0.25 * (ps_[0::2, 0::2] + ps_[0::2, 1::2]
-                        + ps_[1::2, 0::2] + ps_[1::2, 1::2])
+    # pad to a whole-SB multiple by edge replication so overhang area
+    # doesn't skew the stats
+    hp = ((r8 * 8 + 63) // 64) * 64
+    wp = ((c8 * 8 + 63) // 64) * 64
+    yp = np.pad(y.astype(np.float64), ((0, hp - h), (0, wp - w)),
+                mode="edge")
+
+    def level_energy(n):
+        """Per-nxn-block open-loop intra residual energy: min over
+        {DC, V, H} source-predictor residual variances (the OIS-histogram
+        proxy of EbMotionEstimationProcess.c's open-loop intra search,
+        vectorized whole-frame)."""
+        R, C = hp // n, wp // n
+        b = yp.reshape(R, n, C, n)
+        dc = b.var(axis=(1, 3))
+        v = ((b - b[:, :1]) ** 2).mean(axis=(1, 3))
+        hh = ((b - b[:, :, :, :1]) ** 2).mean(axis=(1, 3))
+        return np.minimum(dc, np.minimum(v, hh))
+
+    en = {k: level_energy(8 << k) for k in (0, 1, 2, 3)}
     q2 = max((T.ac_quant(qindex) / 8.0) ** 2, 1.0)
     lvl_of = {BlockSize.BLOCK_8X8: 0, BlockSize.BLOCK_16X16: 1,
               BlockSize.BLOCK_32X32: 2, BlockSize.BLOCK_64X64: 3}
+    allow_4x4 = int(min_bs) < int(BlockSize.BLOCK_8X8)
+    if allow_4x4:
+        v4 = level_energy(4)
     # split_bias: per-leaf syntax overhead in npix*log2(1+var/q2) units
 
     def node_cost(mi_row, mi_col, bsize):
         k = lvl_of[bsize]
         r, c = mi_row >> k, mi_col >> k
-        r = min(r, m[k].shape[0] - 1)
-        c = min(c, m[k].shape[1] - 1)
-        var = max(s2[k][r, c] - m[k][r, c] ** 2, 0.0)
+        r = min(r, en[k].shape[0] - 1)
+        c = min(c, en[k].shape[1] - 1)
+        var = en[k][r, c]
         npix = (8 << k) ** 2
         return npix * np.log2(1.0 + var / q2)
 
@@ -192,6 +197,22 @@ def decide_partition_tree_intra(y: np.ndarray, mi_rows: int, mi_cols: int,
             return node_cost(mi_row, mi_col, bsize), [
                 ("part", mi_row, mi_col, bsize, Partition.NONE),
                 ("leaf", mi_row, mi_col, bsize, None)]
+        if bsize == BlockSize.BLOCK_8X8:
+            # 8x8 vs 4x4-bmi (one leaf, 4 sub-modes — no recursion)
+            cost4 = 2 * split_bias
+            for dr, dc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                r4 = min(mi_row * 2 + dr * 1, v4.shape[0] - 1)
+                c4 = min(mi_col * 2 + dc * 1, v4.shape[1] - 1)
+                cost4 += 16 * np.log2(1.0 + v4[r4, c4] / q2)
+            if can_none:
+                cost8 = node_cost(mi_row, mi_col, bsize)
+                if cost8 <= cost4:
+                    return cost8, [
+                        ("part", mi_row, mi_col, bsize, Partition.NONE),
+                        ("leaf", mi_row, mi_col, bsize, None)]
+            return cost4, [
+                ("part", mi_row, mi_col, bsize, Partition.SPLIT),
+                ("leaf", mi_row, mi_col, BlockSize.BLOCK_4X4, None)]
         sub = T.SUBSIZE[(Partition.SPLIT, bsize)]
         half = (1 << MI.MI_WIDTH_LOG2[bsize]) >> 1
         cost_split, sub_ev = 3 * split_bias, []
@@ -314,9 +335,81 @@ def decide_block_mode(st: FrameState, mi_row: int, mi_col: int,
     return y_mode, uv_mode
 
 
+def encode_leaf_sub8x8(st: FrameState, mi_row: int, mi_col: int,
+                       qindex: int, qbias: float = 0.38):
+    """Pass A for a BLOCK_4X4 leaf: per-4x4 mode search + recon in bmi
+    order (b1's prediction sees b0's reconstruction, like the decoder)."""
+    dc_q = T.dc_quant(qindex)
+    ac_q = T.ac_quant(qindex)
+    pl = st.planes[0]
+    eff = BlockSize.BLOCK_8X8
+    sub = []
+    all_zero = True
+    pending = []
+    for x4, y4 in tx_blocks_of(eff, TxSize.TX_4X4, 0):
+        if not _visible(st, 0, mi_row, mi_col, x4, y4):
+            sub.append(int(IntraMode.DC_PRED))
+            continue
+        px = mi_col * 8 + x4 * 4
+        py = mi_row * 8 + y4 * 4
+        ha = py > 0
+        hl = px > st.tile_mi_start * 8
+        hr = (x4 + 1) < 2
+        above, al, left = intra_ops.build_ref_samples(
+            pl.recon, px, py, 4, pl.width, pl.height, ha, hl, hr)
+        preds = intra_ops.predict_all_modes(
+            above[None], np.array([al]), left[None], np.array([ha]),
+            np.array([hl]), 4)[0]
+        src = pl.source[py : py + 4, px : px + 4].astype(np.int32)
+        sse = ((preds - src[None]) ** 2).sum(axis=(1, 2))
+        mode = IntraMode(int(np.argmin(sse)))
+        sub.append(int(mode))
+        tt = MI.y_tx_type(mode, False, False, TxSize.TX_4X4)
+        levels, eob, _ = encode_tx_block_intra(
+            st, 0, mode, mi_row, mi_col, x4, y4, TxSize.TX_4X4, tt,
+            dc_q, ac_q, 2, qbias)
+        st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = levels
+        st.eobs[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = eob
+        all_zero &= eob == 0
+        pending.append((x4, y4))
+    while len(sub) < 4:
+        sub.append(sub[-1] if sub else int(IntraMode.DC_PRED))
+    # uv at 4x4 (chroma of the 8x8 cell): best joint-SSE mode
+    usse = np.zeros(10, np.int64)
+    for pidx in (1, 2):
+        cpl = st.planes[pidx]
+        cx, cy = mi_col * 4, mi_row * 4
+        ha, hl = cy > 0, cx > (st.tile_mi_start * 4)
+        a, c_al, l = intra_ops.build_ref_samples(
+            cpl.recon, cx, cy, 4, cpl.width, cpl.height, ha, hl, False)
+        cpreds = intra_ops.predict_all_modes(
+            a[None], np.array([c_al]), l[None], np.array([ha]),
+            np.array([hl]), 4)[0]
+        csrc = cpl.source[cy : cy + 4, cx : cx + 4].astype(np.int32)
+        usse += ((cpreds - csrc[None]) ** 2).sum(axis=(1, 2))
+    uv_mode = IntraMode(int(np.argmin(usse)))
+    mi = MI.ModeInfo(bsize=BlockSize.BLOCK_4X4, y_mode=IntraMode(sub[3]),
+                     uv_mode=uv_mode, tx_size=TxSize.TX_4X4, skip=False,
+                     is_inter=False, sub_modes=tuple(sub))
+    st.mig.set_block(mi_row, mi_col, BlockSize.BLOCK_4X4, mi)
+    for pidx in (1, 2):
+        for x4, y4 in tx_blocks_of(eff, TxSize.TX_4X4, 1):
+            if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                continue
+            levels, eob, _ = encode_tx_block_intra(
+                st, pidx, uv_mode, mi_row, mi_col, x4, y4, TxSize.TX_4X4,
+                TxType.DCT_DCT, dc_q, ac_q, 1, qbias)
+            st.levels[(pidx, mi_row + y4, mi_col + x4)] = levels
+            st.eobs[(pidx, mi_row + y4, mi_col + x4)] = eob
+            all_zero &= eob == 0
+    mi.skip = all_zero
+
+
 def encode_leaf(st: FrameState, mi_row: int, mi_col: int, bsize: BlockSize,
                 qindex: int, qbias: float = 0.38, mode_hint=None):
     """Pass A for one leaf: decide modes, transform, recon, record."""
+    if bsize == BlockSize.BLOCK_4X4:
+        return encode_leaf_sub8x8(st, mi_row, mi_col, qindex, qbias)
     dc_q_y = T.dc_quant(qindex)
     ac_q_y = T.ac_quant(qindex)
     if mode_hint is not None:
@@ -368,6 +461,82 @@ def new_counts_sink():
         **{("eob", ts): np.zeros((2, 2, 6, 6), np.int64) for ts in TxSize},
         "skip": np.zeros((3, 2), np.int64),
     }
+
+
+def _serialize_sub8x8_leaf(st, enc, mi, mi_row, mi_col, kf_y_probs,
+                           kf_uv_probs, full_probs, planes_ctx,
+                           dc_q, ac_q, counts_sink) -> None:
+    """Write a BLOCK_4X4 keyframe leaf: 4 bmi sub-modes (chained
+    above/left contexts per vp9_above/left_block_mode), one uv mode,
+    tokens with the enclosing-8x8 geometry."""
+    from tpu_vp9.bitstream.tables import IntraMode
+
+    above_mi = st.mig.above(mi_row, mi_col)
+    left_mi = st.mig.left(mi_row, mi_col)
+    sub = [int(s) for s in mi.sub_modes]
+    for i in range(4):
+        if i < 2:
+            a = (MI._neighbor_sub_mode(above_mi, i + 2)
+                 if above_mi is not None else IntraMode.DC_PRED)
+        else:
+            a = IntraMode(sub[i - 2])
+        if i % 2 == 0:
+            l = (MI._neighbor_sub_mode(left_mi, i + 1)
+                 if left_mi is not None else IntraMode.DC_PRED)
+        else:
+            l = IntraMode(sub[i - 1])
+        T.write_token(enc, "intra_mode_tree", kf_y_probs[int(a)][int(l)],
+                      sub[i])
+    T.write_token(enc, "intra_mode_tree", kf_uv_probs[sub[3]],
+                  int(mi.uv_mode))
+    eff = BlockSize.BLOCK_8X8
+    if mi.skip:
+        for pidx in (0, 1, 2):
+            ss = st.planes[pidx].subsampling
+            pc = planes_ctx[pidx]
+            w4, h4 = plane_block_geometry(eff, ss)
+            bx4 = (mi_col * 2) >> ss
+            by4 = (mi_row * 2) >> ss
+            pc.above[bx4 : bx4 + w4] = 0
+            pc.left[by4 : by4 + h4] = 0
+        return
+    for i, (x4, y4) in enumerate(tx_blocks_of(eff, TxSize.TX_4X4, 0)):
+        if not _visible(st, 0, mi_row, mi_col, x4, y4):
+            continue
+        tt = MI.y_tx_type(IntraMode(sub[i]), False, False, TxSize.TX_4X4)
+        pc = planes_ctx[0]
+        gx4 = mi_col * 2 + x4
+        gy4 = mi_row * 2 + y4
+        levels = st.levels[(0, gy4, gx4)]
+        ctx0 = pc.get_ctx(gx4, gy4, TxSize.TX_4X4)
+        cnt = ecnt = None
+        if counts_sink is not None:
+            cnt = counts_sink[("coef", TxSize.TX_4X4)][0, 0]
+            ecnt = counts_sink[("eob", TxSize.TX_4X4)][0, 0]
+        eob = tok.write_coeffs_any(enc, levels, TxSize.TX_4X4, tt,
+                                   full_probs[(TxSize.TX_4X4, False)],
+                                   ctx0, cnt, ecnt)
+        pc.set_ctx(gx4, gy4, TxSize.TX_4X4, eob > 0, st.mi_cols * 2,
+                   st.mi_rows * 2)
+    for pidx in (1, 2):
+        pc = planes_ctx[pidx]
+        for x4, y4 in tx_blocks_of(eff, TxSize.TX_4X4, 1):
+            if not _visible(st, pidx, mi_row, mi_col, x4, y4):
+                continue
+            gx4 = mi_col + x4
+            gy4 = mi_row + y4
+            levels = st.levels[(pidx, gy4, gx4)]
+            ctx0 = pc.get_ctx(gx4, gy4, TxSize.TX_4X4)
+            cnt = ecnt = None
+            if counts_sink is not None:
+                cnt = counts_sink[("coef", TxSize.TX_4X4)][1, 0]
+                ecnt = counts_sink[("eob", TxSize.TX_4X4)][1, 0]
+            eob = tok.write_coeffs_any(enc, levels, TxSize.TX_4X4,
+                                       TxType.DCT_DCT,
+                                       full_probs[(TxSize.TX_4X4, True)],
+                                       ctx0, cnt, ecnt)
+            pc.set_ctx(gx4, gy4, TxSize.TX_4X4, eob > 0, st.mi_cols,
+                       st.mi_rows)
 
 
 def serialize_frame(st: FrameState, events, qindex: int,
@@ -426,6 +595,11 @@ def serialize_frame(st: FrameState, events, qindex: int,
         enc.put_bit(1 if mi.skip else 0, int(fc.skip_probs[sctx]))
         if counts_sink is not None:
             counts_sink["skip"][sctx, 1 if mi.skip else 0] += 1
+        if bsize < BlockSize.BLOCK_8X8:
+            _serialize_sub8x8_leaf(st, enc, mi, mi_row, mi_col, kf_y_probs,
+                                   kf_uv_probs, full_probs, planes_ctx,
+                                   dc_q, ac_q, counts_sink)
+            continue
         # y mode (kf context from above/left neighbor modes)
         am = MI.kf_above_mode(st.mig, mi_row, mi_col)
         lm = MI.kf_left_mode(st.mig, mi_row, mi_col)

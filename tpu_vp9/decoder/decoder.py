@@ -424,7 +424,13 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
     if st.counts is not None:
         st.counts["skip"][sctx, 1 if skip else 0] += 1
     if bsize < BlockSize.BLOCK_8X8:
-        raise NotImplementedError("sub-8x8 decode not yet supported")
+        if not (h.is_keyframe or h.intra_only):
+            raise NotImplementedError(
+                "sub-8x8 in inter frames not yet supported")
+        if bsize != BlockSize.BLOCK_4X4:
+            raise NotImplementedError("4x8/8x4 decode not yet supported")
+        _decode_sub8x8_intra(st, bd, mi_row, mi_col, skip, full_probs)
+        return
     max_tx = T.MAX_TX_SIZE[bsize]
     tx_allowed = {T.TxMode.ONLY_4X4: 0, T.TxMode.ALLOW_8X8: 1,
                   T.TxMode.ALLOW_16X16: 2, T.TxMode.ALLOW_32X32: 3,
@@ -504,6 +510,66 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
                                    dc_q_uv, ac_q_uv)
     if skip:
         _reset_skip_ctx(st, mi_row, mi_col, bsize)
+
+
+def _decode_sub8x8_intra(st: DecState, bd: BoolDecoder, mi_row: int,
+                         mi_col: int, skip: bool, full_probs) -> None:
+    """BLOCK_4X4 keyframe block: four per-4x4 sub-modes (bmi), one uv
+    mode; token/recon geometry is the enclosing 8x8
+    (libvpx decode_block: plane_bsize = max(bsize, BLOCK_8X8))."""
+    h = st.h
+    above_mi = st.mig.above(mi_row, mi_col)
+    left_mi = st.mig.left(mi_row, mi_col)
+    kf_y = T.kf_y_mode_probs()
+    sub = []
+    # vp9_above_block_mode / vp9_left_block_mode context chaining
+    for i in range(4):
+        if i < 2:
+            a = (MI._neighbor_sub_mode(above_mi, i + 2)
+                 if above_mi is not None else IntraMode.DC_PRED)
+        else:
+            a = IntraMode(sub[i - 2])
+        if i % 2 == 0:
+            l = (MI._neighbor_sub_mode(left_mi, i + 1)
+                 if left_mi is not None else IntraMode.DC_PRED)
+        else:
+            l = IntraMode(sub[i - 1])
+        sub.append(IntraMode(T.read_token(
+            bd, "intra_mode_tree", kf_y[int(a)][int(l)])))
+    y_mode = sub[3]
+    uv_mode = IntraMode(T.read_token(
+        bd, "intra_mode_tree", T.kf_uv_mode_probs()[int(y_mode)]))
+    mi = MI.ModeInfo(bsize=BlockSize.BLOCK_4X4, y_mode=y_mode,
+                     uv_mode=uv_mode, tx_size=TxSize.TX_4X4, skip=skip,
+                     is_inter=False, sub_modes=tuple(sub))
+    st.mig.set_block(mi_row, mi_col, BlockSize.BLOCK_4X4, mi)
+
+    eff = BlockSize.BLOCK_8X8
+    dc_q = T.dc_quant(h.base_qindex, h.y_dc_delta_q)
+    ac_q = T.ac_quant(h.base_qindex)
+    dc_q_uv = T.dc_quant(h.base_qindex, h.uv_dc_delta_q)
+    ac_q_uv = T.ac_quant(h.base_qindex, h.uv_ac_delta_q)
+    w4y, _ = plane_block_geometry(eff, 0)
+    for i, (x4, y4) in enumerate(tx_blocks_of(eff, TxSize.TX_4X4, 0)):
+        if not _visible(st, 0, mi_row, mi_col, x4, y4):
+            continue
+        mode_i = IntraMode(sub[i])
+        tt = MI.y_tx_type(mode_i, False, h.lossless(), TxSize.TX_4X4)
+        _decode_tx_block_intra(
+            st, bd, 0, mode_i, mi_row, mi_col, x4, y4, TxSize.TX_4X4, tt,
+            w4y, skip, full_probs[(TxSize.TX_4X4, False, False)],
+            dc_q, ac_q)
+    w4uv, _ = plane_block_geometry(eff, 1)
+    for pidx in (1, 2):
+        for x4, y4 in tx_blocks_of(eff, TxSize.TX_4X4, 1):
+            if not _visible(st, 1, mi_row, mi_col, x4, y4):
+                continue
+            _decode_tx_block_intra(
+                st, bd, pidx, uv_mode, mi_row, mi_col, x4, y4,
+                TxSize.TX_4X4, TxType.DCT_DCT, w4uv, skip,
+                full_probs[(TxSize.TX_4X4, True, False)], dc_q_uv, ac_q_uv)
+    if skip:
+        _reset_skip_ctx(st, mi_row, mi_col, eff)
 
 
 def _reset_skip_ctx(st: DecState, mi_row: int, mi_col: int,
@@ -673,7 +739,10 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
             _decode_intra_block(st, bd, mi_row, mi_col + half, sub, full_probs)
     else:
         if bsize == BlockSize.BLOCK_8X8:
-            raise NotImplementedError("4x4 split decode not yet supported")
+            # SPLIT at 8x8: one BLOCK_4X4 block with 4 bmi sub-modes
+            _decode_intra_block(st, bd, mi_row, mi_col, sub, full_probs)
+            st.pctx.update(mi_row, mi_col, sub, bsize)
+            return
         _decode_partition(st, bd, mi_row, mi_col, sub, full_probs)
         _decode_partition(st, bd, mi_row, mi_col + half, sub, full_probs)
         _decode_partition(st, bd, mi_row + half, mi_col, sub, full_probs)

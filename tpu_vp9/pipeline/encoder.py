@@ -68,7 +68,8 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
                 hints = np.asarray(modes)
             tile, st = encode_keyframe(frame, qindex, block_size,
                                        y_mode_hints=hints,
-                                       log2_tile_cols=log2_tile_cols)
+                                       log2_tile_cols=log2_tile_cols,
+                                       part_depths=part_depths)
             hdr = FrameHeader(
                 width=w, height=h, is_keyframe=True, error_resilient=True,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,

@@ -32,10 +32,10 @@ class PresetSignals:
 
 _LADDER = {
     0: PresetSignals(BlockSize.BLOCK_16X16, 32, True, 0.42, False, False,
-                     True, part_depths=(BlockSize.BLOCK_8X8,
+                     True, part_depths=(BlockSize.BLOCK_4X4,
                                         BlockSize.BLOCK_64X64)),
     1: PresetSignals(BlockSize.BLOCK_16X16, 28, True, 0.42, False, False,
-                     True, part_depths=(BlockSize.BLOCK_8X8,
+                     True, part_depths=(BlockSize.BLOCK_4X4,
                                         BlockSize.BLOCK_64X64)),
     2: PresetSignals(BlockSize.BLOCK_16X16, 24, True, 0.40, False, False,
                      True, part_depths=(BlockSize.BLOCK_16X16,
