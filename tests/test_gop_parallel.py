@@ -1,0 +1,72 @@
+"""GOP-parallel encoding: bit-identical to sequential (CQP oracle).
+
+The reference's determinism CI gate ("For the CQP mode, the output bit
+stream will not change", svt-vp9_encoder_user_guide.md:126) applied to
+our process-parallel GOP chunking.
+"""
+
+import numpy as np
+
+from tpu_vp9.api import Vp9Encoder
+from tpu_vp9.config import EncoderConfig
+from tpu_vp9.pipeline.gop_parallel import encode_gop_parallel
+from tpu_vp9.utils.yuv import synthetic_frames
+
+
+def _sequential(frames, cfg):
+    enc = Vp9Encoder()
+    enc.set_parameter(cfg)
+    enc.init()
+    for fr in frames:
+        enc.send_picture(fr)
+    enc.flush()
+    out = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        out.append((p.data, p.pts))
+    return out
+
+
+def _make_frames(n, scene_cut_at=None):
+    frames = list(synthetic_frames(96, 80, n, seed=4, motion=True))
+    if scene_cut_at is not None:
+        rng = np.random.default_rng(99)
+        for fr in frames[scene_cut_at:]:
+            fr.y[:] = rng.integers(0, 255, fr.y.shape)
+    return frames
+
+
+def test_gop_parallel_bit_identical():
+    cfg = EncoderConfig(source_width=96, source_height=80, frame_rate=30,
+                        qp=45, enc_mode=8, intra_period=7).derive()
+    frames = _make_frames(20)
+    seq = _sequential(frames, cfg)
+    par = encode_gop_parallel(frames, cfg, workers=2)
+    assert len(par) == len(seq)
+    for (sd, sp), (pd, pp, _dts, _k, _q) in zip(seq, par):
+        assert sp == pp
+        assert sd == pd, f"packet {sp} differs"
+
+
+def test_gop_parallel_with_scene_cut_mid_chunk():
+    """A scene cut inside a chunk: SCD warmup keeps parity."""
+    cfg = EncoderConfig(source_width=96, source_height=80, frame_rate=30,
+                        qp=45, enc_mode=8, intra_period=7).derive()
+    frames = _make_frames(20, scene_cut_at=11)
+    seq = _sequential(frames, cfg)
+    par = encode_gop_parallel(frames, cfg, workers=2)
+    assert [p[0] for p in par] == [p[0] for p in seq]
+
+
+def test_gop_parallel_rejects_non_cqp():
+    import pytest
+
+    from tpu_vp9.config import RateControlMode
+
+    cfg = EncoderConfig(source_width=96, source_height=80, frame_rate=30,
+                        rate_control_mode=RateControlMode.VBR,
+                        target_bit_rate=200_000, intra_period=7).derive()
+    with pytest.raises(ValueError):
+        encode_gop_parallel(_make_frames(4), cfg, workers=2)

@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nch", dest="channels", type=int, default=1)
     p.add_argument("-speed-ctrl", dest="speed_ctrl", type=int, default=0)
     p.add_argument("-trace", dest="trace", type=int, default=0)
+    p.add_argument("-gop-parallel", dest="gop_parallel", type=int,
+                   default=1)
     return p
 
 
@@ -169,6 +171,40 @@ def run_channels(argv, n: int) -> int:
     return rc
 
 
+def _run_gop_parallel(args, cfg, frames, width, height, fps_num,
+                      fps_den) -> int:
+    """Whole-file GOP-parallel encode (CQP; bit-identical to sequential)."""
+    from tpu_vp9.pipeline.gop_parallel import encode_gop_parallel
+
+    frames = list(frames)
+    if args.frames:
+        frames = frames[: args.frames]
+    overrides = {}
+    if args.qp_file and args.use_q_file:
+        with open(args.qp_file) as fh:
+            for idx, line in enumerate(fh):
+                line = line.strip()
+                if line:
+                    overrides[idx] = int(line)
+    t0 = time.time()
+    pkts = encode_gop_parallel(frames, cfg, workers=args.gop_parallel,
+                               qp_overrides=overrides)
+    elapsed = max(time.time() - t0, 1e-9)
+    total_bytes = sum(len(p[0]) for p in pkts)
+    if args.bitstream:
+        with open(args.bitstream, "wb") as out_fh:
+            write_ivf_header(out_fh, width, height, fps_num, fps_den)
+            for data, pts, _dts, _k, _q in pkts:
+                write_ivf_frame(out_fh, data, pts)
+            patch_ivf_frame_count(out_fh, len(pkts))
+    n = max(len(frames), 1)
+    kbps = total_bytes * 8 * (fps_num / max(fps_den, 1)) / n / 1000
+    print(f"SUMMARY: {len(frames)} frames, {len(frames) / elapsed:.2f} fps, "
+          f"{kbps:.1f} kbps, avg {total_bytes // n} B/frame, "
+          f"gop-parallel x{args.gop_parallel}")
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -196,6 +232,17 @@ def main(argv=None) -> int:
         from tpu_vp9.utils.trace import enable as _trace_enable
 
         _trace_enable(True)
+
+    if args.gop_parallel > 1:
+        from tpu_vp9.config import RateControlMode
+
+        if (cfg.rate_control_mode != RateControlMode.CQP
+                or cfg.intra_period < 0):
+            print("warning: -gop-parallel requires CQP + intra period; "
+                  "falling back to sequential", file=sys.stderr)
+        else:
+            return _run_gop_parallel(args, cfg, frames, width, height,
+                                     fps_num, fps_den)
 
     enc = Vp9Encoder()
     try:
