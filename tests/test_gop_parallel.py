@@ -60,6 +60,27 @@ def test_gop_parallel_with_scene_cut_mid_chunk():
     assert [p[0] for p in par] == [p[0] for p in seq]
 
 
+def test_gop_parallel_with_scene_cut_at_chunk_boundary():
+    """A cut exactly at a GOP boundary: the boundary frame is SCD-warmed
+    (sequential runs SCD on scheduled keys too), so parity holds."""
+    cfg = EncoderConfig(source_width=96, source_height=80, frame_rate=30,
+                        qp=45, enc_mode=8, intra_period=7).derive()
+    frames = _make_frames(20, scene_cut_at=8)
+    seq = _sequential(frames, cfg)
+    par = encode_gop_parallel(frames, cfg, workers=2)
+    assert [p[1] for p in par] == [p[1] for p in seq]  # pts
+    assert [p[0] for p in par] == [p[0] for p in seq]  # bytes
+
+
+def test_gop_parallel_rejects_speed_control():
+    import pytest
+
+    cfg = EncoderConfig(source_width=96, source_height=80, frame_rate=30,
+                        qp=45, intra_period=7, speed_control=True).derive()
+    with pytest.raises(ValueError):
+        encode_gop_parallel(_make_frames(4), cfg, workers=2)
+
+
 def test_gop_parallel_rejects_non_cqp():
     import pytest
 

@@ -353,6 +353,7 @@ class Vp9Encoder:
                     self._rc.frame_qindex(True)
                 pkt = ra.encode_key(self._ra_buf.pop(next_poc), next_poc,
                                     qindex)
+                self._la.drop([next_poc])  # retire its complexity entry
                 self._ra_keys.discard(next_poc)
                 self._emit_ra([pkt])
                 continue

@@ -171,6 +171,19 @@ def run_channels(argv, n: int) -> int:
     return rc
 
 
+def _read_qp_file(args):
+    """Per-frame QP overrides from -qp-file (one qp per line)."""
+    if not (args.qp_file and args.use_q_file):
+        return None
+    overrides = {}
+    with open(args.qp_file) as fh:
+        for idx, line in enumerate(fh):
+            line = line.strip()
+            if line:
+                overrides[idx] = int(line)
+    return overrides
+
+
 def _run_gop_parallel(args, cfg, frames, width, height, fps_num,
                       fps_den) -> int:
     """Whole-file GOP-parallel encode (CQP; bit-identical to sequential)."""
@@ -179,13 +192,7 @@ def _run_gop_parallel(args, cfg, frames, width, height, fps_num,
     frames = list(frames)
     if args.frames:
         frames = frames[: args.frames]
-    overrides = {}
-    if args.qp_file and args.use_q_file:
-        with open(args.qp_file) as fh:
-            for idx, line in enumerate(fh):
-                line = line.strip()
-                if line:
-                    overrides[idx] = int(line)
+    overrides = _read_qp_file(args) or {}
     t0 = time.time()
     pkts = encode_gop_parallel(frames, cfg, workers=args.gop_parallel,
                                qp_overrides=overrides)
@@ -236,12 +243,17 @@ def main(argv=None) -> int:
     if args.gop_parallel > 1:
         from tpu_vp9.config import RateControlMode
 
-        if (cfg.rate_control_mode != RateControlMode.CQP
-                or cfg.intra_period < 0):
-            print("warning: -gop-parallel requires CQP + intra period; "
-                  "falling back to sequential", file=sys.stderr)
+        dcfg = cfg.derive()  # resolve auto (-2) intra period etc.
+        if (dcfg.rate_control_mode != RateControlMode.CQP
+                or dcfg.intra_period < 0 or dcfg.speed_control):
+            print("warning: -gop-parallel requires CQP + intra period "
+                  "(and no speed control); falling back to sequential",
+                  file=sys.stderr)
         else:
-            return _run_gop_parallel(args, cfg, frames, width, height,
+            if args.trace:
+                print("warning: -trace is per-process; no trace summary "
+                      "in -gop-parallel mode", file=sys.stderr)
+            return _run_gop_parallel(args, dcfg, frames, width, height,
                                      fps_num, fps_den)
 
     enc = Vp9Encoder()
@@ -252,12 +264,8 @@ def main(argv=None) -> int:
         return 1
     enc.init()
 
-    if args.qp_file and args.use_q_file:
-        with open(args.qp_file) as fh:
-            for idx, line in enumerate(fh):
-                line = line.strip()
-                if line:
-                    enc.set_frame_qp(idx, int(line))
+    for idx, qp in (_read_qp_file(args) or {}).items():
+        enc.set_frame_qp(idx, qp)
 
     out_fh = open(args.bitstream, "wb") if args.bitstream else None
     recon_fh = open(args.recon, "wb") if args.recon else None

@@ -345,7 +345,6 @@ def encode_leaf_sub8x8(st: FrameState, mi_row: int, mi_col: int,
     eff = BlockSize.BLOCK_8X8
     sub = []
     all_zero = True
-    pending = []
     for x4, y4 in tx_blocks_of(eff, TxSize.TX_4X4, 0):
         if not _visible(st, 0, mi_row, mi_col, x4, y4):
             sub.append(int(IntraMode.DC_PRED))
@@ -371,9 +370,6 @@ def encode_leaf_sub8x8(st: FrameState, mi_row: int, mi_col: int,
         st.levels[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = levels
         st.eobs[(0, mi_row * 2 + y4, mi_col * 2 + x4)] = eob
         all_zero &= eob == 0
-        pending.append((x4, y4))
-    while len(sub) < 4:
-        sub.append(sub[-1] if sub else int(IntraMode.DC_PRED))
     # uv at 4x4 (chroma of the 8x8 cell): best joint-SSE mode
     usse = np.zeros(10, np.int64)
     for pidx in (1, 2):
@@ -465,7 +461,7 @@ def new_counts_sink():
 
 def _serialize_sub8x8_leaf(st, enc, mi, mi_row, mi_col, kf_y_probs,
                            kf_uv_probs, full_probs, planes_ctx,
-                           dc_q, ac_q, counts_sink) -> None:
+                           counts_sink) -> None:
     """Write a BLOCK_4X4 keyframe leaf: 4 bmi sub-modes (chained
     above/left contexts per vp9_above/left_block_mode), one uv mode,
     tokens with the enclosing-8x8 geometry."""
@@ -598,7 +594,7 @@ def serialize_frame(st: FrameState, events, qindex: int,
         if bsize < BlockSize.BLOCK_8X8:
             _serialize_sub8x8_leaf(st, enc, mi, mi_row, mi_col, kf_y_probs,
                                    kf_uv_probs, full_probs, planes_ctx,
-                                   dc_q, ac_q, counts_sink)
+                                   counts_sink)
             continue
         # y mode (kf context from above/left neighbor modes)
         am = MI.kf_above_mode(st.mig, mi_row, mi_col)

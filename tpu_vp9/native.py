@@ -280,35 +280,6 @@ def native_subpel_sad(ref_window, stride: int, src_block, sx: int, sy: int,
 _FILTERS_I16 = None
 
 
-def native_subpel_refine(ref_padded, border: int, px: int, py: int,
-                         src_block, mv_full):
-    """Full iterative subpel refinement in one native call.
-
-    Returns (mv_q3, sad) or None if the library is unavailable.
-    """
-    global _FILTERS_I16
-    lib = get_lib()
-    if lib is None:
-        return None
-    if _FILTERS_I16 is None:
-        from tpu_vp9.bitstream import tables as T
-
-        _FILTERS_I16 = np.ascontiguousarray(
-            T.subpel_filters(T.InterpFilter.EIGHTTAP), np.int16)
-    n = src_block.shape[0]
-    stride = ref_padded.strides[0]
-    base = ref_padded[border + py : border + py + 1,
-                      border + px : border + px + 1]
-    s, sp = _as_u8(np.ascontiguousarray(src_block))
-    out = np.zeros(3, np.int32)
-    lib.subpel_refine_c(
-        base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride, sp, n,
-        mv_full[0] * 8, mv_full[1] * 8,
-        _FILTERS_I16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    return (int(out[0]), int(out[1])), int(out[2])
-
-
 def _filters_i16():
     global _FILTERS_I16
     if _FILTERS_I16 is None:

@@ -95,7 +95,6 @@ def encode_stream(frames, qindex: int = 100, intra_period: int = -1,
 
 def _apply_loop_filter(st, hdr, qindex, is_key, enabled=True):
     """Pick the frame filter level and filter the recon in place."""
-    from tpu_vp9.ops.loopfilter import loop_filter_frame, pick_filter_level
     from tpu_vp9.utils.trace import span
 
     with span("loop_filter"):

@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import multiprocessing as mp
 
-# SCD keeps a 16-entry MAD history -> 17 warmup frames reproduce it
+# SCD keeps a 16-entry MAD history -> 17 consecutive warmup frames
+# reproduce prev-frame state + full history
 _SCD_WARMUP = 17
 
 
@@ -61,12 +62,20 @@ def encode_gop_parallel(frames, cfg, workers: int = 2,
         raise ValueError("GOP-parallel requires CQP rate control")
     if cfg.intra_period < 0:
         raise ValueError("GOP-parallel requires a fixed intra period")
+    if cfg.speed_control:
+        # wall-clock preset switching is machine-load dependent and
+        # would break the bit-identity contract
+        raise ValueError("GOP-parallel is incompatible with speed control")
     frames = list(frames)
     qp_overrides = qp_overrides or {}
     gop = cfg.intra_period + 1
     chunks = []
     for s in range(0, len(frames), gop):
-        warm = [f.y for f in frames[max(0, s - _SCD_WARMUP) : s]]
+        # reproduce the sequential SCD state exactly: the sequential
+        # encoder never runs SCD on frame 0 and skips it on the chunk's
+        # own (force-keyframed) first frame, but DOES run it on frame s
+        # itself; so warm up on frames max(1, s-16)..s inclusive
+        warm = [f.y for f in frames[max(1, s - (_SCD_WARMUP - 1)) : s + 1]]
         ovr = {i: q for i, q in qp_overrides.items()
                if s <= i < s + gop}
         chunks.append((cfg, frames[s : s + gop], warm, s, ovr))
