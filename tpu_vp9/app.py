@@ -171,6 +171,22 @@ def run_channels(argv, n: int) -> int:
     return rc
 
 
+def _print_lib_params(cfg, width, height) -> None:
+    """Startup parameter echo (print_lib_params, EbEncHandle.c:2600)."""
+    d = cfg.derive()
+    rc_names = {0: "CQP", 1: "VBR", 2: "CBR"}
+    print(f"SVT-TPU [config]: Profile [{d.profile}] {width}x{height} "
+          f"@ {d.fps:g} fps", file=sys.stderr)
+    print(f"SVT-TPU [config]: EncoderMode / Tune\t: {d.enc_mode} / "
+          f"{int(d.tune)}", file=sys.stderr)
+    rc = rc_names.get(int(d.rate_control_mode), "?")
+    detail = (f"qp {d.qp}" if rc == "CQP"
+              else f"target {d.target_bit_rate} bps")
+    print(f"SVT-TPU [config]: RC / {rc}\t\t: {detail}, "
+          f"intra period {d.intra_period}, hierarchical levels "
+          f"{d.hierarchical_levels}", file=sys.stderr)
+
+
 def _read_qp_file(args):
     """Per-frame QP overrides from -qp-file (one qp per line)."""
     if not (args.qp_file and args.use_q_file):
@@ -235,6 +251,10 @@ def main(argv=None) -> int:
     if args.fps_num == 0:
         cfg.frame_rate_numerator = fps_num
         cfg.frame_rate_denominator = fps_den
+    if args.errlog:
+        # -errlog: route stderr to a file (EbAppConfig.c:28 analogue)
+        sys.stderr = open(args.errlog, "w")
+    _print_lib_params(cfg, width, height)
     if args.trace:
         from tpu_vp9.utils.trace import enable as _trace_enable
 
