@@ -116,3 +116,78 @@ def test_cli_bad_args(tmp_path):
     )
     assert res.returncode == 1
     assert "error" in res.stderr.lower()
+
+
+def test_tune_families_differ_and_roundtrip():
+    """SQ/OQ/VMAF derive distinct signal families and all encode
+    decodable streams (the tune signal-derivation surface of
+    EbPictureDecisionProcess.c:755/829/880)."""
+    import io
+
+    import numpy as np
+
+    from tpu_vp9.api import Vp9Encoder
+    from tpu_vp9.bitstream.ivf import write_ivf_frame, write_ivf_header
+    from tpu_vp9.config import EncoderConfig, Tune
+    from tpu_vp9.decoder.decoder import decode_ivf
+    from tpu_vp9.pipeline.presets import derive_signals
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    cfgs = {t: EncoderConfig(source_width=96, source_height=80,
+                             frame_rate=30, qp=45, enc_mode=4,
+                             tune=t, intra_period=-1).derive()
+            for t in (Tune.SQ, Tune.OQ, Tune.VMAF)}
+    sigs = {t: derive_signals(c) for t, c in cfgs.items()}
+    assert sigs[Tune.SQ] != sigs[Tune.OQ]
+    assert sigs[Tune.VMAF] != sigs[Tune.OQ]
+    assert sigs[Tune.VMAF].qpm is False and sigs[Tune.SQ].qpm is True
+    frames = list(synthetic_frames(96, 80, 4, seed=6, motion=True))
+    for t, cfg in cfgs.items():
+        enc = Vp9Encoder()
+        enc.set_parameter(cfg)
+        enc.init()
+        for fr in frames:
+            enc.send_picture(fr)
+        enc.flush()
+        data = []
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                break
+            data.append(p.data)
+        buf = io.BytesIO()
+        write_ivf_header(buf, 96, 80, 30, 1, len(data))
+        for i, d in enumerate(data):
+            write_ivf_frame(buf, d, i)
+        buf.seek(0)
+        dec = list(decode_ivf(buf))
+        assert len(dec) == len(frames), t
+
+
+def test_cli_stdin_pipe(tmp_path):
+    """stdin y4m piping (the reference's CI stdin-pipe stage,
+    .travis.yml coveralls script)."""
+    import os
+    import subprocess
+    import sys
+
+    from tpu_vp9.utils import yuv
+
+    frames = list(yuv.synthetic_frames(64, 64, 3, seed=7, motion=True))
+    import io
+
+    raw = io.BytesIO()
+    yuv.write_y4m(raw, frames)
+    out = tmp_path / "stdin.ivf"
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_vp9.app", "-i", "stdin", "-b",
+         str(out), "-q", "45", "-enc-mode", "9"],
+        input=raw.getvalue(), capture_output=True, timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    from tpu_vp9.decoder.decoder import decode_ivf
+
+    with open(out, "rb") as fh:
+        assert len(list(decode_ivf(fh))) == 3

@@ -80,6 +80,14 @@ def derive_signals(cfg: EncoderConfig) -> PresetSignals:
         sig = dataclasses.replace(sig, qbias=max(sig.qbias - 0.02, 0.3),
                                   qpm=True,
                                   denoise=int(cfg.enc_mode) <= 6)
+    elif cfg.tune == Tune.VMAF:
+        # metric tune: no perceptual lambda shaping (VMAF does not
+        # reward dark/skin bias), no source filtering, slightly tighter
+        # quantizer for fidelity (the reference's VMAF signal family
+        # similarly trades perceptual tools for metric score,
+        # EbPictureDecisionProcess.c:880)
+        sig = dataclasses.replace(sig, qpm=False, denoise=False,
+                                  qbias=min(sig.qbias + 0.02, 0.5))
     if not cfg.enable_hme:
         sig = dataclasses.replace(sig,
                                   search_range=min(sig.search_range, 8))
