@@ -94,21 +94,22 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int32)]
+    # raw-address (c_void_p) signatures: the mode-decision fast loop
+    # calls these thousands of times per frame, so pointer objects are
+    # replaced by integer addresses (arr.ctypes.data)
     lib.mc_block_sad.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int16)]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.mc_block_sad.restype = ctypes.c_int64
     lib.mc_block_sad_avg.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int16)]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.mc_block_sad_avg.restype = ctypes.c_int64
     lib.sad_full_search_rect.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -290,27 +291,36 @@ def _filters_i16():
     return _FILTERS_I16
 
 
+_FILTERS_ADDR = None
+
+
+def _filters_addr() -> int:
+    global _FILTERS_ADDR
+    if _FILTERS_ADDR is None:
+        _FILTERS_ADDR = _filters_i16().ctypes.data
+    return _FILTERS_ADDR
+
+
 def native_mc_sad(ref_padded, border: int, mi_row: int, mi_col: int,
                   w: int, h: int, mv_q3, mi_rows: int, mi_cols: int,
                   src_block):
     """Fused MC (exact 8-tap, UMV clamp) + SAD for a w x h luma block.
 
-    ref_padded: border-extended uint8 plane; src_block: any uint8 view.
-    Returns int SAD or None if the library is unavailable.
+    ref_padded: border-extended uint8 plane; src_block: any uint8 view
+    with unit column stride.  Returns int SAD or None if the library is
+    unavailable.
     """
     lib = get_lib()
     if lib is None:
         return None
-    f = _filters_i16()
     src = np.asarray(src_block)
     if src.dtype != np.uint8 or src.strides[1] != 1:
         src = np.ascontiguousarray(src, np.uint8)
     return int(lib.mc_block_sad(
-        ref_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ref_padded.strides[0], border, mi_row, mi_col, w, h,
-        int(mv_q3[0]), int(mv_q3[1]), mi_rows, mi_cols,
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
-        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
+        ref_padded.ctypes.data, ref_padded.strides[0], border,
+        mi_row, mi_col, w, h, int(mv_q3[0]), int(mv_q3[1]),
+        mi_rows, mi_cols, src.ctypes.data, src.strides[0],
+        _filters_addr()))
 
 
 def native_mc_sad_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
@@ -320,19 +330,16 @@ def native_mc_sad_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
     lib = get_lib()
     if lib is None:
         return None
-    f = _filters_i16()
     src = np.asarray(src_block)
     if src.dtype != np.uint8 or src.strides[1] != 1:
         src = np.ascontiguousarray(src, np.uint8)
     return int(lib.mc_block_sad_avg(
-        ref0_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ref0_padded.strides[0],
-        ref1_padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ref1_padded.strides[0], border, mi_row, mi_col, w, h,
+        ref0_padded.ctypes.data, ref0_padded.strides[0],
+        ref1_padded.ctypes.data, ref1_padded.strides[0], border,
+        mi_row, mi_col, w, h,
         int(mv0_q3[0]), int(mv0_q3[1]), int(mv1_q3[0]), int(mv1_q3[1]),
-        mi_rows, mi_cols,
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],
-        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
+        mi_rows, mi_cols, src.ctypes.data, src.strides[0],
+        _filters_addr()))
 
 
 def native_sad_search_rect(src_block, region, region_stride: int, r: int):
