@@ -26,6 +26,7 @@ def main() -> None:
     from tpu_vp9.utils.device import tpu_alive
 
     analysis_fps_1080 = None
+    me_blocks_per_s = None
     if tpu_alive():
         import jax.numpy as jnp
 
@@ -42,6 +43,25 @@ def main() -> None:
         jax.block_until_ready(out)
         analysis_fps_1080 = round(
             iters / (time.perf_counter() - t0), 1)
+        # device full-pel ME: all 32x32 blocks of a 1080p frame vs a
+        # border-extended reference, r=16 (the hot SAD kernel)
+        try:
+            from tpu_vp9.ops.inter import extend_borders
+            from tpu_vp9.pipeline.tpu_me import tpu_block_motion
+
+            src = np.asarray(rng.integers(0, 255, (1088, 1920)), np.uint8)
+            ref = extend_borders(
+                np.asarray(rng.integers(0, 255, (1088, 1920)), np.uint8),
+                1920, 1088)
+            tpu_block_motion(src, ref, 96, 32, 16)  # compile
+            t0 = time.perf_counter()
+            for _ in range(5):
+                mvs = tpu_block_motion(src, ref, 96, 32, 16)
+            dt = time.perf_counter() - t0
+            nblk = (1088 // 32) * (1920 // 32)
+            me_blocks_per_s = round(5 * nblk / dt)
+        except Exception:
+            me_blocks_per_s = None
 
     # --- end-to-end conformant CIF random-access encode at preset M8
     # (config 1 of BASELINE.md) ---
@@ -71,12 +91,34 @@ def main() -> None:
         total_bytes += len(pkt.data)
     e2e_fps = (len(frames) - 1) / (time.perf_counter() - t0)
 
+    # quality-preset point: same clip at M0 (full RDO incl. rect +
+    # sub-8x8 intra)
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(source_width=352, source_height=288,
+                                    frame_rate=30, qp=40, enc_mode=0,
+                                    intra_period=-1))
+    enc.init()
+    t0 = time.perf_counter()
+    m0_bytes = 0
+    for fr in frames:
+        enc.send_picture(fr)
+    enc.flush()
+    while True:
+        pkt = enc.get_packet()
+        if pkt is None:
+            break
+        m0_bytes += len(pkt.data)
+    m0_fps = len(frames) / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "cif_m8_ra_e2e_fps",
         "value": round(e2e_fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(e2e_fps / 30.0, 4),
+        "cif_m0_fps": round(m0_fps, 2),
+        "cif_m0_bytes_per_frame": m0_bytes // max(len(frames), 1),
         "tpu_1080p_intra_analysis_fps": analysis_fps_1080,
+        "tpu_1080p_me32_blocks_per_s": me_blocks_per_s,
         "bitstream_bytes_per_frame": total_bytes // max(len(frames) - 1, 1),
     }))
 
