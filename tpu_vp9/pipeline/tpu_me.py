@@ -51,6 +51,27 @@ def full_search_sse(src_blocks, regions, n: int, r: int):
     return dy.astype(jnp.int32), dx.astype(jnp.int32), jnp.min(flat, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "r"))
+def _prep_blocks_regions(src_plane, ref_region, n: int, r: int):
+    """On-device tiling: (R*C, n, n) source blocks + (R*C, n+2r, n+2r)
+    search windows gathered from the (H+2r, W+2r) reference region —
+    replaces a per-block host copy loop with one fused device gather."""
+    h, w = src_plane.shape
+    rows, cols = h // n, w // n
+    blocks = src_plane.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(-1, n, n)
+    win = n + 2 * r
+    ir = (jnp.arange(rows) * n)[:, None] + jnp.arange(win)[None, :]
+    ic = (jnp.arange(cols) * n)[:, None] + jnp.arange(win)[None, :]
+    regions = ref_region[ir[:, None, :, None], ic[None, :, None, :]]
+    return blocks, regions.reshape(-1, win, win)
+
+
+# device copies of reference search regions, keyed by the host array's
+# identity (DPB planes are reused across many frames; upload once)
+_REF_CACHE: dict = {}
+
+
 def tpu_block_motion(src_plane, ref_padded, border: int, n: int, r: int):
     """Full-pel MVs for every nxn block of a plane via one device call.
 
@@ -59,18 +80,19 @@ def tpu_block_motion(src_plane, ref_padded, border: int, n: int, r: int):
     """
     h, w = src_plane.shape
     rows, cols = h // n, w // n
-    blocks = src_plane.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
-    blocks = np.ascontiguousarray(blocks.reshape(-1, n, n))
-    win = n + 2 * r
-    # gather regions (host strided copy; small vs the search itself)
-    regions = np.empty((rows * cols, win, win), np.uint8)
-    i = 0
-    for br in range(rows):
-        y0 = border + br * n - r
-        for bc in range(cols):
-            x0 = border + bc * n - r
-            regions[i] = ref_padded[y0 : y0 + win, x0 : x0 + win]
-            i += 1
+    assert r <= border
+    key = (id(ref_padded), h, w, r)
+    ent = _REF_CACHE.get(key)
+    if ent is None or ent[0] is not ref_padded:
+        region_np = np.ascontiguousarray(
+            ref_padded[border - r : border + h + r,
+                       border - r : border + w + r])
+        ent = (ref_padded, jnp.asarray(region_np))
+        if len(_REF_CACHE) >= 8:  # bound device memory pinned by cache
+            _REF_CACHE.pop(next(iter(_REF_CACHE)))
+        _REF_CACHE[key] = ent
+    blocks, regions = _prep_blocks_regions(jnp.asarray(src_plane), ent[1],
+                                           n, r)
     dy = dx = None
     try:
         # Pallas kernel: per-block search stays in VMEM (no (D,B,D) HBM
@@ -81,12 +103,10 @@ def tpu_block_motion(src_plane, ref_padded, border: int, n: int, r: int):
         if _jax.devices()[0].platform == "tpu":
             from tpu_vp9.ops.pallas_kernels import sad_full_search
 
-            dy, dx, _ = sad_full_search(jnp.asarray(blocks),
-                                        jnp.asarray(regions), n, r)
+            dy, dx, _ = sad_full_search(blocks, regions, n, r)
     except Exception:
         dy = dx = None
     if dy is None:
-        dy, dx, _ = full_search_sse(jnp.asarray(blocks),
-                                    jnp.asarray(regions), n, r)
+        dy, dx, _ = full_search_sse(blocks, regions, n, r)
     out = np.stack([np.asarray(dy), np.asarray(dx)], axis=-1)
     return out.reshape(rows, cols, 2)
