@@ -23,9 +23,6 @@ monotonic.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
-
-import numpy as np
 
 from tpu_vp9.bitstream import tables as T
 from tpu_vp9.bitstream.headers import (

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from tpu_vp9.config import EncoderConfig, RateControlMode, Tune
+from tpu_vp9.config import EncoderConfig, RateControlMode
 from tpu_vp9.pipeline import rc_curves as C
 from tpu_vp9.pipeline.presets import qp_to_qindex
 

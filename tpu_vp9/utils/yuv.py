@@ -7,7 +7,6 @@ Y4M incl. stdin pipes) — re-implemented for numpy frames.
 
 from __future__ import annotations
 
-import io
 import re
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator, Optional
