@@ -56,3 +56,49 @@ def test_tiles_vs_single_similar_quality():
     assert abs(p1 - p2) < 1.0
     # tiles cost a little rate (contexts reset at boundary) but not much
     assert len(enc2[0].payload) < len(enc1[0].payload) * 1.25
+
+
+def test_api_tile_columns_config():
+    """tpu_tile_columns flows through the streaming API (RA path) and
+    produces a multi-tile, conformant stream (the reference forces one
+    tile; tiles are our scale-out unit)."""
+    import io
+
+    import numpy as np
+
+    from tpu_vp9.api import Vp9Encoder
+    from tpu_vp9.bitstream.ivf import write_ivf_frame, write_ivf_header
+    from tpu_vp9.decoder.decoder import parse_uncompressed_header
+    from tpu_vp9.config import EncoderConfig
+    from tpu_vp9.decoder.decoder import decode_ivf
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    w, h = 512, 128
+    frames = list(synthetic_frames(w, h, 3, seed=2, motion=True))
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(source_width=w, source_height=h,
+                                    frame_rate=30, qp=45, enc_mode=8,
+                                    intra_period=-1, tpu_tile_columns=2))
+    enc.init()
+    for fr in frames:
+        enc.send_picture(fr)
+    enc.flush()
+    data = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        data.append(p.data)
+    hdr0, _, _ = parse_uncompressed_header(data[0])
+    assert hdr0.log2_tile_cols == 1
+    buf = io.BytesIO()
+    write_ivf_header(buf, w, h, 30, 1, len(data))
+    for i, d in enumerate(data):
+        write_ivf_frame(buf, d, i)
+    buf.seek(0)
+    dec = list(decode_ivf(buf))
+    assert len(dec) == len(frames)
+    for s, r in zip(frames, dec):
+        mse = np.mean((np.asarray(r[0], np.float64)
+                       - np.asarray(s.y, np.float64)) ** 2)
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 25

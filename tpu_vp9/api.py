@@ -93,6 +93,20 @@ class Vp9Encoder:
                 self._sig = replace(self._sig, use_tpu_me=False)
                 self._tpu_ok = False
         self._rc = RateControlState.create(self._cfg)
+        # real VP9 tile columns (the scale-out unit the reference forces
+        # to 1): tpu_tile_columns > 1 requests that many, clamped to the
+        # spec limits for this width (tile_log2_limits)
+        from tpu_vp9.bitstream.headers import tile_log2_limits
+
+        mi_cols = (self._cfg.source_width + 7) >> 3
+        lo, hi = tile_log2_limits(mi_cols)
+        want = self._cfg.tpu_tile_columns
+        if want is not None and want > 1:
+            log2 = int(want - 1).bit_length()  # ceil(log2(want))
+        else:
+            log2 = 0  # auto (-1) / single-tile (0/1)
+        # lo is the spec-mandatory minimum (wide frames MUST tile)
+        self._log2_tile_cols = min(max(log2, lo), hi)
         # random-access hierarchical (ALTREF-pyramid) engine
         self._ra = None
         from tpu_vp9.config import PredStructure
@@ -102,6 +116,7 @@ class Vp9Encoder:
             from tpu_vp9.pipeline.gop import RaEncoder
 
             self._ra = RaEncoder(self._cfg, self._sig, self._rc)
+            self._ra.log2_tile_cols = self._log2_tile_cols
             self._ra_buf = {}
             self._ra_keys = set()
             # initial-RC lookahead window (look_ahead_distance analogue:
@@ -237,13 +252,15 @@ class Vp9Encoder:
             tile, st = encode_keyframe(frame, qindex, sig.block_size,
                                        qbias=sig.qbias, fc_base=fc_base,
                                        open_loop_md=sig.use_tpu_hints,
-                                       part_depths=sig.part_depths)
+                                       part_depths=sig.part_depths,
+                                       log2_tile_cols=self._log2_tile_cols)
             hdr = FrameHeader(width=w, height=h, is_keyframe=True,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.ALLOW_32X32,
                               refresh_frame_context=not er,
                               frame_parallel_decoding_mode=fpdm,
-                              frame_context_idx=0)
+                              frame_context_idx=0,
+                              log2_tile_cols=self._log2_tile_cols)
         else:
             refresh_golden = (self._since_golden >= self.golden_interval
                               and not is_nonref)
@@ -271,7 +288,8 @@ class Vp9Encoder:
                 restrict_mv_modes=restrict,
                 prev_mvs=(self._prev_snapshot
                           if prev_usable else None),
-                part_depths=sig.part_depths, lambda_map=lmap)
+                part_depths=sig.part_depths, lambda_map=lmap,
+                log2_tile_cols=self._log2_tile_cols)
             hdr = FrameHeader(width=w, height=h, is_keyframe=False,
                               error_resilient=er, base_qindex=qindex,
                               tx_mode=TxMode.TX_MODE_SELECT if sig.tx_select
@@ -283,7 +301,8 @@ class Vp9Encoder:
                               reset_frame_context=0,
                               refresh_frame_context=not er and not is_nonref,
                               frame_parallel_decoding_mode=fpdm,
-                              frame_context_idx=0)
+                              frame_context_idx=0,
+                              log2_tile_cols=self._log2_tile_cols)
         from tpu_vp9.pipeline.encoder import _apply_loop_filter
 
         _apply_loop_filter(st, hdr, qindex, is_key, enabled=cfg.loop_filter)

@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-trace", dest="trace", type=int, default=0)
     p.add_argument("-gop-parallel", dest="gop_parallel", type=int,
                    default=1)
+    p.add_argument("-tile-columns", dest="tile_columns", type=int,
+                   default=-1)
     return p
 
 
@@ -99,6 +101,7 @@ def config_from_args(args, width: int, height: int) -> EncoderConfig:
         profile=args.profile,
         level=args.level,
         speed_control=bool(args.speed_ctrl),
+        tpu_tile_columns=args.tile_columns,
     )
 
 

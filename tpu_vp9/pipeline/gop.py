@@ -160,6 +160,7 @@ class RaEncoder:
         self._last_was_inter = False
         self.golden_poc = -1
         self.base_poc = -1
+        self.log2_tile_cols = 0  # real VP9 tile columns (scale-out unit)
         self.keep_recon = False  # tests: poc -> (y, u, v) cropped recon
         self.recon_log = {}
 
@@ -224,14 +225,16 @@ class RaEncoder:
         tile, st = encode_keyframe(frame, qindex, sig.block_size,
                                    qbias=sig.qbias, fc_base=fc_base,
                                    open_loop_md=sig.use_tpu_hints,
-                                   part_depths=sig.part_depths)
+                                   part_depths=sig.part_depths,
+                                   log2_tile_cols=self.log2_tile_cols)
         hdr = FrameHeader(width=w, height=h, is_keyframe=True,
                           error_resilient=er, base_qindex=qindex,
                           tx_mode=TxMode.ALLOW_32X32,
                           refresh_frame_context=not er,
                           frame_parallel_decoding_mode=(
                               er or cfg.frame_parallel_decoding),
-                          frame_context_idx=0)
+                          frame_context_idx=0,
+                          log2_tile_cols=self.log2_tile_cols)
         _apply_loop_filter(st, hdr, qindex, True, enabled=cfg.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         self._finish_frame(st, hdr, True, fc_base)
@@ -366,7 +369,7 @@ class RaEncoder:
             tx_select=sig.tx_select, use_tpu_me=sig.use_tpu_me,
             fc_base=fc_base, restrict_mv_modes=False, prev_mvs=prev_mvs,
             part_depths=sig.part_depths, sign_bias=sign_bias,
-            lambda_map=lmap)
+            lambda_map=lmap, log2_tile_cols=self.log2_tile_cols)
         # DPB wiring: LAST/GOLDEN/ALTREF -> slots; refresh for references
         last_slot = self.dpb.slot(gf.last_poc)
         golden_slot = (self.dpb.slot(gf.golden_poc)
@@ -390,7 +393,7 @@ class RaEncoder:
             reset_frame_context=0,
             refresh_frame_context=not er and gf.is_ref,
             frame_parallel_decoding_mode=fpdm,
-            frame_context_idx=0)
+            frame_context_idx=0, log2_tile_cols=self.log2_tile_cols)
         _apply_loop_filter(st, hdr, qindex, False, enabled=cfg.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         self._finish_frame(st, hdr, False, fc_base)
