@@ -287,3 +287,40 @@ def test_sub8x8_sub_modes_differ_within_block():
         if m.bsize == BlockSize.BLOCK_4X4 and len(set(m.sub_modes)) > 1:
             varied = True
     assert varied
+
+
+def test_sub8x8_at_alignment_overhang():
+    """Sub-8x8 leaves whose right/bottom 4x4 columns fall in the
+    alignment overhang (crop not an 8px multiple) must encode and decode
+    (regression: build_ref_samples crashed when a 4x4 sub-block started
+    past the crop edge)."""
+    import io
+
+    from tpu_vp9.bitstream.ivf import (
+        patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
+    )
+    from tpu_vp9.decoder.decoder import decode_ivf
+    from tpu_vp9.pipeline.encoder import encode_stream
+
+    rng = np.random.default_rng(3)
+    w, h = 130, 66  # last mi col/row extend past the crop by 6/2 px
+    y = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    fr = type("F", (), {})()
+    fr.y = y
+    fr.u = np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8)
+    fr.v = fr.u.copy()
+    enc = encode_stream([fr], qindex=45,
+                        part_depths=(BlockSize.BLOCK_4X4,
+                                     BlockSize.BLOCK_64X64))
+    # 4x4 leaves must exist on this content (noise splits everywhere)
+    sizes = {m.bsize for m in {id(m): m
+                               for m in enc[0].state.mig.grid.reshape(-1)
+                               if m is not None}.values()}
+    assert BlockSize.BLOCK_4X4 in sizes
+    buf = io.BytesIO()
+    write_ivf_header(buf, w, h, 30, 1, 1)
+    write_ivf_frame(buf, enc[0].payload, 0)
+    patch_ivf_frame_count(buf, 1)
+    buf.seek(0)
+    yd, ud, vd, _ = next(iter(decode_ivf(buf)))
+    np.testing.assert_array_equal(yd, enc[0].state.planes[0].recon[:h, :w])

@@ -300,20 +300,29 @@ def build_ref_samples(plane, x0: int, y0: int, bs: int,
     left = np.full(bs, 129, np.int32)
     above_left = 127
     if have_left:
-        n_avail = min(bs, frame_h - y0)
-        rows = plane[y0 : y0 + n_avail, x0 - 1].astype(np.int32)
-        left[:n_avail] = rows
-        if n_avail < bs:
-            left[n_avail:] = rows[-1]
+        # blocks fully inside the alignment overhang (sub-8x8 columns of
+        # an edge mi when crop is not an 8px multiple) clamp to the last
+        # in-crop sample
+        n_avail = min(bs, max(frame_h - y0, 0))
+        if n_avail:
+            rows = plane[y0 : y0 + n_avail, x0 - 1].astype(np.int32)
+            left[:n_avail] = rows
+            if n_avail < bs:
+                left[n_avail:] = rows[-1]
+        else:
+            left[:] = int(plane[frame_h - 1, x0 - 1])
     if have_above:
         arow = plane[y0 - 1]
-        n_avail = min(bs, frame_w - x0)
-        above[:n_avail] = arow[x0 : x0 + n_avail]
-        if n_avail < bs:
-            above[n_avail:bs] = above[n_avail - 1]
+        n_avail = min(bs, max(frame_w - x0, 0))
+        if n_avail:
+            above[:n_avail] = arow[x0 : x0 + n_avail]
+            if n_avail < bs:
+                above[n_avail:bs] = above[n_avail - 1]
+        else:
+            above[:bs] = int(arow[frame_w - 1])
         # above-right half
         if bs == 4 and have_right:
-            n2 = min(2 * bs, frame_w - x0)
+            n2 = min(2 * bs, max(frame_w - x0, bs))
             above[bs:n2] = arow[x0 + bs : x0 + n2]
             if n2 < 2 * bs:
                 above[n2:] = above[n2 - 1]
