@@ -45,7 +45,9 @@ int g_cat_bits[6] = {1, 2, 3, 4, 5, 14};
 int g_cat_base[6] = {5, 7, 11, 19, 35, 67};
 
 // coef_con_tree paths for tokens 2..10: (prob_idx, bit) pairs
-struct Path { int len; int idx[4]; int bit[4]; };
+// (8 slots: the vp9 coef_con_tree is at most 4 deep; the walk guards
+// the depth explicitly)
+struct Path { int len = 0; int idx[8] = {}; int bit[8] = {}; };
 Path g_con_paths[11];
 
 }  // namespace
@@ -139,6 +141,7 @@ void vp9n_register_misc(const int32_t* energy, const uint8_t* cat_probs,
     struct Walk {
         const int32_t* tree;
         void go(int i, Path p) {
+            if (p.len >= 8) return;  // tree deeper than any vp9 table
             for (int bit = 0; bit < 2; ++bit) {
                 Path q = p;
                 q.idx[q.len] = i >> 1;
@@ -152,9 +155,7 @@ void vp9n_register_misc(const int32_t* energy, const uint8_t* cat_probs,
             }
         }
     } w{con_tree};
-    Path p;
-    p.len = 0;
-    w.go(0, p);
+    w.go(0, Path{});
 }
 
 static inline int token_from_mag(int mag) {
