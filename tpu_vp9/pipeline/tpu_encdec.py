@@ -1,0 +1,739 @@
+"""Device-resident P-frame encode: the conformant encode loop on the TPU.
+
+This is the TPU-native formulation of the reference's EncDec hot loop
+(``EbEncDecProcess.c:5306`` eb_vp9_enc_dec_kernel + the ME kernel
+``EbMotionEstimation.c:4524``): one jitted step performs, for every
+32x32 block of the frame at once,
+
+    full-pel ME (prev-MV-centered window)  ->  quarter-pel refinement
+    ->  ZERO/NEW decision  ->  exact 8-tap MC (Y/U/V)
+    ->  fDCT + quant + dequant + exact integer iDCT recon
+    ->  eob/skip flags  ->  exact VP9 loop filter  ->  border extension
+
+and the loop-filtered, border-extended reconstruction *stays on the
+device* as the next frame's reference (the DPB lives in HBM; nothing is
+re-uploaded per frame).  Only the quantized levels / eobs / MVs travel
+to the host, where the native C++ serializer emits the bitstream.
+
+Geometry: a uniform 32x32 grid (the M8/M9 realtime tool set), plus an
+optional 16x16 bottom strip when mi_rows % 4 == 2 (e.g. 720p, 4K).  The
+partition tree this produces is exactly ``walk_partition_fixed``'s, so
+the host serializers need no new syntax.
+
+Conformance: MC interpolation, UMV clamping, inverse transforms,
+dequant, and the loop filter are the same normative algorithms as the
+host oracle (``ops/inter.py``, ``ops/txfm.py``, ``ops/loopfilter.py``),
+re-expressed as batched jnp; equality is asserted by
+``tests/test_tpu_encdec.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_vp9.bitstream import tables as T
+from tpu_vp9.bitstream.tables import TxSize, TxType
+from tpu_vp9.ops import txfm
+
+BORDER = 96  # matches ops/inter.py (host refs interop)
+SEARCH_R = 16
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Geom:
+    """Static per-resolution geometry of the uniform device grid."""
+
+    width: int          # visible luma width (must be a multiple of 32)
+    height: int         # visible luma height
+    mi_rows: int
+    mi_cols: int
+    rows32: int         # 32-block rows in the main zone
+    cols32: int         # 32-block cols
+    strip: bool         # 16x16 bottom strip present (mi_rows % 4 == 2)
+    pad_w: int          # device plane width (multiple of 64)
+    pad_h: int          # device plane height (main zone + strip)
+
+    @property
+    def h_mi(self) -> int:
+        return self.mi_rows * 8
+
+    @property
+    def w_mi(self) -> int:
+        return self.mi_cols * 8
+
+    @property
+    def n_blocks32(self) -> int:
+        return self.rows32 * self.cols32
+
+    @property
+    def cols16(self) -> int:
+        return self.width // 16
+
+    @property
+    def strip_y(self) -> int:
+        return self.rows32 * 32
+
+
+def make_geom(width: int, height: int) -> Geom:
+    """Geometry for the device path, or raises if unsupported."""
+    if width % 32 != 0:
+        raise ValueError("device path requires width % 32 == 0")
+    mi_rows = (height + 7) >> 3
+    mi_cols = (width + 7) >> 3
+    rem = mi_rows % 4
+    if rem == 1:
+        raise ValueError("mi_rows % 4 == 1 unsupported by device path")
+    strip = rem == 2
+    rows32 = mi_rows // 4 + (1 if rem == 3 else 0)
+    # SB-aligned (64-multiple) plane dims: the loop-filter chain takes
+    # full-SB dynamic slices, and lax.dynamic_slice CLAMPS out-of-range
+    # starts (a shifted slice would filter the wrong rows)
+    pad_h = (rows32 * 32 + (16 if strip else 0) + 63) // 64 * 64
+    pad_w = (width + 63) // 64 * 64
+    return Geom(width=width, height=height, mi_rows=mi_rows,
+                mi_cols=mi_cols, rows32=rows32, cols32=width // 32,
+                strip=strip, pad_w=pad_w, pad_h=pad_h)
+
+
+def pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a host plane to (ph, pw)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def extend_borders_device(plane, crop_w: int, crop_h: int,
+                          border: int = BORDER):
+    """libvpx extend_frame semantics on device (ops/inter.py:109)."""
+    row_idx = jnp.minimum(jnp.arange(plane.shape[0]), crop_h - 1)
+    col_idx = jnp.minimum(jnp.arange(plane.shape[1]), crop_w - 1)
+    p = plane[row_idx][:, col_idx]
+    return jnp.pad(p, border, mode="edge")
+
+
+# ---------------------------------------------------------------------------
+# Batched exact MC (vpx_convolve8 semantics; parity: ops/inter.py)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_mv_umv(mv_r, mv_c, mi_r, mi_c, bw: int, bh: int, ss: int,
+                  mi_rows: int, mi_cols: int):
+    """Vectorized clamp_mv_to_umv_border (vp9_reconinter.c:68).
+
+    mv in q3 luma units; returns plane-space q4 (row, col) arrays."""
+    spel_left = (4 + bw) << 4
+    spel_right = spel_left - 16
+    spel_top = (4 + bh) << 4
+    spel_bottom = spel_top - 16
+    scale = 1 << (1 - ss)
+    row = mv_r * scale
+    col = mv_c * scale
+    mb_l = -(mi_c * 8) * 8
+    mb_r = ((mi_cols - (bw << ss) // 8) - mi_c) * 64
+    mb_t = -(mi_r * 8) * 8
+    mb_b = ((mi_rows - (bh << ss) // 8) - mi_r) * 64
+    row = jnp.clip(row, mb_t * scale - spel_top, mb_b * scale + spel_bottom)
+    col = jnp.clip(col, mb_l * scale - spel_left, mb_r * scale + spel_right)
+    return row, col
+
+
+def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
+                     n_out: int, ss: int, mi_rows: int, mi_cols: int,
+                     filters):
+    """Exact MC prediction for B blocks of one plane.
+
+    ref_padded: (H+2B, W+2B) uint8 device plane.  pos_y/pos_x: (B,)
+    plane-space pixel positions.  mv in q3 luma units.  Returns
+    (B, n_out, n_out) uint8."""
+    mi_r = (pos_y << ss) // 8
+    mi_c = (pos_x << ss) // 8
+    row_q4, col_q4 = _clamp_mv_umv(mv_r_q3, mv_c_q3, mi_r, mi_c,
+                                   n_out, n_out, ss, mi_rows, mi_cols)
+    x_q4 = (pos_x << 4) + col_q4
+    y_q4 = (pos_y << 4) + row_q4
+    x0 = x_q4 >> 4
+    y0 = y_q4 >> 4
+    spx = x_q4 & 15
+    spy = y_q4 & 15
+    win = n_out + 7
+
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(ref_padded, (y, x), (win, win))
+
+    wins = jax.vmap(slice_one)(BORDER + y0 - 3, BORDER + x0 - 3)
+    wins = wins.astype(jnp.int32)
+    f = jnp.asarray(filters, jnp.int32)  # (16, 8)
+    fx = f[spx]  # (B, 8)
+    fy = f[spy]
+    # horizontal pass -> (B, n+7, n), rounded+clipped intermediates
+    hstack = jnp.stack([wins[:, :, k : k + n_out] for k in range(8)],
+                       axis=-1)
+    inter = jnp.einsum("bhwk,bk->bhw", hstack, fx)
+    inter = jnp.clip((inter + 64) >> 7, 0, 255)
+    vstack = jnp.stack([inter[:, k : k + n_out, :] for k in range(8)],
+                       axis=-1)
+    out = jnp.einsum("bhwk,bk->bhw", vstack, fy)
+    return jnp.clip((out + 64) >> 7, 0, 255).astype(jnp.uint8)
+
+
+def _mc_sad(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c, n, mi_rows,
+            mi_cols, filters):
+    pred = mc_predict_batch(ref_padded, pos_y, pos_x, mv_r, mv_c, n, 0,
+                            mi_rows, mi_cols, filters)
+    return jnp.abs(pred.astype(jnp.int32)
+                   - src_blocks.astype(jnp.int32)).sum(axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# ME: full-pel window search + quarter-pel refinement
+# ---------------------------------------------------------------------------
+
+
+def _full_search(src_blocks, regions, n: int, r: int):
+    """(dy, dx, sad) over [-r, r]^2; same formulation as
+    pipeline/tpu_me.full_search_sse (scan over displacement rows)."""
+    b = src_blocks.shape[0]
+    d = 2 * r + 1
+    src = src_blocks.astype(jnp.int32)
+    reg = regions.astype(jnp.int32)
+    xidx = jnp.arange(d)[:, None] + jnp.arange(n)[None, :]
+
+    def step(carry, dy):
+        rows = jax.lax.dynamic_slice_in_dim(reg, dy, n, axis=1)
+        wins = rows[:, :, xidx]  # (B, n, D, n)
+        sad = jnp.abs(wins - src[:, :, None, :]).sum(axis=(1, 3))
+        return carry, sad
+
+    _, sads = jax.lax.scan(step, None, jnp.arange(d))
+    flat = sads.transpose(1, 0, 2).reshape(b, -1)
+    idx = jnp.argmin(flat, axis=1)
+    return (idx // d - r).astype(jnp.int32), (idx % d - r).astype(jnp.int32), \
+        jnp.min(flat, axis=1)
+
+
+_DIRS = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1),
+                  (0, 1), (1, -1), (1, 0), (1, 1)], np.int32)
+
+
+def subpel_refine_batch(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c,
+                        sad0, n, mi_rows, mi_cols, filters):
+    """Two diamond rounds (half then quarter pel) around full-pel mv (q3)."""
+    b = src_blocks.shape[0]
+    for step in (4, 2):
+        cand_r = mv_r[None, :] + _DIRS[:, 0][:, None] * step  # (8, B)
+        cand_c = mv_c[None, :] + _DIRS[:, 1][:, None] * step
+        sads = jax.vmap(
+            lambda cr, cc: _mc_sad(ref_padded, src_blocks, pos_y, pos_x,
+                                   cr, cc, n, mi_rows, mi_cols, filters)
+        )(cand_r, cand_c)  # (8, B)
+        all_sads = jnp.concatenate([sad0[None], sads], axis=0)  # (9, B)
+        all_r = jnp.concatenate([mv_r[None], cand_r], axis=0)
+        all_c = jnp.concatenate([mv_c[None], cand_c], axis=0)
+        best = jnp.argmin(all_sads, axis=0)
+        bidx = (best, jnp.arange(b))
+        mv_r, mv_c, sad0 = all_r[bidx], all_c[bidx], all_sads[bidx]
+    return mv_r, mv_c, sad0
+
+
+# ---------------------------------------------------------------------------
+# Transform / quant / recon (normative inverse path; ops/txfm.py)
+# ---------------------------------------------------------------------------
+
+
+def _quantize(coeffs, dc_q, ac_q, n: int, bias: float = 0.38):
+    """quantize_block with traced q scalars (ops/txfm.py:509)."""
+    q = jnp.full(coeffs.shape, ac_q.astype(jnp.float32))
+    q = q.at[..., 0, 0].set(dc_q.astype(jnp.float32))
+    if n == 32:
+        q = q * 0.5
+    mag = jnp.abs(coeffs) / q + bias
+    levels = jnp.clip(jnp.floor(mag).astype(jnp.int32), 0, (1 << 13) - 1)
+    return jnp.where(coeffs < 0, -levels, levels)
+
+
+def _dequantize(levels, dc_q, ac_q, n: int):
+    q = jnp.full(levels.shape, ac_q.astype(jnp.int32))
+    q = q.at[..., 0, 0].set(dc_q.astype(jnp.int32))
+    mag = jnp.abs(levels) * q
+    if n == 32:
+        mag = mag >> 1
+    return jnp.where(levels < 0, -mag, mag)
+
+
+_TS = {4: TxSize.TX_4X4, 8: TxSize.TX_8X8, 16: TxSize.TX_16X16,
+       32: TxSize.TX_32X32}
+
+
+def transform_recon(src_blocks, pred_blocks, dc_q, ac_q, n: int):
+    """fDCT + quant + dequant + exact integer iDCT add for (B, n, n).
+
+    Returns (levels int16, eob int32, recon uint8)."""
+    ts = _TS[n]
+    resid = (src_blocks.astype(jnp.int32)
+             - pred_blocks.astype(jnp.int32)).astype(jnp.float32)
+    coeffs = txfm.fwd_txfm2d(resid, ts, TxType.DCT_DCT, jnp)
+    levels = _quantize(coeffs, dc_q, ac_q, n)
+    deq = _dequantize(levels, dc_q, ac_q, n)
+    recon = txfm.inv_txfm_add(deq, pred_blocks.astype(jnp.int32), ts,
+                              TxType.DCT_DCT, jnp)
+    scan = jnp.asarray(T.scan_order(ts, TxType.DCT_DCT)[0])
+    lv = levels.reshape(levels.shape[0], -1)[:, scan]
+    nz = lv != 0
+    eob = jnp.where(nz.any(axis=1),
+                    n * n - jnp.argmax(nz[:, ::-1], axis=1), 0)
+    return levels.astype(jnp.int16), eob.astype(jnp.int32), \
+        recon.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Exact VP9 loop filter on device (parity: ops/loopfilter.py)
+# ---------------------------------------------------------------------------
+
+
+def _c8(x):
+    return jnp.clip(x, -128, 127)
+
+
+def _rp2(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _lf_mixed(p, q, width, thresh, limit, blimit):
+    """Port of ops/loopfilter._filter_edge_mixed to jnp (taps=8).
+
+    p/q: lists of 8 int32 arrays; width: int32 (0/4/8/16), broadcastable.
+    width 0 lanes pass through unchanged."""
+    m = (jnp.abs(p[3] - p[2]) > limit)
+    m = m | (jnp.abs(p[2] - p[1]) > limit)
+    m = m | (jnp.abs(p[1] - p[0]) > limit)
+    m = m | (jnp.abs(q[1] - q[0]) > limit)
+    m = m | (jnp.abs(q[2] - q[1]) > limit)
+    m = m | (jnp.abs(q[3] - q[2]) > limit)
+    m = m | ((jnp.abs(p[0] - q[0]) * 2 + jnp.abs(p[1] - q[1]) // 2) > blimit)
+    mask = (~m) & (width > 0)
+    hev = (jnp.abs(p[1] - p[0]) > thresh) | (jnp.abs(q[1] - q[0]) > thresh)
+    ps1, ps0 = p[1] - 128, p[0] - 128
+    qs0, qs1 = q[0] - 128, q[1] - 128
+    f = jnp.where(hev, _c8(ps1 - qs1), 0)
+    f = jnp.where(mask, _c8(f + 3 * (qs0 - ps0)), 0)
+    f1 = _c8(f + 4) >> 3
+    f2 = _c8(f + 3) >> 3
+    nq0 = _c8(qs0 - f1) + 128
+    np0 = _c8(ps0 + f2) + 128
+    fa = jnp.where(hev, 0, (f1 + 1) >> 1)
+    nq1 = _c8(qs1 - fa) + 128
+    np1 = _c8(ps1 + fa) + 128
+    w8 = width >= 8
+    flat = ~((jnp.abs(p[1] - p[0]) > 1) | (jnp.abs(q[1] - q[0]) > 1)
+             | (jnp.abs(p[2] - p[0]) > 1) | (jnp.abs(q[2] - q[0]) > 1)
+             | (jnp.abs(p[3] - p[0]) > 1) | (jnp.abs(q[3] - q[0]) > 1))
+    flat = flat & mask & w8
+    s2 = _rp2(p[3] + p[3] + p[3] + 2 * p[2] + p[1] + p[0] + q[0], 3)
+    s1 = _rp2(p[3] + p[3] + p[2] + 2 * p[1] + p[0] + q[0] + q[1], 3)
+    s0 = _rp2(p[3] + p[2] + p[1] + 2 * p[0] + q[0] + q[1] + q[2], 3)
+    o0 = _rp2(p[2] + p[1] + p[0] + 2 * q[0] + q[1] + q[2] + q[3], 3)
+    o1 = _rp2(p[1] + p[0] + q[0] + 2 * q[1] + q[2] + q[3] + q[3], 3)
+    o2 = _rp2(p[0] + q[0] + q[1] + 2 * q[2] + q[3] + q[3] + q[3], 3)
+    p8 = [jnp.where(flat, s0, np0), jnp.where(flat, s1, np1),
+          jnp.where(flat, s2, p[2])]
+    q8 = [jnp.where(flat, o0, nq0), jnp.where(flat, o1, nq1),
+          jnp.where(flat, o2, q[2])]
+    if len(p) < 8:  # taps-4 call sites never reach the 16-wide stage
+        return p8, q8
+    w16 = width >= 16
+    f2m = jnp.zeros_like(flat)
+    for k in range(4, 8):
+        f2m = f2m | (jnp.abs(p[k] - p[0]) > 1) | (jnp.abs(q[k] - q[0]) > 1)
+    flat2 = (~f2m) & flat & w16
+    ps = [None] * 7
+    qs = [None] * 7
+    for k in range(7):
+        acc = p[7] * (k + 1) + 2 * p[k]
+        for j in range(k + 1, 7):
+            acc += p[j]
+        for j in range(k):
+            acc += p[j]
+        for j in range(0, 7 - k):
+            acc += q[j]
+        ps[k] = _rp2(acc, 4)
+        acc = q[7] * (k + 1) + 2 * q[k]
+        for j in range(k + 1, 7):
+            acc += q[j]
+        for j in range(k):
+            acc += q[j]
+        for j in range(0, 7 - k):
+            acc += p[j]
+        qs[k] = _rp2(acc, 4)
+    pout = [jnp.where(flat2, ps[k], p8[k] if k < 3 else p[k])
+            for k in range(7)]
+    qout = [jnp.where(flat2, qs[k], q8[k] if k < 3 else q[k])
+            for k in range(7)]
+    return pout, qout
+
+
+def _lf_vert_gather(plane, rows0: int, nrows: int, xs: np.ndarray,
+                    width, thresh, limit, blimit, taps: int = 8):
+    """Filter vertical edges at static columns xs over static row range.
+
+    taps=4 for width<=8 edge classes: their +-8 gather windows would
+    overlap when edges sit 8px apart (tx8 chroma), and overlapping
+    scatter windows write back stale pixels over a neighbor's output.
+    """
+    if xs.size == 0 or nrows <= 0:
+        return plane
+    cols = xs[:, None] + np.arange(-taps, taps)[None, :]  # (E, 2*taps)
+    seg = plane[rows0 : rows0 + nrows][:, cols].astype(jnp.int32)
+    p = [seg[:, :, taps - 1 - k] for k in range(taps)]
+    q = [seg[:, :, taps + k] for k in range(taps)]
+    po, qo = _lf_mixed(p, q, width, thresh, limit, blimit)
+    for k in range(len(po)):
+        seg = seg.at[:, :, taps - 1 - k].set(po[k])
+        seg = seg.at[:, :, taps + k].set(qo[k])
+    return plane.at[rows0 : rows0 + nrows, cols].set(seg.astype(jnp.uint8))
+
+
+def _lf_horz_gather(plane, ys: np.ndarray, cols: np.ndarray,
+                    width, thresh, limit, blimit):
+    """Filter horizontal edges at static rows ys over static column set."""
+    if ys.size == 0 or cols.size == 0:
+        return plane
+    rows = ys[:, None] + np.arange(-8, 8)[None, :]  # (E, 16)
+    seg = plane[rows][:, :, cols].astype(jnp.int32)  # (E, 16, K)
+    p = [seg[:, 7 - k, :] for k in range(8)]
+    q = [seg[:, 8 + k, :] for k in range(8)]
+    po, qo = _lf_mixed(p, q, width, thresh, limit, blimit)
+    for k in range(7):
+        seg = seg.at[:, 7 - k, :].set(po[k])
+        seg = seg.at[:, 8 + k, :].set(qo[k])
+    return plane.at[rows[:, :, None], cols[None, None, :]].set(
+        seg.astype(jnp.uint8))
+
+
+def _lf_chain_vert(plane, y0, x, nrows: int, width_rows, thresh, limit,
+                   blimit):
+    """One SB-left-boundary vertical edge (dynamic position)."""
+    seg = jax.lax.dynamic_slice(plane, (y0, x - 8),
+                                (nrows, 16)).astype(jnp.int32)
+    p = [seg[:, 7 - k] for k in range(8)]
+    q = [seg[:, 8 + k] for k in range(8)]
+    po, qo = _lf_mixed(p, q, width_rows, thresh, limit, blimit)
+    for k in range(7):
+        seg = seg.at[:, 7 - k].set(po[k])
+        seg = seg.at[:, 8 + k].set(qo[k])
+    return jax.lax.dynamic_update_slice(plane, seg.astype(jnp.uint8),
+                                        (y0, x - 8))
+
+
+def _lf_chain_horz(plane, y, x0, ncols: int, width_cols, thresh, limit,
+                   blimit):
+    """One horizontal edge segment at dynamic (y, x0), ncols columns."""
+    seg = jax.lax.dynamic_slice(plane, (y - 8, x0),
+                                (16, ncols)).astype(jnp.int32)
+    p = [seg[7 - k, :] for k in range(8)]
+    q = [seg[8 + k, :] for k in range(8)]
+    po, qo = _lf_mixed(p, q, width_cols, thresh, limit, blimit)
+    for k in range(7):
+        seg = seg.at[7 - k, :].set(po[k])
+        seg = seg.at[8 + k, :].set(qo[k])
+    return jax.lax.dynamic_update_slice(plane, seg.astype(jnp.uint8),
+                                        (y - 8, x0))
+
+
+def _cols_away_from_boundaries(width_px: int, sb: int) -> np.ndarray:
+    """Columns >= 8px away from every interior SB-boundary column."""
+    cols = []
+    for x in range(width_px):
+        near = False
+        b = (x // sb) * sb
+        for bb in (b, b + sb):
+            if sb <= bb < width_px and bb - 8 <= x < bb + 8:
+                near = True
+        if not near:
+            cols.append(x)
+    return np.asarray(cols, np.int64)
+
+
+def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
+    """Exact VP9 loop filter for the uniform grid, fully on device.
+
+    Ordering contract (bit-exact with libvpx; see ops/loopfilter.py:1):
+    SBs in raster order, per SB all vertical then all horizontal edges.
+    Order-preserving decomposition (all read/write sets proven disjoint):
+      1. interior vertical edges (>= 8px from SB-boundary columns):
+         vectorized pre-pass;
+      2. horizontal edges restricted to columns >= 8px from SB-boundary
+         columns: vectorized pre-pass (column lanes are independent);
+      3. sequential raster scan over SBs: the left-boundary vertical
+         edge, then this SB's horizontal edges on the two 8px column
+         bands adjacent to its left/right SB boundaries.
+    Uniform tool set => Y edge widths are all 16; chroma widths are 16
+    in the 32-zone and 8 in the 16-strip (tx8 blocks).
+    lvl/lim/mblim: traced int32 scalars (lvl == 0 -> no-op).
+    """
+    g = geom
+    thresh = lvl >> 4
+    h_mi, w_mi = g.h_mi, g.w_mi
+    h_mi_c, w_mi_c = h_mi >> 1, w_mi >> 1
+    strip_y, strip_yc = g.strip_y, g.strip_y >> 1
+    alive = (lvl > 0).astype(jnp.int32)
+    w16 = 16 * alive
+    w8 = 8 * alive
+
+    # ---- pass 1: interior vertical edges ----
+    xs_y = np.array([x for x in range(32, w_mi, 32) if x % 64], np.int64)
+    y = _lf_vert_gather(y, 0, h_mi, xs_y, w16, thresh, lim, mblim)
+    ch_rows = strip_yc if g.strip else h_mi_c
+    xs_c = np.array([x for x in range(16, w_mi_c, 16) if x % 32], np.int64)
+    u = _lf_vert_gather(u, 0, ch_rows, xs_c, w16, thresh, lim, mblim)
+    v = _lf_vert_gather(v, 0, ch_rows, xs_c, w16, thresh, lim, mblim)
+    if g.strip:
+        xs_ys = np.array([x for x in range(16, w_mi, 16) if x % 32],
+                         np.int64)
+        y = _lf_vert_gather(y, strip_y, h_mi - strip_y, xs_ys, w16,
+                            thresh, lim, mblim)
+        xs_cs = np.array([x for x in range(8, w_mi_c, 8) if x % 32],
+                         np.int64)
+        u = _lf_vert_gather(u, strip_yc, h_mi_c - strip_yc, xs_cs, w8,
+                            thresh, lim, mblim, taps=4)
+        v = _lf_vert_gather(v, strip_yc, h_mi_c - strip_yc, xs_cs, w8,
+                            thresh, lim, mblim, taps=4)
+
+    # ---- pass 2: horizontal edges away from SB-boundary columns ----
+    ys_y = np.arange(32, h_mi, 32, dtype=np.int64)
+    cols_y = _cols_away_from_boundaries(w_mi, 64)
+    y = _lf_horz_gather(y, ys_y, cols_y, w16, thresh, lim, mblim)
+    cols_c = _cols_away_from_boundaries(w_mi_c, 32)
+    ys_c = np.array([yy for yy in range(16, h_mi_c, 16)
+                     if not (g.strip and yy >= strip_yc)], np.int64)
+    u = _lf_horz_gather(u, ys_c, cols_c, w16, thresh, lim, mblim)
+    v = _lf_horz_gather(v, ys_c, cols_c, w16, thresh, lim, mblim)
+    if g.strip:
+        ys_cs = np.array([strip_yc], np.int64)  # width-8 tx8 edge
+        u = _lf_horz_gather(u, ys_cs, cols_c, w8, thresh, lim, mblim)
+        v = _lf_horz_gather(v, ys_cs, cols_c, w8, thresh, lim, mblim)
+
+    # ---- pass 3: SB-boundary chain (sequential raster scan) ----
+    n_sbr = (h_mi + 63) // 64
+    n_sbc = (w_mi + 63) // 64
+    steps = np.arange(n_sbr * n_sbc, dtype=np.int32)
+    rs = jnp.asarray(steps // n_sbc)
+    cs = jnp.asarray(steps % n_sbc)
+    rowi = jnp.arange(64)
+    rowi_c = jnp.arange(32)
+    off8 = jnp.arange(8)
+
+    def body(planes, sc):
+        yp, up, vp = planes
+        r, c = sc
+        y0, x = r * 64, c * 64
+        wy = jnp.where((y0 + rowi) < h_mi, w16, 0) * (c > 0)
+        yp = _lf_chain_vert(yp, y0, x, 64, wy, thresh, lim, mblim)
+        y0c, xc = r * 32, c * 32
+        strip_row = g.strip & ((y0c + rowi_c) >= strip_yc)
+        wc = jnp.where((y0c + rowi_c) < h_mi_c,
+                       jnp.where(strip_row, w8, w16), 0) * (c > 0)
+        up = _lf_chain_vert(up, y0c, xc, 32, wc, thresh, lim, mblim)
+        vp = _lf_chain_vert(vp, y0c, xc, 32, wc, thresh, lim, mblim)
+        # horizontal edges on the column bands adjacent to *interior* SB
+        # boundaries only (bands at frame edges are pass-2's, not ours)
+        for rel in (0, 56):
+            xb = x + rel
+            gate = (c > 0) if rel == 0 else ((x + 64) < w_mi)
+            wcols = jnp.where((xb + off8) < w_mi, w16, 0) * gate
+            for dy in (0, 32):
+                yy = y0 + dy
+                ok = (yy > 0) & (yy < h_mi)
+                yp = _lf_chain_horz(yp, yy, xb, 8, wcols * ok, thresh,
+                                    lim, mblim)
+        for rel in (0, 24):
+            xbc = xc + rel
+            gate = (c > 0) if rel == 0 else ((xc + 32) < w_mi_c)
+            for dy in (0, 16):
+                yyc = y0c + dy
+                ok = (yyc > 0) & (yyc < h_mi_c)
+                wv = jnp.where(g.strip & (yyc >= strip_yc), w8, w16)
+                wk = jnp.where((xbc + off8) < w_mi_c, wv, 0) * gate * ok
+                up = _lf_chain_horz(up, yyc, xbc, 8, wk, thresh, lim, mblim)
+                vp = _lf_chain_horz(vp, yyc, xbc, 8, wk, thresh, lim, mblim)
+        return (yp, up, vp), None
+
+    (y, u, v), _ = jax.lax.scan(body, (y, u, v), (rs, cs))
+    return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# Zone encode (shared by the 32-grid and the 16-strip)
+# ---------------------------------------------------------------------------
+
+
+def _zone_positions(geom: Geom, n: int):
+    """Static (pos_y, pos_x) plane-pixel positions of the zone's blocks."""
+    if n == 32:
+        rows, cols, y_base = geom.rows32, geom.cols32, 0
+    else:
+        rows, cols, y_base = 1, geom.cols16, geom.strip_y
+    ys = (y_base + np.arange(rows)[:, None] * n
+          + np.zeros((1, cols), np.int32)).reshape(-1)
+    xs = (np.zeros((rows, 1), np.int32)
+          + np.arange(cols)[None, :] * n).reshape(-1)
+    return (jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
+            rows, cols)
+
+
+def _extract_blocks(plane, y0: int, rows: int, cols: int, n: int):
+    """(rows*n, cols*n) region at row y0 -> (rows*cols, n, n)."""
+    reg = plane[y0 : y0 + rows * n, : cols * n]
+    return reg.reshape(rows, n, cols, n).transpose(0, 2, 1, 3) \
+        .reshape(-1, n, n)
+
+
+def _scatter_blocks(blocks, rows: int, cols: int, n: int):
+    """(rows*cols, n, n) -> (rows*n, cols*n)."""
+    return blocks.reshape(rows, cols, n, n).transpose(0, 2, 1, 3) \
+        .reshape(rows * n, cols * n)
+
+
+def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
+                geom: Geom, n: int, dc_q, ac_q, lam, filters):
+    """MD + recon for one uniform zone (block size n).
+
+    prev_mv: (B, 2) int32 q3 from the previous frame (search centers).
+    Returns dict with mv (B,2 int16), skip, eobs, levels, recon planes
+    for the zone, and distortion/rate stats."""
+    g = geom
+    pos_y, pos_x, rows, cols = _zone_positions(g, n)
+    b = rows * cols
+    y0 = 0 if n == 32 else g.strip_y
+    src_blocks = _extract_blocks(src_y, y0, rows, cols, n)
+
+    # --- full-pel search, window centered on the previous frame's MV ---
+    r = SEARCH_R
+    ctr_r = jnp.clip(prev_mv[:, 0] // 8, -(BORDER - r - 8), BORDER - r - 8)
+    ctr_c = jnp.clip(prev_mv[:, 1] // 8, -(BORDER - r - 8), BORDER - r - 8)
+    win = n + 2 * r
+
+    def slice_region(yy, xx):
+        return jax.lax.dynamic_slice(ref_y, (yy, xx), (win, win))
+
+    regions = jax.vmap(slice_region)(BORDER + pos_y - r + ctr_r,
+                                     BORDER + pos_x - r + ctr_c)
+    dy, dx, sad_f = _full_search(src_blocks, regions, n, r)
+    mv_r = (ctr_r + dy) * 8
+    mv_c = (ctr_c + dx) * 8
+    # --- quarter-pel refinement (exact MC SADs) ---
+    mv_r, mv_c, sad_new = subpel_refine_batch(
+        ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_f, n,
+        g.mi_rows, g.mi_cols, filters)
+    # --- ZERO vs NEW decision (fast-loop cost, EbEncDecProcess.c:180) ---
+    zero = jnp.zeros_like(mv_r)
+    sad_zero = _mc_sad(ref_y, src_blocks, pos_y, pos_x, zero, zero, n,
+                       g.mi_rows, g.mi_cols, filters)
+    take_zero = sad_zero + 2 * lam <= sad_new + 10 * lam
+    mv_r = jnp.where(take_zero, 0, mv_r)
+    mv_c = jnp.where(take_zero, 0, mv_c)
+
+    # --- MC prediction (Y + chroma) and transform/recon ---
+    pred_y = mc_predict_batch(ref_y, pos_y, pos_x, mv_r, mv_c, n, 0,
+                              g.mi_rows, g.mi_cols, filters)
+    nc = n // 2
+    pos_yc, pos_xc = pos_y // 2, pos_x // 2
+    pred_u = mc_predict_batch(ref_u, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                              g.mi_rows, g.mi_cols, filters)
+    pred_v = mc_predict_batch(ref_v, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                              g.mi_rows, g.mi_cols, filters)
+    lv_y, eob_y, rec_y = transform_recon(src_blocks, pred_y, dc_q, ac_q, n)
+    y0c = y0 // 2
+    src_ub = _extract_blocks(src_u, y0c, rows, cols, nc)
+    src_vb = _extract_blocks(src_v, y0c, rows, cols, nc)
+    lv_u, eob_u, rec_u = transform_recon(src_ub, pred_u, dc_q, ac_q, nc)
+    lv_v, eob_v, rec_v = transform_recon(src_vb, pred_v, dc_q, ac_q, nc)
+    skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
+
+    dist = ((rec_y.astype(jnp.int32) - src_blocks.astype(jnp.int32)) ** 2
+            ).sum()
+    rate = (lv_y != 0).sum() + (lv_u != 0).sum() + (lv_v != 0).sum()
+    return {
+        "mv": jnp.stack([mv_r, mv_c], axis=-1).astype(jnp.int16),
+        "skip": skip,
+        "eob_y": eob_y, "eob_u": eob_u, "eob_v": eob_v,
+        "lv_y": lv_y, "lv_u": lv_u, "lv_v": lv_v,
+        "rec_y": _scatter_blocks(rec_y, rows, cols, n),
+        "rec_u": _scatter_blocks(rec_u, rows, cols, nc),
+        "rec_v": _scatter_blocks(rec_v, rows, cols, nc),
+        "dist": dist, "rate": rate,
+        "sad_zero": sad_zero,
+    }
+
+
+# ---------------------------------------------------------------------------
+# The full device P-frame step
+# ---------------------------------------------------------------------------
+
+
+def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
+                prev_mv16, geom: Geom, dc_q, ac_q, lam, lf_lvl, lf_lim,
+                lf_mblim, filters):
+    """One full device P-frame encode step (jit under a static geom).
+
+    src planes: padded (pad_h, pad_w)/(pad_h/2, pad_w/2) uint8 device
+    arrays.  ref planes: border-extended previous reconstruction.
+    Returns (outputs dict, new (ref_y, ref_u, ref_v)).
+    """
+    g = geom
+    out32 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
+                        prev_mv32, g, 32, dc_q, ac_q, lam, filters)
+    outs = {"m32": out32}
+    rec_y = out32["rec_y"]
+    rec_u = out32["rec_u"]
+    rec_v = out32["rec_v"]
+    if g.strip:
+        out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
+                            prev_mv16, g, 16, dc_q, ac_q, lam, filters)
+        outs["m16"] = out16
+        rec_y = jnp.concatenate([rec_y, out16["rec_y"]], axis=0)
+        rec_u = jnp.concatenate([rec_u, out16["rec_u"]], axis=0)
+        rec_v = jnp.concatenate([rec_v, out16["rec_v"]], axis=0)
+    # pad recon to the full device plane width (coded region is g.width)
+    if g.pad_w > g.width:
+        extra = g.pad_w - g.width
+        rec_y = jnp.pad(rec_y, ((0, 0), (0, extra)), mode="edge")
+        rec_u = jnp.pad(rec_u, ((0, 0), (0, extra // 2)), mode="edge")
+        rec_v = jnp.pad(rec_v, ((0, 0), (0, extra // 2)), mode="edge")
+    if g.pad_h > rec_y.shape[0]:
+        rec_y = jnp.pad(rec_y, ((0, g.pad_h - rec_y.shape[0]), (0, 0)),
+                        mode="edge")
+        rec_u = jnp.pad(
+            rec_u, ((0, g.pad_h // 2 - rec_u.shape[0]), (0, 0)), mode="edge")
+        rec_v = jnp.pad(
+            rec_v, ((0, g.pad_h // 2 - rec_v.shape[0]), (0, 0)), mode="edge")
+    rec_y, rec_u, rec_v = loop_filter_device(
+        rec_y, rec_u, rec_v, g, lf_lvl, lf_lim, lf_mblim)
+    outs["rec_y"] = rec_y
+    outs["rec_u"] = rec_u
+    outs["rec_v"] = rec_v
+    new_ref_y = extend_borders_device(rec_y, g.width, g.height)
+    new_ref_u = extend_borders_device(rec_u, (g.width + 1) >> 1,
+                                      (g.height + 1) >> 1)
+    new_ref_v = extend_borders_device(rec_v, (g.width + 1) >> 1,
+                                      (g.height + 1) >> 1)
+    return outs, (new_ref_y, new_ref_u, new_ref_v)
+
+
+def make_pframe_step(geom: Geom):
+    """Jitted device step closed over the static geometry."""
+    filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
+
+    def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
+             prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+        return pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v,
+                           prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
+                           lf_lvl, lf_lim, lf_mblim, filters)
+
+    return jax.jit(step, donate_argnums=(3, 4, 5))
