@@ -319,7 +319,8 @@ class Vp9Encoder:
                     fc_base if fc_base is not None
                     else _T.default_frame_context(),
                     st.counts, is_key=is_key, after_key=after_key,
-                    tx_select=hdr.tx_mode == TxMode.TX_MODE_SELECT)
+                    tx_select=hdr.tx_mode == TxMode.TX_MODE_SELECT,
+                    final_fc=getattr(st, "fc_final", None))
         self._last_was_inter = not is_key
         self._last_was_droppable = is_nonref
         self._prev_snapshot = st.mig.snapshot_mvs()

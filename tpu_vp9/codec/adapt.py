@@ -220,12 +220,20 @@ def inc_mv(counts, diff_mv) -> None:
 
 
 def adapt_frame_context(pre_fc, counts, is_key: bool, after_key: bool,
-                        tx_select: bool):
+                        tx_select: bool, final_fc=None):
     """Full per-frame adaptation; returns the new stored context.
 
     Key/intra-only frames adapt coefficient probs only (decoder flow:
-    vp9_decodeframe adaptation block)."""
-    fc = pre_fc.copy()
+    vp9_decodeframe adaptation block).
+
+    final_fc: the frame's working context AFTER forward updates.  The
+    saved context is cm->fc (forward-updated) with the adapted tables
+    overwritten by merges FROM the pre-update context — on key frames
+    only the coef tables are re-derived, so forward updates to e.g.
+    skip probs persist into the saved context (libvpx saves *cm->fc
+    after vp9_adapt_coef_probs).  Starting from pre_fc instead silently
+    drops those updates and desyncs every following frame."""
+    fc = (final_fc if final_fc is not None else pre_fc).copy()
     adapt_coef_probs(fc, pre_fc, counts, after_key=after_key and not is_key)
     if not is_key:
         adapt_mode_probs(fc, pre_fc, counts, tx_select)

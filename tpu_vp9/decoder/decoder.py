@@ -860,7 +860,8 @@ def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None,
             pre_fc, st.counts,
             is_key=h.is_keyframe or h.intra_only,
             after_key=last_was_key,
-            tx_select=h.tx_mode == T.TxMode.TX_MODE_SELECT)
+            tx_select=h.tx_mode == T.TxMode.TX_MODE_SELECT,
+            final_fc=fc)
         if fc_state is not None and h.refresh_frame_context:
             fc_state[h.frame_context_idx] = adapted
     if h.loop_filter.filter_level:

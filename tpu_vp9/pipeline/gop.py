@@ -200,7 +200,8 @@ class RaEncoder:
                     fc_base if fc_base is not None
                     else T.default_frame_context(),
                     st.counts, is_key=is_key, after_key=after_key,
-                    tx_select=hdr.tx_mode == TxMode.TX_MODE_SELECT)
+                    tx_select=hdr.tx_mode == TxMode.TX_MODE_SELECT,
+                    final_fc=getattr(st, "fc_final", None))
         self._last_was_key = is_key
         self._last_was_inter = not is_key
         self._prev = (st.mig.snapshot_mvs(), hdr.show_frame,
