@@ -124,3 +124,17 @@ def test_non_error_resilient_roundtrip():
     for i, ((y, u, v, h), (ry, ru, rv)) in enumerate(zip(dec, recons)):
         np.testing.assert_array_equal(y, ry, err_msg=f"frame {i}")
         np.testing.assert_array_equal(u, ru)
+
+
+def test_error_resilient_never_signals_compound():
+    # setup_past_independence zeroes ref_frame_sign_bias for every
+    # error-resilient frame (spec 7.2), so compound must never be coded
+    # there; regression for the round-2 libvpx "Frame data header is
+    # corrupted" rejection of er random-access streams.
+    from tpu_vp9.bitstream.headers import FrameHeader
+
+    h = FrameHeader(is_keyframe=False, error_resilient=True,
+                    ref_sign_bias=(0, 0, 1))
+    assert not h.compound_allowed()
+    h.error_resilient = False
+    assert h.compound_allowed()

@@ -112,7 +112,17 @@ def mv_update(r, trace, name):
 def read_compressed_header(data: bytes, *, lossless, intra_only,
                            interp_switchable, sign_bias, allow_hp,
                            trace=None):
-    """Returns (trace, reference_mode, tx_mode, has_error)."""
+    """Returns (trace, reference_mode, tx_mode, has_error).
+
+    sign_bias must be the 3 REFERENCE-frame biases only (LAST, GOLDEN,
+    ALTREF — what libvpx's is_compound_reference_allowed compares); do
+    not pass a 4-entry array including the INTRA_FRAME slot, or an
+    all-bias-1 input would wrongly enable compound parsing.  It must
+    also already reflect setup_past_independence: error-resilient
+    frames zero the biases, so pass (0, 0, 0) for those.
+    """
+    sign_bias = tuple(sign_bias)
+    assert len(sign_bias) == 3, "pass LAST/GOLDEN/ALTREF biases only"
     r = VpxReader(data)
     tr = trace if trace is not None else []
     if lossless:
@@ -181,4 +191,6 @@ def read_compressed_header(data: bytes, *, lossless, intra_only,
             for c in range(2):
                 mv_update(r, tr, f"mvhp{c}.0")
                 mv_update(r, tr, f"mvhp{c}.1")
-    return tr, reference_mode, tx_mode, r.has_error()
+    # marker-bit rejection is part of libvpx's reader init (first bool
+    # bit must decode 0), so surface it in the error flag
+    return tr, reference_mode, tx_mode, r.has_error() or r.marker_error

@@ -142,6 +142,13 @@ class FrameHeader:
     reference_mode: int = 0
 
     def compound_allowed(self) -> bool:
+        # setup_past_independence (spec 7.2 / vp9_entropymode.c) zeroes
+        # ref_frame_sign_bias for every error-resilient frame AFTER the
+        # biases are parsed, so compound prediction is normatively
+        # impossible when error_resilient — the decoder reads no
+        # reference_mode bits in that case.
+        if self.error_resilient:
+            return False
         return len(set(self.ref_sign_bias)) > 1
 
     @property

@@ -763,6 +763,11 @@ def decode_frame(payload: bytes, fc=None, dpb=None, fc_state=None,
     h, hdr_size, first_part = parse_uncompressed_header(payload)
     if h.show_existing_frame:
         return None, None, None, h
+    if h.error_resilient:
+        # setup_past_independence zeroes ref_frame_sign_bias AFTER the
+        # header parse (spec 7.2; vp9_entropymode.c) — compound is thus
+        # never allowed and mv-ref derivation sees zero biases.
+        h.ref_sign_bias = (0, 0, 0)
     if fc_state is not None:
         # setup_past_independence / context selection
         if (h.is_keyframe or h.intra_only or h.error_resilient

@@ -359,9 +359,12 @@ class RaEncoder:
             if sig.qpm:
                 lmap = stats.sb_lambda_map()
         # ALTREF anchors are future frames: opposite sign bias, which also
-        # unlocks compound (past+future averaged) prediction
+        # unlocks compound (past+future averaged) prediction.  Error-
+        # resilient frames run setup_past_independence at the decoder,
+        # which ZEROES the parsed sign biases (spec 7.2) — compound is
+        # normatively unavailable there, so encode with all-zero biases.
         sign_bias = ((0, 0, 1) if alt is not None and gf.alt_poc > gf.poc
-                     else (0, 0, 0))
+                     and not er else (0, 0, 0))
         tile, st = encode_pframe(
             frame, refs, qindex, sig.block_size, sig.search_range,
             qbias=sig.qbias, do_subpel=sig.do_subpel,
