@@ -166,3 +166,36 @@ def test_device_lf_matches_host_oracle(dims):
             np.asarray(ou)[: g.h_mi // 2, : g.w_mi // 2], host[1])
         np.testing.assert_array_equal(
             np.asarray(ov)[: g.h_mi // 2, : g.w_mi // 2], host[2])
+
+
+@pytest.mark.parametrize("er", [False, True])
+def test_rt_streams_decode_with_system_libvpx(er):
+    # the strongest oracle on the newest code: RT streams (fc-chain +
+    # temporal MVs when er=False) must decode bit-exact under the SYSTEM
+    # libvpx, not only the self-authored decoder
+    from tools.libvpx_oracle import LibvpxDecoder, available
+
+    if not available():
+        pytest.skip("system libvpx not present")
+    w, h = 128, 112  # strip geometry
+    frames = list(synthetic_frames(w, h, 5, seed=7, motion=True))
+    enc = encode_stream_rt(frames, qindex=120, error_resilient=er)
+    dec = LibvpxDecoder()
+    for i, ef in enumerate(enc):
+        (y, u, v), = dec.decode(ef.payload)
+        st = ef.state
+        np.testing.assert_array_equal(y, st.planes[0].recon[:h, :w],
+                                      err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(u, st.planes[1].recon[:h >> 1, :w >> 1])
+        np.testing.assert_array_equal(v, st.planes[2].recon[:h >> 1, :w >> 1])
+
+
+def test_rt_fc_chain_saves_bytes():
+    # context persistence + adaptation must beat default-probs er coding
+    w, h = 128, 96
+    frames = list(synthetic_frames(w, h, 8, seed=3, motion=True))
+    enc_er = encode_stream_rt(frames, qindex=120, error_resilient=True)
+    enc_fc = encode_stream_rt(frames, qindex=120, error_resilient=False)
+    p_er = sum(len(e.payload) for e in enc_er if not e.is_keyframe)
+    p_fc = sum(len(e.payload) for e in enc_fc if not e.is_keyframe)
+    assert p_fc < p_er * 0.95, (p_fc, p_er)

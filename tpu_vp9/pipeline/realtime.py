@@ -43,13 +43,15 @@ def _leaf_grid_index(geom: Geom, mi_row: int, mi_col: int, bsize):
 
 
 def classify_and_fill_state(frame, geom: Geom, host_out: dict,
-                            qindex: int):
+                            qindex: int, prev_mvs=None):
     """Build a FrameState from device outputs; classify inter modes.
 
     Decode-order walk: each leaf's NEAREST/NEAR/ZERO/NEW classification
     uses the normative mv-reference scan over already-final neighbors
     (vp9_mvref_common.c semantics; every block is single-ref LAST so
     the chosen MV is reproducible by whichever syntax mode is cheapest).
+    prev_mvs: previous frame's snapshot_mvs() when use_prev_frame_mvs
+    holds at the decoder (non-er, prior frame shown inter, same size).
     Returns (FrameState, events).
     """
     g = geom
@@ -69,7 +71,7 @@ def classify_and_fill_state(frame, geom: Geom, host_out: dict,
         skip = bool(z["skip"][bi])
         mv_list, mode_context = MV.find_mv_refs(
             st.mig, mi_row, mi_col, bsize, LAST,
-            st.mig.tile_mi_start, st.mig.tile_mi_end)
+            st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=prev_mvs)
         nearest, near = MV.find_best_ref_mvs(
             mv_list, False, mi_row, mi_col, bsize, g.mi_rows, g.mi_cols)
         if mv == nearest:
@@ -132,41 +134,97 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
     return host
 
 
-def encode_stream_rt(frames, qindex: int = 100, intra_period: int = -1,
-                     want_recon: bool = True, rc=None):
-    """Device-resident realtime encode of an IPPP stream.
+class RtSession:
+    """Streaming device-resident low-delay encoder session.
 
-    frames: list of Frame420.  Returns list[EncodedFrame].  rc: optional
-    RateControlState — per-frame qindex override (CQP when None).
+    Frame-context persistence is on by default (error_resilient=False):
+    every frame is serialized against the inherited context, carries
+    forward (subexp-coded) probability updates in its compressed header,
+    and the context backward-adapts from the frame's symbol counts after
+    serialization (frame_parallel_decoding=False), exactly the libvpx
+    coding model the host path ships.  Temporal (prev-frame) MV
+    candidates enter the normative mv-ref scan whenever a conformant
+    decoder would use them.  error_resilient=True restores the round-2
+    behavior: default probabilities and no temporal MVs per frame.
     """
-    import jax
-    import jax.numpy as jnp
 
-    from tpu_vp9.codec.intra_frame import encode_keyframe
-    from tpu_vp9.ops.loopfilter import pick_filter_level, sharpness_limits
+    def __init__(self, width: int, height: int, *, intra_period: int = -1,
+                 rc=None, error_resilient: bool = False,
+                 frame_parallel_decoding: bool = False,
+                 want_recon: bool = True, loop_filter: bool = True):
+        import jax.numpy as jnp
 
-    first = frames[0]
-    h, w = first.y.shape
-    g = make_geom(w, h)
-    step = make_pframe_step(g)
-    lim_tbl, mblim_tbl = sharpness_limits(0)
-    out = []
-    refs = None
-    prev_mv32 = jnp.zeros((g.n_blocks32, 2), jnp.int32)
-    prev_mv16 = jnp.zeros((g.cols16 if g.strip else 1, 2), jnp.int32)
-    pending = None  # (idx, hdr, device outs future)
+        from tpu_vp9.ops.loopfilter import sharpness_limits
 
-    def finish(idx, hdr, outs, qidx):
-        host = _device_out_to_host(outs, g, want_recon)
-        st, events = classify_and_fill_state(frames[idx], g, host, qidx)
+        self.g = make_geom(width, height)
+        self.w, self.h = width, height
+        self.intra_period = intra_period
+        self.rc = rc
+        self.er = error_resilient
+        self.fpdm = error_resilient or frame_parallel_decoding
+        self.want_recon = want_recon
+        self.loop_filter = loop_filter
+        self._step = make_pframe_step(self.g)
+        self._lim_tbl, self._mblim_tbl = sharpness_limits(0)
+        self._fc = [T.default_frame_context() for _ in range(4)]
+        self._refs = None
+        self._prev_mv32 = jnp.zeros((self.g.n_blocks32, 2), jnp.int32)
+        self._prev_mv16 = jnp.zeros(
+            (self.g.cols16 if self.g.strip else 1, 2), jnp.int32)
+        self._pending = None  # (frame, idx, hdr, device outs, qidx)
+        self._prev_snap = None  # mv snapshot of the last serialized frame
+        self._last_was_inter = False
+        self._idx = 0
+
+    # -- frame-context chain (matches the decoder's refresh rules) ------
+    def _fc_update(self, st, hdr, is_key: bool, fc_base):
+        from tpu_vp9.codec.adapt import adapt_frame_context
+
+        after_key = (not is_key) and not self._last_was_inter
+        if not self.er and hdr.refresh_frame_context:
+            if self.fpdm:
+                if getattr(st, "fc_final", None) is not None:
+                    self._fc[hdr.frame_context_idx] = st.fc_final
+            elif getattr(st, "counts", None) is not None:
+                self._fc[hdr.frame_context_idx] = adapt_frame_context(
+                    fc_base if fc_base is not None
+                    else T.default_frame_context(),
+                    st.counts, is_key=is_key, after_key=after_key,
+                    tx_select=hdr.tx_mode == TxMode.TX_MODE_SELECT,
+                    final_fc=getattr(st, "fc_final", None))
+        self._last_was_inter = not is_key
+
+    def _finish(self, frame, idx, hdr, outs, qidx):
+        import functools
+
+        from tpu_vp9.codec.fwd_update import serialize_with_updates
         from tpu_vp9.codec.inter_frame import serialize_pframe
 
-        tile = serialize_pframe(st, events, qidx, fc=None,
-                                tx_mode=TxMode.ALLOW_32X32)
-        payload = assemble_frame(hdr, tile, None)
-        if rc is not None:
-            rc.update(len(payload) * 8, False)
-        if want_recon:
+        g = self.g
+        host = _device_out_to_host(outs, g, self.want_recon)
+        prev_mvs = (self._prev_snap
+                    if (not self.er and self._last_was_inter) else None)
+        st, events = classify_and_fill_state(frame, g, host, qidx,
+                                             prev_mvs=prev_mvs)
+        if self.er:
+            tile = serialize_pframe(st, events, qidx, fc=None,
+                                    tx_mode=TxMode.ALLOW_32X32)
+            updates = None
+        else:
+            fc_base = self._fc[0]
+            ser = functools.partial(serialize_pframe,
+                                    tx_mode=TxMode.ALLOW_32X32)
+            tile, updates, st.fc_final, st.counts = serialize_with_updates(
+                st, events, qidx, ser, fc_base)
+        payload = assemble_frame(hdr, tile, updates)
+        if not self.er:
+            self._fc_update(st, hdr, False, self._fc[0])
+            self._prev_snap = st.mig.snapshot_mvs()
+        else:
+            self._last_was_inter = True
+        if self.rc is not None:
+            self.rc.update(len(payload) * 8, False)
+        if self.want_recon:
             mi_h, mi_w = g.h_mi, g.w_mi
             for pidx in range(3):
                 ss = 0 if pidx == 0 else 1
@@ -175,59 +233,116 @@ def encode_stream_rt(frames, qindex: int = 100, intra_period: int = -1,
         return EncodedFrame(payload=payload, is_keyframe=False,
                             qindex=qidx, state=st, pts=idx)
 
-    for idx, frame in enumerate(frames):
-        is_key = idx == 0 or (
-            intra_period >= 0 and idx % (intra_period + 1) == 0)
-        qidx = qindex if rc is None else rc.frame_qindex(is_key)
+    def _encode_key(self, frame, idx, qidx):
+        from tpu_vp9.codec.intra_frame import encode_keyframe
+
+        g = self.g
+        # keyframes reset every context (setup_past_independence)
+        self._fc = [T.default_frame_context() for _ in range(4)]
+        tile, st = encode_keyframe(frame, qidx, BlockSize.BLOCK_32X32)
+        hdr = FrameHeader(width=self.w, height=self.h, is_keyframe=True,
+                          error_resilient=self.er, base_qindex=qidx,
+                          tx_mode=TxMode.ALLOW_32X32,
+                          refresh_frame_context=not self.er,
+                          frame_parallel_decoding_mode=self.fpdm)
+        _apply_loop_filter(st, hdr, qidx, True, enabled=self.loop_filter)
+        payload = assemble_frame(hdr, tile, st.header_updates)
+        self._fc_update(st, hdr, True, None)
+        self._prev_snap = None
+        mi_h, mi_w = g.h_mi, g.w_mi
+        recon = [st.planes[p].recon[: mi_h >> (0 if p == 0 else 1),
+                                    : mi_w >> (0 if p == 0 else 1)]
+                 for p in range(3)]
+        self._refs = _upload_refs(recon, g)
+        import jax.numpy as jnp
+
+        self._prev_mv32 = jnp.zeros_like(self._prev_mv32)
+        self._prev_mv16 = jnp.zeros_like(self._prev_mv16)
+        if self.rc is not None:
+            self.rc.update(len(payload) * 8, True)
+        return EncodedFrame(payload=payload, is_keyframe=True,
+                            qindex=qidx, state=st, pts=idx)
+
+    def send(self, frame, qindex: int = 100, force_keyframe: bool = False):
+        """Encode one picture; returns 0..2 EncodedFrames (1-frame
+        latency: the device step for frame N overlaps frame N-1's host
+        serialization, the reference's process-pipeline role)."""
+        import jax.numpy as jnp
+
+        from tpu_vp9.ops.loopfilter import pick_filter_level
+
+        g = self.g
+        idx = self._idx
+        self._idx += 1
+        is_key = force_keyframe or idx == 0 or (
+            self.intra_period >= 0
+            and idx % (self.intra_period + 1) == 0)
+        qidx = qindex if self.rc is None else self.rc.frame_qindex(is_key)
+        out = []
         if is_key:
-            if pending is not None:
-                out.append(finish(*pending))
-                pending = None
-            tile, st = encode_keyframe(frame, qidx, BlockSize.BLOCK_32X32)
-            hdr = FrameHeader(width=w, height=h, is_keyframe=True,
-                              error_resilient=True, base_qindex=qidx,
-                              tx_mode=TxMode.ALLOW_32X32)
-            _apply_loop_filter(st, hdr, qidx, True, enabled=True)
-            payload = assemble_frame(hdr, tile, st.header_updates)
-            out.append(EncodedFrame(payload=payload, is_keyframe=True,
-                                    qindex=qidx, state=st, pts=idx))
-            mi_h, mi_w = g.h_mi, g.w_mi
-            recon = [st.planes[p].recon[: mi_h >> (0 if p == 0 else 1),
-                                        : mi_w >> (0 if p == 0 else 1)]
-                     for p in range(3)]
-            refs = _upload_refs(recon, g)
-            prev_mv32 = jnp.zeros_like(prev_mv32)
-            prev_mv16 = jnp.zeros_like(prev_mv16)
-            if rc is not None:
-                rc.update(len(payload) * 8, True)
-            continue
-        # dispatch the device step for this frame
+            if self._pending is not None:
+                out.append(self._finish(*self._pending))
+                self._pending = None
+            out.append(self._encode_key(frame, idx, qidx))
+            return out
         src_y = jnp.asarray(pad_plane(np.asarray(frame.y), g.pad_h, g.pad_w))
         src_u = jnp.asarray(pad_plane(np.asarray(frame.u), g.pad_h // 2,
                                       g.pad_w // 2))
         src_v = jnp.asarray(pad_plane(np.asarray(frame.v), g.pad_h // 2,
                                       g.pad_w // 2))
-        lf_lvl = pick_filter_level(qidx, False)
+        lf_lvl = pick_filter_level(qidx, False) if self.loop_filter else 0
         dc_q = jnp.asarray(T.dc_quant(qidx), jnp.int32)
         ac_q = jnp.asarray(T.ac_quant(qidx), jnp.int32)
         lam = jnp.asarray(max(1, (T.ac_quant(qidx) ** 2) >> 6), jnp.int32)
-        outs, refs = step(src_y, src_u, src_v, *refs, prev_mv32, prev_mv16,
-                          dc_q, ac_q, lam,
-                          jnp.asarray(lf_lvl, jnp.int32),
-                          jnp.asarray(int(lim_tbl[lf_lvl]), jnp.int32),
-                          jnp.asarray(int(mblim_tbl[lf_lvl]), jnp.int32))
-        prev_mv32 = outs["m32"]["mv"].astype(jnp.int32)
+        outs, self._refs = self._step(
+            src_y, src_u, src_v, *self._refs, self._prev_mv32,
+            self._prev_mv16, dc_q, ac_q, lam,
+            jnp.asarray(lf_lvl, jnp.int32),
+            jnp.asarray(int(self._lim_tbl[lf_lvl]), jnp.int32),
+            jnp.asarray(int(self._mblim_tbl[lf_lvl]), jnp.int32))
+        self._prev_mv32 = outs["m32"]["mv"].astype(jnp.int32)
         if g.strip:
-            prev_mv16 = outs["m16"]["mv"].astype(jnp.int32)
+            self._prev_mv16 = outs["m16"]["mv"].astype(jnp.int32)
         hdr = FrameHeader(
-            width=w, height=h, is_keyframe=False, error_resilient=True,
-            base_qindex=qidx, tx_mode=TxMode.ALLOW_32X32,
-            refresh_frame_mask=0xFF, ref_dpb_index=(0, 0, 0))
+            width=self.w, height=self.h, is_keyframe=False,
+            error_resilient=self.er, base_qindex=qidx,
+            tx_mode=TxMode.ALLOW_32X32,
+            refresh_frame_mask=0x01, ref_dpb_index=(0, 0, 0),
+            reset_frame_context=0,
+            refresh_frame_context=not self.er,
+            frame_parallel_decoding_mode=self.fpdm)
         hdr.loop_filter.filter_level = lf_lvl
         # serialize the *previous* frame while this one runs on device
-        if pending is not None:
-            out.append(finish(*pending))
-        pending = (idx, hdr, outs, qidx)
-    if pending is not None:
-        out.append(finish(*pending))
+        if self._pending is not None:
+            out.append(self._finish(*self._pending))
+        self._pending = (frame, idx, hdr, outs, qidx)
+        return out
+
+    def flush(self):
+        """Drain the pipelined frame at end of stream."""
+        out = []
+        if self._pending is not None:
+            out.append(self._finish(*self._pending))
+            self._pending = None
+        return out
+
+
+def encode_stream_rt(frames, qindex: int = 100, intra_period: int = -1,
+                     want_recon: bool = True, rc=None,
+                     error_resilient: bool = False):
+    """Device-resident realtime encode of an IPPP stream (batch wrapper
+    over RtSession).
+
+    frames: list of Frame420.  Returns list[EncodedFrame].  rc: optional
+    RateControlState — per-frame qindex override (CQP when None).
+    """
+    first = frames[0]
+    h, w = first.y.shape
+    sess = RtSession(w, h, intra_period=intra_period, rc=rc,
+                     error_resilient=error_resilient,
+                     want_recon=want_recon)
+    out = []
+    for frame in frames:
+        out.extend(sess.send(frame, qindex=qindex))
+    out.extend(sess.flush())
     return out
