@@ -199,3 +199,43 @@ def test_rt_fc_chain_saves_bytes():
     p_er = sum(len(e.payload) for e in enc_er if not e.is_keyframe)
     p_fc = sum(len(e.payload) for e in enc_fc if not e.is_keyframe)
     assert p_fc < p_er * 0.95, (p_fc, p_er)
+
+
+def test_public_api_routes_through_rt():
+    # VERDICT r2 #1: the device path must be the product — the public
+    # Vp9Encoder routes low-delay M8/M9 through RtSession (forced here so
+    # it runs under CPU jax), and the streams decode with our decoder
+    from tpu_vp9.api import Vp9Encoder
+    from tpu_vp9.config import EncoderConfig, PredStructure
+
+    w, h = 128, 96
+    frames = list(synthetic_frames(w, h, 5, seed=11, motion=True))
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(
+        source_width=w, source_height=h, frame_rate=30, qp=32,
+        enc_mode=9, intra_period=2, tpu_realtime=1,
+        pred_structure=PredStructure.LOW_DELAY_P))
+    enc.init()
+    assert enc._rt is not None
+    for fr in frames:
+        enc.send_picture(fr)
+    enc.flush()
+    pkts = []
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    assert len(pkts) == 5
+    assert [p.is_keyframe for p in pkts] == [True, False, False, True,
+                                             False]
+    buf = io.BytesIO()
+    write_ivf_header(buf, w, h, 30, 1)
+    for i, p in enumerate(pkts):
+        write_ivf_frame(buf, p.data, p.pts)
+    patch_ivf_frame_count(buf, len(pkts))
+    buf.seek(0)
+    dec = list(decode_ivf(buf))
+    assert len(dec) == 5
+    for i, (y, _, _, _) in enumerate(dec):
+        assert psnr(y, frames[i].y) > 30

@@ -135,6 +135,27 @@ class Vp9Encoder:
 
             self._sc = SpeedControl(target_fps=max(self._cfg.fps, 1.0),
                                     base_mode=self._cfg.enc_mode)
+        # device-resident realtime EncDec loop (the reference's hot loop,
+        # EbEncDecProcess.c:5306, as one jitted device step): low-delay
+        # M8/M9 streams route through it when the geometry fits the
+        # uniform device grid and an accelerator is reachable
+        self._rt = None
+        cfg = self._cfg
+        if (self._ra is None and cfg.tpu_realtime != 0
+                and int(cfg.enc_mode) >= 8
+                and (cfg.tpu_realtime == 1 or self._tpu_ok)):
+            from tpu_vp9.pipeline.realtime import RtSession
+
+            try:
+                self._rt = RtSession(
+                    cfg.source_width, cfg.source_height,
+                    intra_period=cfg.intra_period,
+                    error_resilient=cfg.error_resilient,
+                    frame_parallel_decoding=cfg.frame_parallel_decoding,
+                    want_recon=cfg.recon_file is not None,
+                    loop_filter=cfg.loop_filter)
+            except ValueError:
+                self._rt = None  # unsupported geometry: host fallback
         self._initialized = True
 
     def _speed_report(self, n_frames: int, seconds: float) -> None:
@@ -207,6 +228,19 @@ class Vp9Encoder:
             cut = self._scd.is_scene_change(frame.y)
             if cut and not is_key and cfg.intra_period != -1:
                 is_key = True
+        if self._rt is not None:
+            if idx in self._qp_overrides:
+                from tpu_vp9.pipeline.presets import qp_to_qindex
+
+                qindex = qp_to_qindex(self._qp_overrides[idx])
+            else:
+                qindex = rc.frame_qindex(is_key)
+            for ef in self._rt.send(frame, qindex=qindex,
+                                    force_keyframe=is_key):
+                self._emit_rt(ef)
+            if self._sc is not None:
+                self._speed_report(1, _time.perf_counter() - _sc_t0)
+            return
         h, w = frame.y.shape
         er = cfg.error_resilient
         # 2-layer low-delay hierarchy: odd frames are non-reference and
@@ -345,6 +379,21 @@ class Vp9Encoder:
         if self._sc is not None:
             self._speed_report(1, _time.perf_counter() - _sc_t0)
 
+    def _emit_rt(self, ef) -> None:
+        """Book-keep one realtime-path EncodedFrame into the packet queue."""
+        self._rc.update(len(ef.payload) * 8, ef.is_keyframe)
+        if self._rt.want_recon:
+            st = ef.state
+            h, w = self._cfg.source_height, self._cfg.source_width
+            self._last_recon = (
+                st.planes[0].recon[:h, :w].copy(),
+                st.planes[1].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
+                st.planes[2].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
+            )
+        self._packets.append(Packet(data=ef.payload, pts=ef.pts, dts=ef.pts,
+                                    is_keyframe=ef.is_keyframe,
+                                    qindex=ef.qindex))
+
     def _ra_drain(self, flush: bool) -> None:
         """Encode every complete (or flush-truncated) minigop in the buffer.
 
@@ -423,6 +472,9 @@ class Vp9Encoder:
         """Signal end of stream (EB_BUFFERFLAG_EOS analogue)."""
         if self._ra is not None and not self._eos:
             self._ra_drain(flush=True)
+        if self._rt is not None and not self._eos:
+            for ef in self._rt.flush():
+                self._emit_rt(ef)
         self._eos = True
 
     def get_packet(self, blocking: bool = False) -> Optional[Packet]:

@@ -13,10 +13,23 @@ Usage:  python -m tpu_vp9.app -i in.y4m -b out.ivf -q 40 -enc-mode 8
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# Platform override before any jax backend init (the axon sitecustomize
+# ignores JAX_PLATFORMS): TPU_VP9_JAX_PLATFORM=cpu forces CPU jax, e.g.
+# to exercise -rt paths when the TPU tunnel is wedged.
+_plat = os.environ.get("TPU_VP9_JAX_PLATFORM")
+if _plat:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except RuntimeError:
+        pass
 
 from tpu_vp9.api import Vp9Encoder
 from tpu_vp9.bitstream.ivf import (
@@ -71,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=1)
     p.add_argument("-tile-columns", dest="tile_columns", type=int,
                    default=-1)
+    p.add_argument("-rt", dest="tpu_realtime", type=int, default=-1,
+                   help="device-resident realtime loop: -1 auto, 0 off, "
+                        "1 force")
     return p
 
 
@@ -102,6 +118,7 @@ def config_from_args(args, width: int, height: int) -> EncoderConfig:
         level=args.level,
         speed_control=bool(args.speed_ctrl),
         tpu_tile_columns=args.tile_columns,
+        tpu_realtime=args.tpu_realtime,
     )
 
 

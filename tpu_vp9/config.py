@@ -94,6 +94,10 @@ class EncoderConfig:
     tpu_mesh_shape: tuple = ()  # e.g. (4, 2); empty = all local devices flat
     tpu_gop_parallel: int = 1  # GOPs encoded concurrently across hosts
     tpu_frame_parallel: int = 1  # frames batched per device step
+    # device-resident realtime EncDec loop for low-delay streams:
+    # -1 = auto (use when preset/structure/geometry allow and a TPU is
+    # reachable), 0 = never, 1 = force (even on CPU jax; testing)
+    tpu_realtime: int = -1
     # error_resilient=False (default): frame-context persistence + temporal
     # (prev-frame) MV candidates, ~5% smaller streams; True disables both
     # (each frame independently decodable after its references).

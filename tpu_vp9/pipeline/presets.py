@@ -46,10 +46,10 @@ _LADDER = {
     4: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.40, False, True,
                      True, part_depths=(BlockSize.BLOCK_16X16,
                                         BlockSize.BLOCK_64X64)),
-    5: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
+    5: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.38, False, True,
                      True),
     6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
-                     True),
+                     False),
     7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False, False,
                      False, True),
     8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True, False,

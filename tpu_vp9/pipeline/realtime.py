@@ -303,6 +303,19 @@ class RtSession:
         self._prev_mv32 = outs["m32"]["mv"].astype(jnp.int32)
         if g.strip:
             self._prev_mv16 = outs["m16"]["mv"].astype(jnp.int32)
+        # start device->host copies now so they overlap the previous
+        # frame's host serialization below (transfers are the largest
+        # host-visible cost at 1080p)
+        for zone in ("m32", "m16") if g.strip else ("m32",):
+            for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                      "lv_y", "lv_u", "lv_v"):
+                arr = outs[zone][k]
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+        if self.want_recon:
+            for k in ("rec_y", "rec_u", "rec_v"):
+                if hasattr(outs[k], "copy_to_host_async"):
+                    outs[k].copy_to_host_async()
         hdr = FrameHeader(
             width=self.w, height=self.h, is_keyframe=False,
             error_resilient=self.er, base_qindex=qidx,

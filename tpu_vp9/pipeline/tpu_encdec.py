@@ -146,12 +146,14 @@ def _clamp_mv_umv(mv_r, mv_c, mi_r, mi_c, bw: int, bh: int, ss: int,
 
 def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
                      n_out: int, ss: int, mi_rows: int, mi_cols: int,
-                     filters):
+                     filters, x_base=0):
     """Exact MC prediction for B blocks of one plane.
 
     ref_padded: (H+2B, W+2B) uint8 device plane.  pos_y/pos_x: (B,)
-    plane-space pixel positions.  mv in q3 luma units.  Returns
-    (B, n_out, n_out) uint8."""
+    plane-space pixel positions.  mv in q3 luma units.  x_base: global
+    plane column of ref_padded's first non-border column (tile-sharded
+    refs carry a BORDER halo; positions stay global so UMV clamping is
+    shard-invariant).  Returns (B, n_out, n_out) uint8."""
     mi_r = (pos_y << ss) // 8
     mi_c = (pos_x << ss) // 8
     row_q4, col_q4 = _clamp_mv_umv(mv_r_q3, mv_c_q3, mi_r, mi_c,
@@ -167,7 +169,7 @@ def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
     def slice_one(y, x):
         return jax.lax.dynamic_slice(ref_padded, (y, x), (win, win))
 
-    wins = jax.vmap(slice_one)(BORDER + y0 - 3, BORDER + x0 - 3)
+    wins = jax.vmap(slice_one)(BORDER + y0 - 3, BORDER + x0 - 3 - x_base)
     wins = wins.astype(jnp.int32)
     f = jnp.asarray(filters, jnp.int32)  # (16, 8)
     fx = f[spx]  # (B, 8)
@@ -184,9 +186,9 @@ def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
 
 
 def _mc_sad(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c, n, mi_rows,
-            mi_cols, filters):
+            mi_cols, filters, x_base=0):
     pred = mc_predict_batch(ref_padded, pos_y, pos_x, mv_r, mv_c, n, 0,
-                            mi_rows, mi_cols, filters)
+                            mi_rows, mi_cols, filters, x_base)
     return jnp.abs(pred.astype(jnp.int32)
                    - src_blocks.astype(jnp.int32)).sum(axis=(1, 2))
 
@@ -223,7 +225,7 @@ _DIRS = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1),
 
 
 def subpel_refine_batch(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c,
-                        sad0, n, mi_rows, mi_cols, filters):
+                        sad0, n, mi_rows, mi_cols, filters, x_base=0):
     """Two diamond rounds (half then quarter pel) around full-pel mv (q3)."""
     b = src_blocks.shape[0]
     for step in (4, 2):
@@ -231,7 +233,8 @@ def subpel_refine_batch(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c,
         cand_c = mv_c[None, :] + _DIRS[:, 1][:, None] * step
         sads = jax.vmap(
             lambda cr, cc: _mc_sad(ref_padded, src_blocks, pos_y, pos_x,
-                                   cr, cc, n, mi_rows, mi_cols, filters)
+                                   cr, cc, n, mi_rows, mi_cols, filters,
+                                   x_base)
         )(cand_r, cand_c)  # (8, B)
         all_sads = jnp.concatenate([sad0[None], sads], axis=0)  # (9, B)
         all_r = jnp.concatenate([mv_r[None], cand_r], axis=0)
@@ -416,34 +419,36 @@ def _lf_horz_gather(plane, ys: np.ndarray, cols: np.ndarray,
         seg.astype(jnp.uint8))
 
 
-def _lf_chain_vert(plane, y0, x, nrows: int, width_rows, thresh, limit,
-                   blimit):
-    """One SB-left-boundary vertical edge (dynamic position)."""
-    seg = jax.lax.dynamic_slice(plane, (y0, x - 8),
-                                (nrows, 16)).astype(jnp.int32)
-    p = [seg[:, 7 - k] for k in range(8)]
-    q = [seg[:, 8 + k] for k in range(8)]
+def _band_vert(bt, y0, nrows: int, width_rows, thresh, limit, blimit):
+    """Boundary vertical edges of every band at once.
+
+    bt: (H, nb, 16) int32 band tensor (band columns x_b-8..x_b+8).
+    y0: traced row start; width_rows: (nrows, 1) broadcastable."""
+    seg = jax.lax.dynamic_slice_in_dim(bt, y0, nrows, axis=0)
+    p = [seg[:, :, 7 - k] for k in range(8)]
+    q = [seg[:, :, 8 + k] for k in range(8)]
     po, qo = _lf_mixed(p, q, width_rows, thresh, limit, blimit)
     for k in range(7):
-        seg = seg.at[:, 7 - k].set(po[k])
-        seg = seg.at[:, 8 + k].set(qo[k])
-    return jax.lax.dynamic_update_slice(plane, seg.astype(jnp.uint8),
-                                        (y0, x - 8))
+        seg = seg.at[:, :, 7 - k].set(po[k])
+        seg = seg.at[:, :, 8 + k].set(qo[k])
+    return jax.lax.dynamic_update_slice_in_dim(bt, seg, y0, axis=0)
 
 
-def _lf_chain_horz(plane, y, x0, ncols: int, width_cols, thresh, limit,
-                   blimit):
-    """One horizontal edge segment at dynamic (y, x0), ncols columns."""
-    seg = jax.lax.dynamic_slice(plane, (y - 8, x0),
-                                (16, ncols)).astype(jnp.int32)
-    p = [seg[7 - k, :] for k in range(8)]
-    q = [seg[8 + k, :] for k in range(8)]
-    po, qo = _lf_mixed(p, q, width_cols, thresh, limit, blimit)
+def _band_horz(bt, yy, c0: int, width, thresh, limit, blimit):
+    """One horizontal edge row (at traced yy) on one 8-col band half.
+
+    c0: 0 = left half (cols x_b-8..x_b), 8 = right half (x_b..x_b+8).
+    width already carries the ok/alive gating (0 => identity, so the
+    clamped slice at yy=0 rewrites untouched pixels)."""
+    seg = jax.lax.dynamic_slice(
+        bt, (yy - 8, 0, c0), (16, bt.shape[1], 8))
+    p = [seg[7 - k] for k in range(8)]
+    q = [seg[8 + k] for k in range(8)]
+    po, qo = _lf_mixed(p, q, width, thresh, limit, blimit)
     for k in range(7):
-        seg = seg.at[7 - k, :].set(po[k])
-        seg = seg.at[8 + k, :].set(qo[k])
-    return jax.lax.dynamic_update_slice(plane, seg.astype(jnp.uint8),
-                                        (y - 8, x0))
+        seg = seg.at[7 - k].set(po[k])
+        seg = seg.at[8 + k].set(qo[k])
+    return jax.lax.dynamic_update_slice(bt, seg, (yy - 8, 0, c0))
 
 
 def _cols_away_from_boundaries(width_px: int, sb: int) -> np.ndarray:
@@ -519,52 +524,73 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
         u = _lf_horz_gather(u, ys_cs, cols_c, w8, thresh, lim, mblim)
         v = _lf_horz_gather(v, ys_cs, cols_c, w8, thresh, lim, mblim)
 
-    # ---- pass 3: SB-boundary chain (sequential raster scan) ----
+    # ---- pass 3: SB-boundary bands (parallel over bands, scan SB rows) ----
+    # The raster SB chain's remaining read/write sets all live inside
+    # disjoint 16px column bands centred on each *interior* SB-boundary
+    # column x_b: SB(r, c-1)'s right horizontal bands write cols
+    # x_b-8..x_b, SB(r, c)'s left vertical edge reads/writes x_b-8..x_b+8
+    # and its left horizontal bands x_b..x_b+8.  Bands are 64px apart
+    # (32 for chroma), hence disjoint, so every band runs in parallel;
+    # within a band the raster order collapses to a scan over SB rows:
+    #   h-left(y0), h-left(y0+32), vertical(y0..y0+64), h-right x2.
+    # Col masks are always full: width % 32 == 0 keeps every band >= 8px
+    # from the frame edge.
     n_sbr = (h_mi + 63) // 64
-    n_sbc = (w_mi + 63) // 64
-    steps = np.arange(n_sbr * n_sbc, dtype=np.int32)
-    rs = jnp.asarray(steps // n_sbc)
-    cs = jnp.asarray(steps % n_sbc)
-    rowi = jnp.arange(64)
-    rowi_c = jnp.arange(32)
-    off8 = jnp.arange(8)
+    xs_b = np.arange(64, w_mi, 64, dtype=np.int64)
+    xcs_b = np.arange(32, w_mi_c, 32, dtype=np.int64)
+    if xs_b.size == 0:
+        return y, u, v
+    rowi = jnp.arange(64)[:, None]
+    rowi_c = jnp.arange(32)[:, None]
 
-    def body(planes, sc):
-        yp, up, vp = planes
-        r, c = sc
-        y0, x = r * 64, c * 64
-        wy = jnp.where((y0 + rowi) < h_mi, w16, 0) * (c > 0)
-        yp = _lf_chain_vert(yp, y0, x, 64, wy, thresh, lim, mblim)
-        y0c, xc = r * 32, c * 32
+    bcols_y = xs_b[:, None] + np.arange(-8, 8)[None, :]  # (nb, 16)
+    bcols_c = xcs_b[:, None] + np.arange(-8, 8)[None, :]
+    bt_y = y[:, bcols_y].astype(jnp.int32)  # (H, nb, 16)
+    bt_u = u[:, bcols_c].astype(jnp.int32)
+    bt_v = v[:, bcols_c].astype(jnp.int32)
+
+    def row_step(carry, r):
+        bty, btu, btv = carry
+        y0 = r * 64
+        # luma: left horizontal halves, vertical, right horizontal halves
+        for dy in (0, 32):
+            yy = y0 + dy
+            ok = (yy > 0) & (yy < h_mi)
+            bty = _band_horz(bty, yy, 0, w16 * ok, thresh, lim, mblim)
+        wy = jnp.where((y0 + rowi) < h_mi, w16, 0)
+        bty = _band_vert(bty, y0, 64, wy, thresh, lim, mblim)
+        for dy in (0, 32):
+            yy = y0 + dy
+            ok = (yy > 0) & (yy < h_mi)
+            bty = _band_horz(bty, yy, 8, w16 * ok, thresh, lim, mblim)
+        # chroma (identical structure at half scale; strip rows are tx8)
+        y0c = r * 32
         strip_row = g.strip & ((y0c + rowi_c) >= strip_yc)
         wc = jnp.where((y0c + rowi_c) < h_mi_c,
-                       jnp.where(strip_row, w8, w16), 0) * (c > 0)
-        up = _lf_chain_vert(up, y0c, xc, 32, wc, thresh, lim, mblim)
-        vp = _lf_chain_vert(vp, y0c, xc, 32, wc, thresh, lim, mblim)
-        # horizontal edges on the column bands adjacent to *interior* SB
-        # boundaries only (bands at frame edges are pass-2's, not ours)
-        for rel in (0, 56):
-            xb = x + rel
-            gate = (c > 0) if rel == 0 else ((x + 64) < w_mi)
-            wcols = jnp.where((xb + off8) < w_mi, w16, 0) * gate
-            for dy in (0, 32):
-                yy = y0 + dy
-                ok = (yy > 0) & (yy < h_mi)
-                yp = _lf_chain_horz(yp, yy, xb, 8, wcols * ok, thresh,
-                                    lim, mblim)
-        for rel in (0, 24):
-            xbc = xc + rel
-            gate = (c > 0) if rel == 0 else ((xc + 32) < w_mi_c)
+                       jnp.where(strip_row, w8, w16), 0)
+
+        def chroma(btc):
+            b = btc
             for dy in (0, 16):
                 yyc = y0c + dy
                 ok = (yyc > 0) & (yyc < h_mi_c)
                 wv = jnp.where(g.strip & (yyc >= strip_yc), w8, w16)
-                wk = jnp.where((xbc + off8) < w_mi_c, wv, 0) * gate * ok
-                up = _lf_chain_horz(up, yyc, xbc, 8, wk, thresh, lim, mblim)
-                vp = _lf_chain_horz(vp, yyc, xbc, 8, wk, thresh, lim, mblim)
-        return (yp, up, vp), None
+                b = _band_horz(b, yyc, 0, wv * ok, thresh, lim, mblim)
+            b = _band_vert(b, y0c, 32, wc, thresh, lim, mblim)
+            for dy in (0, 16):
+                yyc = y0c + dy
+                ok = (yyc > 0) & (yyc < h_mi_c)
+                wv = jnp.where(g.strip & (yyc >= strip_yc), w8, w16)
+                b = _band_horz(b, yyc, 8, wv * ok, thresh, lim, mblim)
+            return b
 
-    (y, u, v), _ = jax.lax.scan(body, (y, u, v), (rs, cs))
+        return (bty, chroma(btu), chroma(btv)), None
+
+    (bt_y, bt_u, bt_v), _ = jax.lax.scan(
+        row_step, (bt_y, bt_u, bt_v), jnp.arange(n_sbr))
+    y = y.at[:, bcols_y].set(bt_y.astype(jnp.uint8))
+    u = u.at[:, bcols_c].set(bt_u.astype(jnp.uint8))
+    v = v.at[:, bcols_c].set(bt_v.astype(jnp.uint8))
     return y, u, v
 
 

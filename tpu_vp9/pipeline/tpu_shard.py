@@ -1,0 +1,284 @@
+"""Tile-column sharding of the device P-frame encode step.
+
+This is the TPU-native counterpart of the reference's EncDec segment
+grid (``EbEncDecSegments.c:1-132``): one frame's 32x32-block grid is
+split into column shards laid out over the ``tile`` axis of a device
+mesh, and a ``frame`` axis carries independent streams (the multi-
+channel / GOP-parallel dimension).  The heavy stages (ME window search,
+subpel refinement, MC, transform/recon) run shard-locally; reference
+planes are sharded by columns and each shard receives a BORDER-wide
+halo of its neighbours' columns via ``lax.ppermute`` (ring exchange
+over ICI), which is exactly the pixel set the single-chip step can
+reach (search centres are clamped to +-(BORDER - r - 8)).  RC
+statistics (distortion/rate) are ``psum``-reduced over the mesh, the
+role of the reference's rate-control feedback ports
+(``EbEncHandle.c:315-318``).
+
+Levels/MVs/eobs are bit-identical to the single-chip ``encode_zone``
+for any shard count (asserted by ``tests/test_multichip_encdec.py``):
+positions and UMV clamps stay in global coordinates, only the
+dynamic-slice base moves per shard (``x_base``).
+
+The loop filter crosses tile columns (VP9 applies it frame-wide after
+all tiles), so the filtered-reference production stays a full-frame
+pass: recon columns are all-gathered, filtered, and re-sharded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_vp9.bitstream import tables as T
+from tpu_vp9.pipeline.tpu_encdec import (
+    BORDER, Geom, _full_search, _mc_sad, _scatter_blocks, extend_borders_device,
+    loop_filter_device, make_geom, mc_predict_batch, subpel_refine_batch,
+    transform_recon,
+)
+
+SEARCH_R = 16
+
+
+def _shard_positions(geom: Geom, n_tiles: int, tile_idx):
+    """Global (pos_y, pos_x) of one column shard's 32-blocks."""
+    import jax.numpy as jnp
+
+    g = geom
+    cols_loc = g.cols32 // n_tiles
+    ys = (np.arange(g.rows32)[:, None] * 32
+          + np.zeros((1, cols_loc), np.int32)).reshape(-1)
+    xs_loc = (np.zeros((g.rows32, 1), np.int32)
+              + np.arange(cols_loc)[None, :] * 32).reshape(-1)
+    x0 = tile_idx * (cols_loc * 32)
+    return (jnp.asarray(ys, jnp.int32),
+            x0 + jnp.asarray(xs_loc, jnp.int32), g.rows32, cols_loc, x0)
+
+
+def _halo_exchange(ref_loc, axis_name: str, halo: int, n_shards: int):
+    """Attach `halo` neighbour columns on each side of a column shard.
+
+    Wide shards (local width >= halo): ring ppermute with both
+    neighbours — the ICI-optimal exchange.  Narrow shards (toy meshes):
+    all_gather + windowed take.  Frame edges replicate the boundary
+    column either way (libvpx extend_frame semantics, so the result
+    matches the global border-extended plane exactly)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = n_shards
+    idx = lax.axis_index(axis_name)
+    wl = ref_loc.shape[1]
+    if n == 1:
+        return jnp.pad(ref_loc, ((0, 0), (halo, halo)), mode="edge")
+    if wl >= halo:
+        right_edge = ref_loc[:, -halo:]
+        left_edge = ref_loc[:, :halo]
+        from_left = lax.ppermute(right_edge, axis_name,
+                                 [(i, i + 1) for i in range(n - 1)])
+        from_right = lax.ppermute(left_edge, axis_name,
+                                  [(i + 1, i) for i in range(n - 1)])
+        self_left = jnp.repeat(ref_loc[:, :1], halo, axis=1)
+        self_right = jnp.repeat(ref_loc[:, -1:], halo, axis=1)
+        left = jnp.where(idx == 0, self_left, from_left)
+        right = jnp.where(idx == n - 1, self_right, from_right)
+        return jnp.concatenate([left, ref_loc, right], axis=1)
+    full = lax.all_gather(ref_loc, axis_name, axis=1, tiled=True)
+    cols = jnp.clip(jnp.arange(-halo, wl + halo) + idx * wl, 0,
+                    full.shape[1] - 1)
+    return jnp.take(full, cols, axis=1)
+
+
+def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
+                       prev_mv, geom: Geom, n_tiles: int, tile_idx,
+                       x_base_y, x_base_c, dc_q, ac_q, lam, filters):
+    """Shard-local encode_zone (32-grid) against halo-extended refs.
+
+    ref_*_h: halo-extended local ref planes; x_base_y/x_base_c make
+    mc_predict_batch's global-coordinate slices land on local columns
+    (x_base = global_start - (BORDER - halo)).  Identical math to
+    tpu_encdec.encode_zone with x_base threaded through."""
+    import jax
+    import jax.numpy as jnp
+
+    g = geom
+    pos_y, pos_x, rows, cols_loc, _ = _shard_positions(g, n_tiles, tile_idx)
+    n = 32
+    src_blocks = src_y[: rows * n] \
+        .reshape(rows, n, cols_loc, n).transpose(0, 2, 1, 3) \
+        .reshape(-1, n, n)
+
+    r = SEARCH_R
+    ctr_r = jnp.clip(prev_mv[:, 0] // 8, -(BORDER - r - 8), BORDER - r - 8)
+    ctr_c = jnp.clip(prev_mv[:, 1] // 8, -(BORDER - r - 8), BORDER - r - 8)
+    win = n + 2 * r
+
+    def slice_region(yy, xx):
+        return jax.lax.dynamic_slice(ref_y_h, (yy, xx), (win, win))
+
+    regions = jax.vmap(slice_region)(
+        BORDER + pos_y - r + ctr_r,
+        BORDER + pos_x - r + ctr_c - x_base_y)
+    dy, dx, sad_f = _full_search(src_blocks, regions, n, r)
+    mv_r = (ctr_r + dy) * 8
+    mv_c = (ctr_c + dx) * 8
+    mv_r, mv_c, sad_new = subpel_refine_batch(
+        ref_y_h, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_f, n,
+        g.mi_rows, g.mi_cols, filters, x_base=x_base_y)
+    zero = jnp.zeros_like(mv_r)
+    sad_zero = _mc_sad(ref_y_h, src_blocks, pos_y, pos_x, zero, zero, n,
+                       g.mi_rows, g.mi_cols, filters, x_base=x_base_y)
+    take_zero = sad_zero + 2 * lam <= sad_new + 10 * lam
+    mv_r = jnp.where(take_zero, 0, mv_r)
+    mv_c = jnp.where(take_zero, 0, mv_c)
+
+    pred_y = mc_predict_batch(ref_y_h, pos_y, pos_x, mv_r, mv_c, n, 0,
+                              g.mi_rows, g.mi_cols, filters,
+                              x_base=x_base_y)
+    nc = n // 2
+    pos_yc, pos_xc = pos_y // 2, pos_x // 2
+    pred_u = mc_predict_batch(ref_u_h, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                              g.mi_rows, g.mi_cols, filters,
+                              x_base=x_base_c)
+    pred_v = mc_predict_batch(ref_v_h, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                              g.mi_rows, g.mi_cols, filters,
+                              x_base=x_base_c)
+    lv_y, eob_y, rec_y = transform_recon(src_blocks, pred_y, dc_q, ac_q, n)
+    src_ub = src_u[: rows * nc] \
+        .reshape(rows, nc, cols_loc, nc).transpose(0, 2, 1, 3) \
+        .reshape(-1, nc, nc)
+    src_vb = src_v[: rows * nc] \
+        .reshape(rows, nc, cols_loc, nc).transpose(0, 2, 1, 3) \
+        .reshape(-1, nc, nc)
+    lv_u, eob_u, rec_u = transform_recon(src_ub, pred_u, dc_q, ac_q, nc)
+    lv_v, eob_v, rec_v = transform_recon(src_vb, pred_v, dc_q, ac_q, nc)
+    skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
+    dist = ((rec_y.astype(jnp.int32) - src_blocks.astype(jnp.int32)) ** 2
+            ).sum()
+    rate = (lv_y != 0).sum() + (lv_u != 0).sum() + (lv_v != 0).sum()
+    return {
+        "mv": jnp.stack([mv_r, mv_c], axis=-1).astype(jnp.int16),
+        "skip": skip,
+        "eob_y": eob_y, "eob_u": eob_u, "eob_v": eob_v,
+        "lv_y": lv_y, "lv_u": lv_u, "lv_v": lv_v,
+        "rec_y": _scatter_blocks(rec_y, rows, cols_loc, n),
+        "rec_u": _scatter_blocks(rec_u, rows, cols_loc, nc),
+        "rec_v": _scatter_blocks(rec_v, rows, cols_loc, nc),
+        "dist": dist, "rate": rate,
+    }
+
+
+def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
+    """Jitted multi-chip P-frame step over mesh axes ('frame', 'tile').
+
+    Input/output layout (leading axis = frames, sharded over 'frame'):
+      src planes   (F, pad_h, pad_w) sharded P('frame', None, 'tile')
+      ref planes   (F, pad_h, pad_w) sharded the same (no borders; the
+                   halo ring-exchange happens inside)
+      prev_mv      (F, n_blocks32, 2) sharded P('frame', 'tile')
+    Returns (outs, new refs) where outs' per-block arrays are sharded
+    P('frame', 'tile') in raster order *within each shard*.
+    new refs are the loop-filtered recon planes (not border-extended:
+    the halo exchange re-derives borders each step).
+
+    Requires geom.strip == False and geom.cols32 % n_tiles == 0.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if geom.strip:
+        raise ValueError("sharded step requires mi_rows % 4 != 2")
+    if geom.cols32 % n_tiles:
+        raise ValueError("cols32 must divide n_tiles")
+    if geom.pad_w != geom.width:
+        raise ValueError("sharded step requires width % 64 == 0")
+    g = geom
+    filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
+
+    def one_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
+                  dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+        from jax import lax
+
+        tile_idx = lax.axis_index("tile")
+        x0 = tile_idx * (g.pad_w // n_tiles)
+        # halo exchange of the reachable-pixel region over the tile
+        # ring (ICI); chroma displacements are half the luma clamp
+        halo_y, halo_c = BORDER, BORDER // 2
+        ry = _halo_exchange(ref_y, "tile", halo_y, n_tiles)
+        ru = _halo_exchange(ref_u, "tile", halo_c, n_tiles)
+        rv = _halo_exchange(ref_v, "tile", halo_c, n_tiles)
+        ry = jnp.pad(ry, ((BORDER, BORDER), (0, 0)), mode="edge")
+        ru = jnp.pad(ru, ((BORDER, BORDER), (0, 0)), mode="edge")
+        rv = jnp.pad(rv, ((BORDER, BORDER), (0, 0)), mode="edge")
+        x_base_y = x0 + (BORDER - halo_y)
+        x_base_c = x0 // 2 + (BORDER - halo_c)
+        out = _encode_zone_shard(src_y, src_u, src_v, ry, ru, rv,
+                                 prev_mv, g, n_tiles, tile_idx,
+                                 x_base_y, x_base_c,
+                                 dc_q, ac_q, lam, filters)
+        # per-frame RC stats ride the mesh collectives (the reference's
+        # rate_control_tasks fan-in, EbEncHandle.c:315-318)
+        dist = lax.psum(out.pop("dist"), "tile")
+        rate = lax.psum(out.pop("rate"), "tile")
+        # full-frame loop filter on gathered recon (LF crosses tiles)
+        rec_y = lax.all_gather(out["rec_y"], "tile", axis=1, tiled=True)
+        rec_u = lax.all_gather(out["rec_u"], "tile", axis=1, tiled=True)
+        rec_v = lax.all_gather(out["rec_v"], "tile", axis=1, tiled=True)
+        if g.pad_w > g.width:
+            extra = g.pad_w - g.width
+            rec_y = jnp.pad(rec_y, ((0, 0), (0, extra)), mode="edge")
+            rec_u = jnp.pad(rec_u, ((0, 0), (0, extra // 2)), mode="edge")
+            rec_v = jnp.pad(rec_v, ((0, 0), (0, extra // 2)), mode="edge")
+        if g.pad_h > rec_y.shape[0]:
+            rec_y = jnp.pad(rec_y, ((0, g.pad_h - rec_y.shape[0]), (0, 0)),
+                            mode="edge")
+            rec_u = jnp.pad(rec_u,
+                            ((0, g.pad_h // 2 - rec_u.shape[0]), (0, 0)),
+                            mode="edge")
+            rec_v = jnp.pad(rec_v,
+                            ((0, g.pad_h // 2 - rec_v.shape[0]), (0, 0)),
+                            mode="edge")
+        rec_y, rec_u, rec_v = loop_filter_device(rec_y, rec_u, rec_v, g,
+                                                 lf_lvl, lf_lim, lf_mblim)
+        # re-shard the filtered reference: this shard's columns
+        wl = g.pad_w // n_tiles
+        new_ry = lax.dynamic_slice_in_dim(rec_y, tile_idx * wl, wl, axis=1)
+        new_ru = lax.dynamic_slice_in_dim(rec_u, tile_idx * (wl // 2),
+                                          wl // 2, axis=1)
+        new_rv = lax.dynamic_slice_in_dim(rec_v, tile_idx * (wl // 2),
+                                          wl // 2, axis=1)
+        out["dist"] = dist
+        out["rate"] = rate
+        return out, (new_ry, new_ru, new_rv)
+
+    def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
+             dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+        # the frame mesh axis shards the leading dim; each frame shard
+        # loops its local frames with lax.map
+        def body(sy, su, sv, ry, ru, rv, pm, *scal):
+            def per_frame(args):
+                return one_frame(*args, *scal)
+
+            return jax.lax.map(per_frame, (sy, su, sv, ry, ru, rv, pm))
+
+        shp = P("frame", None, "tile")
+        shc = P("frame", None, "tile")
+        shb = P("frame", "tile")
+        rep = P()
+        out_block = {k: shb for k in
+                     ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                      "lv_y", "lv_u", "lv_v")}
+        out_block["rec_y"] = shp
+        out_block["rec_u"] = shc
+        out_block["rec_v"] = shc
+        out_block["dist"] = P("frame")
+        out_block["rate"] = P("frame")
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(shp, shc, shc, shp, shc, shc, shb,
+                      rep, rep, rep, rep, rep, rep),
+            out_specs=(out_block, (shp, shc, shc)),
+        )(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
+          dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim)
+
+    return jax.jit(step, donate_argnums=(3, 4, 5))
