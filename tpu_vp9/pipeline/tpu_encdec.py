@@ -223,6 +223,10 @@ def _full_search(src_blocks, regions, n: int, r: int):
 _DIRS = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1),
                   (0, 1), (1, -1), (1, 0), (1, 1)], np.int32)
 
+# candidate rate proxies in lambda units (zero, new-base, new-per-log2mvd,
+# prev/temporal, spatial left/above); calibrated on the fuzz clips
+CAND_RATE_PROXY = (2.0, 10.0, 2.0, 6.0, 4.0)
+
 
 def subpel_refine_batch(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c,
                         sad0, n, mi_rows, mi_cols, filters, x_base=0):
@@ -594,6 +598,55 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
     return y, u, v
 
 
+def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
+                      sad_new, prev_mv, rows: int, cols: int, n: int,
+                      geom: Geom, lam, filters, x_base=0,
+                      left_edge=None):
+    """Pick the best MV among {ZERO, NEW, PREV, LEFT-new, ABOVE-new}.
+
+    Cost = exact-MC SAD + lam * rate proxy.  LEFT/ABOVE are the
+    neighbours' NEW (search) MVs from this same pass — a stand-in for
+    the normative NEAREST/NEAR the host classifies afterwards, biasing
+    the field toward coherent (cheap-to-code) choices.  left_edge:
+    (rows, 2) NEW MVs of the column left of this (column-sharded)
+    zone; None = frame edge (zeros).  Returns (mv_r, mv_c, sad_zero)."""
+    g = geom
+    zero = jnp.zeros_like(new_r)
+    nr2 = new_r.reshape(rows, cols)
+    nc2 = new_c.reshape(rows, cols)
+    if left_edge is None:
+        edge_r = jnp.zeros((rows, 1), new_r.dtype)
+        edge_c = jnp.zeros((rows, 1), new_c.dtype)
+    else:
+        edge_r = left_edge[:, 0:1].astype(new_r.dtype)
+        edge_c = left_edge[:, 1:2].astype(new_c.dtype)
+    left_r = jnp.concatenate([edge_r, nr2[:, :-1]], axis=1).reshape(-1)
+    left_c = jnp.concatenate([edge_c, nc2[:, :-1]], axis=1).reshape(-1)
+    above_r = jnp.pad(nr2[:-1, :], ((1, 0), (0, 0))).reshape(-1)
+    above_c = jnp.pad(nc2[:-1, :], ((1, 0), (0, 0))).reshape(-1)
+    prev_r = prev_mv[:, 0]
+    prev_c = prev_mv[:, 1]
+    cand_r = jnp.stack([zero, new_r, prev_r, left_r, above_r])  # (5, B)
+    cand_c = jnp.stack([zero, new_c, prev_c, left_c, above_c])
+    sads = jax.vmap(
+        lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr, cc,
+                               n, g.mi_rows, g.mi_cols, filters, x_base)
+    )(cand_r, cand_c)  # (5, B)
+    # mvd-bit proxy for NEW vs the left predictor (nmv sign+class+bits)
+    mvd = (jnp.abs(new_r - left_r) + jnp.abs(new_c - left_c)).astype(
+        jnp.float32)
+    rz, rn0, rnb, rp, rs = CAND_RATE_PROXY
+    new_bits = rn0 + rnb * jnp.log2(1.0 + mvd)
+    rate = jnp.stack([rz * jnp.ones_like(mvd), new_bits,
+                      rp * jnp.ones_like(mvd),
+                      rs * jnp.ones_like(mvd),
+                      rs * jnp.ones_like(mvd)])  # (5, B)
+    costs = sads.astype(jnp.float32) + lam.astype(jnp.float32) * rate
+    best = jnp.argmin(costs, axis=0)
+    bidx = (best, jnp.arange(src_blocks.shape[0]))
+    return cand_r[bidx], cand_c[bidx], sads[0]
+
+
 # ---------------------------------------------------------------------------
 # Zone encode (shared by the 32-grid and the 16-strip)
 # ---------------------------------------------------------------------------
@@ -657,13 +710,15 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     mv_r, mv_c, sad_new = subpel_refine_batch(
         ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_f, n,
         g.mi_rows, g.mi_cols, filters)
-    # --- ZERO vs NEW decision (fast-loop cost, EbEncDecProcess.c:180) ---
-    zero = jnp.zeros_like(mv_r)
-    sad_zero = _mc_sad(ref_y, src_blocks, pos_y, pos_x, zero, zero, n,
-                       g.mi_rows, g.mi_cols, filters)
-    take_zero = sad_zero + 2 * lam <= sad_new + 10 * lam
-    mv_r = jnp.where(take_zero, 0, mv_r)
-    mv_c = jnp.where(take_zero, 0, mv_c)
+    # --- candidate decision (fast-loop cost, EbEncDecProcess.c:180;
+    # candidate injection EbModeDecision.c:185-457): ZERO, NEW, the
+    # temporal (prev-frame) MV, and the left/above blocks' NEW MVs.
+    # Spatial/temporal candidates usually classify as NEAREST/NEAR at
+    # serialization (no mvd bits), so they carry lower rate proxies;
+    # NEW additionally pays ~log2 mvd bits against the left predictor.
+    mv_r, mv_c, sad_zero = _candidate_decide(
+        ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_new, prev_mv,
+        rows, cols, n, g, lam, filters)
 
     # --- MC prediction (Y + chroma) and transform/recon ---
     pred_y = mc_predict_batch(ref_y, pos_y, pos_x, mv_r, mv_c, n, 0,

@@ -30,8 +30,8 @@ import numpy as np
 
 from tpu_vp9.bitstream import tables as T
 from tpu_vp9.pipeline.tpu_encdec import (
-    BORDER, Geom, _full_search, _mc_sad, _scatter_blocks, extend_borders_device,
-    loop_filter_device, make_geom, mc_predict_batch, subpel_refine_batch,
+    BORDER, Geom, _candidate_decide, _full_search, _scatter_blocks,
+    loop_filter_device, mc_predict_batch, subpel_refine_batch,
     transform_recon,
 )
 
@@ -123,12 +123,22 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
     mv_r, mv_c, sad_new = subpel_refine_batch(
         ref_y_h, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_f, n,
         g.mi_rows, g.mi_cols, filters, x_base=x_base_y)
-    zero = jnp.zeros_like(mv_r)
-    sad_zero = _mc_sad(ref_y_h, src_blocks, pos_y, pos_x, zero, zero, n,
-                       g.mi_rows, g.mi_cols, filters, x_base=x_base_y)
-    take_zero = sad_zero + 2 * lam <= sad_new + 10 * lam
-    mv_r = jnp.where(take_zero, 0, mv_r)
-    mv_c = jnp.where(take_zero, 0, mv_c)
+    # candidate decision needs the previous shard's boundary-column NEW
+    # MVs (single small ppermute; frame edge gets zeros, matching the
+    # unsharded zero-pad)
+    from jax import lax
+
+    new2 = jnp.stack([mv_r, mv_c], axis=-1).reshape(rows, cols_loc, 2)
+    if n_tiles > 1:
+        edge = lax.ppermute(new2[:, -1], "tile",
+                            [(i, i + 1) for i in range(n_tiles - 1)])
+        edge = jnp.where(tile_idx == 0, jnp.zeros_like(edge), edge)
+    else:
+        edge = jnp.zeros_like(new2[:, -1])
+    mv_r, mv_c, sad_zero = _candidate_decide(
+        ref_y_h, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_new, prev_mv,
+        rows, cols_loc, n, g, lam, filters, x_base=x_base_y,
+        left_edge=edge)
 
     pred_y = mc_predict_batch(ref_y_h, pos_y, pos_x, mv_r, mv_c, n, 0,
                               g.mi_rows, g.mi_cols, filters,
