@@ -397,8 +397,8 @@ static void lf_horz_seg(uint8_t* plane, int stride, int y, int x0, int ncols,
 // (n_rows_steps, n_col_steps, 5).  mi coordinates/step in plane space.
 void lf_plane(uint8_t* plane, int stride, const int32_t* dec,
               int n_row_steps, int n_col_steps, int sb_span,
-              int px_per_step, const int32_t* lim_lut,
-              const int32_t* mblim_lut) {
+              int px_per_step, int plane_h, int plane_w,
+              const int32_t* lim_lut, const int32_t* mblim_lut) {
     // process per SB in raster order: vert edges then horz edges
     for (int sb_r = 0; sb_r < n_row_steps; sb_r += sb_span) {
         for (int sb_c = 0; sb_c < n_col_steps; sb_c += sb_span) {
@@ -413,11 +413,15 @@ void lf_plane(uint8_t* plane, int stride, const int32_t* dec,
                     int lvl = d[0], vw = d[1], vint = d[2];
                     if (!lvl) continue;
                     int y0 = ri * px_per_step;
+                    // odd mi dims: the last step row holds a single mi
+                    // (half a step) -- clamp to the mi-aligned plane
+                    int nrows = plane_h - y0 < px_per_step ? plane_h - y0
+                                                           : px_per_step;
                     if (vw && x > 0)
-                        lf_vert_seg(plane, stride, x, y0, px_per_step, vw,
+                        lf_vert_seg(plane, stride, x, y0, nrows, vw,
                                     lvl, lim_lut[lvl], mblim_lut[lvl]);
                     if (vint)
-                        lf_vert_seg(plane, stride, x + 4, y0, px_per_step, 4,
+                        lf_vert_seg(plane, stride, x + 4, y0, nrows, 4,
                                     lvl, lim_lut[lvl], mblim_lut[lvl]);
                 }
             }
@@ -428,11 +432,13 @@ void lf_plane(uint8_t* plane, int stride, const int32_t* dec,
                     int lvl = d[0], hw = d[3], hint = d[4];
                     if (!lvl) continue;
                     int x0 = ci * px_per_step;
+                    int ncols = plane_w - x0 < px_per_step ? plane_w - x0
+                                                           : px_per_step;
                     if (hw && y > 0)
-                        lf_horz_seg(plane, stride, y, x0, px_per_step, hw,
+                        lf_horz_seg(plane, stride, y, x0, ncols, hw,
                                     lvl, lim_lut[lvl], mblim_lut[lvl]);
                     if (hint)
-                        lf_horz_seg(plane, stride, y + 4, x0, px_per_step, 4,
+                        lf_horz_seg(plane, stride, y + 4, x0, ncols, 4,
                                     lvl, lim_lut[lvl], mblim_lut[lvl]);
                 }
             }

@@ -239,3 +239,140 @@ def test_public_api_routes_through_rt():
     assert len(dec) == 5
     for i, (y, _, _, _) in enumerate(dec):
         assert psnr(y, frames[i].y) > 30
+
+
+@pytest.mark.parametrize("dims", [(128, 128), (192, 120)])
+def test_device_lf_split_matches_host_oracle(dims):
+    """Mixed 32/16 grids: device LF with a split32 mask == host oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_vp9.bitstream.tables import BlockSize, TxSize
+    from tpu_vp9.codec import modeinfo as MI
+    from tpu_vp9.ops.loopfilter import loop_filter_frame, sharpness_limits
+    from tpu_vp9.pipeline.tpu_encdec import loop_filter_device, make_geom
+
+    w, h = dims
+    g = make_geom(w, h)
+    assert not g.strip
+    rng = np.random.default_rng(hash(dims) % 2**31)
+    split = rng.integers(0, 2, (g.rows32, g.cols32)).astype(np.int32)
+    mig = MI.ModeInfoGrid(g.mi_rows, g.mi_cols)
+    for br in range(g.rows32):
+        for bc in range(g.cols32):
+            r0, c0 = br * 4, bc * 4
+            if split[br, bc]:
+                for dr in (0, 2):
+                    for dc in (0, 2):
+                        if r0 + dr >= g.mi_rows or c0 + dc >= g.mi_cols:
+                            continue
+                        mi = MI.ModeInfo(
+                            bsize=BlockSize.BLOCK_16X16,
+                            tx_size=TxSize.TX_16X16,
+                            skip=bool(rng.integers(0, 2)), is_inter=True,
+                            ref_frame=(1, -1), mv=((0, 0), (0, 0)),
+                            inter_mode=int(rng.integers(0, 4)))
+                        mig.set_block(r0 + dr, c0 + dc,
+                                      BlockSize.BLOCK_16X16, mi)
+            else:
+                mi = MI.ModeInfo(bsize=BlockSize.BLOCK_32X32,
+                                 tx_size=TxSize.TX_32X32,
+                                 skip=bool(rng.integers(0, 2)),
+                                 is_inter=True, ref_frame=(1, -1),
+                                 mv=((0, 0), (0, 0)),
+                                 inter_mode=int(rng.integers(0, 4)))
+                mig.set_block(r0, c0, BlockSize.BLOCK_32X32, mi)
+
+    def smooth(hh, ww):
+        base = rng.integers(0, 256, (hh // 8 + 2, ww // 8 + 2)).astype(float)
+        up = np.kron(base, np.ones((8, 8)))[:hh, :ww]
+        return np.ascontiguousarray(
+            np.clip(up + rng.normal(0, 2, (hh, ww)), 0, 255), np.uint8)
+
+    planes = [smooth(g.h_mi, g.w_mi), smooth(g.h_mi // 2, g.w_mi // 2),
+              smooth(g.h_mi // 2, g.w_mi // 2)]
+    lim_t, mblim_t = sharpness_limits(0)
+    for lvl in (13, 37):
+        host = [p.copy() for p in planes]
+        loop_filter_frame(host, mig, lvl, 0, (1, 0, -1, -1), (0, 0), True)
+        dev = [jnp.asarray(np.pad(planes[0],
+                                  ((0, g.pad_h - g.h_mi),
+                                   (0, g.pad_w - g.w_mi)), mode="edge")),
+               jnp.asarray(np.pad(planes[1],
+                                  ((0, g.pad_h // 2 - g.h_mi // 2),
+                                   (0, g.pad_w // 2 - g.w_mi // 2)),
+                                  mode="edge")),
+               jnp.asarray(np.pad(planes[2],
+                                  ((0, g.pad_h // 2 - g.h_mi // 2),
+                                   (0, g.pad_w // 2 - g.w_mi // 2)),
+                                  mode="edge"))]
+        fn = jax.jit(lambda a, b, c, l, li, mb, sp: loop_filter_device(
+            a, b, c, g, l, li, mb, split32=sp))
+        oy, ou, ov = fn(dev[0], dev[1], dev[2],
+                        jnp.asarray(lvl, jnp.int32),
+                        jnp.asarray(int(lim_t[lvl]), jnp.int32),
+                        jnp.asarray(int(mblim_t[lvl]), jnp.int32),
+                        jnp.asarray(split))
+        np.testing.assert_array_equal(np.asarray(oy)[: g.h_mi, : g.w_mi],
+                                      host[0], err_msg=f"Y lvl={lvl}")
+        np.testing.assert_array_equal(
+            np.asarray(ou)[: g.h_mi // 2, : g.w_mi // 2], host[1],
+            err_msg=f"U lvl={lvl}")
+        np.testing.assert_array_equal(
+            np.asarray(ov)[: g.h_mi // 2, : g.w_mi // 2], host[2],
+            err_msg=f"V lvl={lvl}")
+
+
+def test_rt_split16_roundtrip_and_gain():
+    # 32-vs-16 partition decision: streams stay bit-exact under both
+    # decoders and beat the uniform grid on rate AND distortion on
+    # motion-complex content
+    from tools.libvpx_oracle import LibvpxDecoder, available
+
+    rng = np.random.default_rng(0)
+    w, h = 192, 128
+    bg = rng.integers(40, 220, (h * 2, w * 2)).astype(np.uint8)
+    bg = (bg[::2, ::2] // 2 + bg[1::2, 1::2] // 2)
+    objs = [(rng.integers(0, h - 24), rng.integers(0, w - 24),
+             rng.integers(40, 220, (24, 24)).astype(np.uint8))
+            for _ in range(6)]
+    from tpu_vp9.utils.yuv import Frame420
+
+    frames = []
+    for t in range(5):
+        y = np.roll(bg, t * 2, axis=1).copy()
+        for k, (oy, ox, tex) in enumerate(objs):
+            dy = (oy + t * (k % 3 + 1)) % (h - 24)
+            dx = (ox + t * ((k + 1) % 4)) % (w - 24)
+            y[dy:dy + 24, dx:dx + 24] = tex
+        frames.append(Frame420(y=y,
+                               u=np.full((h // 2, w // 2), 128, np.uint8),
+                               v=np.full((h // 2, w // 2), 128, np.uint8)))
+
+    enc_u = encode_stream_rt(frames, qindex=140, split16=False)
+    enc_s = encode_stream_rt(frames, qindex=140, split16=True)
+    # self-decoder bit-exact
+    buf = io.BytesIO()
+    write_ivf_header(buf, w, h, 30, 1)
+    for i, ef in enumerate(enc_s):
+        write_ivf_frame(buf, ef.payload, i)
+    patch_ivf_frame_count(buf, len(enc_s))
+    buf.seek(0)
+    for ef, (y, u, v, _) in zip(enc_s, decode_ivf(buf)):
+        np.testing.assert_array_equal(y, ef.state.planes[0].recon[:h, :w])
+    if available():
+        dec = LibvpxDecoder()
+        for ef in enc_s:
+            (y, u, v), = dec.decode(ef.payload)
+            np.testing.assert_array_equal(
+                y, ef.state.planes[0].recon[:h, :w])
+    b_u = sum(len(e.payload) for e in enc_u if not e.is_keyframe)
+    b_s = sum(len(e.payload) for e in enc_s if not e.is_keyframe)
+
+    def dsum(enc):
+        return sum(np.mean((ef.state.planes[0].recon[:h, :w].astype(float)
+                            - fr.y.astype(float)) ** 2)
+                   for ef, fr in zip(enc, frames) if not ef.is_keyframe)
+
+    assert b_s < b_u * 0.9, (b_s, b_u)
+    assert dsum(enc_s) <= dsum(enc_u) * 1.02

@@ -153,7 +153,10 @@ class Vp9Encoder:
                     error_resilient=cfg.error_resilient,
                     frame_parallel_decoding=cfg.frame_parallel_decoding,
                     want_recon=cfg.recon_file is not None,
-                    loop_filter=cfg.loop_filter)
+                    loop_filter=cfg.loop_filter,
+                    # M8 runs the 32-vs-16 partition decision; M9 keeps
+                    # the uniform grid (speed ladder)
+                    split16=int(cfg.enc_mode) <= 8)
             except ValueError:
                 self._rt = None  # unsupported geometry: host fallback
         self._initialized = True

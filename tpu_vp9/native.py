@@ -81,8 +81,8 @@ def get_lib():
     lib.lf_plane.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32)]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.subpel_sad.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -254,7 +254,8 @@ def native_lf_plane(plane_view, dec, sb_span: int, px_per_step: int,
         plane_view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         plane_view.strides[0],
         dec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        dec.shape[0], dec.shape[1], sb_span, px_per_step, limp, mblimp)
+        dec.shape[0], dec.shape[1], sb_span, px_per_step,
+        plane_view.shape[0], plane_view.shape[1], limp, mblimp)
     return True
 
 

@@ -459,7 +459,9 @@ def loop_filter_frame(planes, mig, filter_level: int, sharpness: int = 0,
 
 
 def _apply_vert_mixed(plane, x: int, y0: int, widths, lvls, lim, mblim):
-    n = widths.size
+    # odd mi dims: the last step row holds a single mi (half a step)
+    n = min(widths.size, plane.shape[0] - y0)
+    widths, lvls = widths[:n], lvls[:n]
     taps = 8 if (widths >= 16).any() else 4
     p = [plane[y0 : y0 + n, x - 1 - k].astype(np.int32) for k in range(taps)]
     q = [plane[y0 : y0 + n, x + k].astype(np.int32) for k in range(taps)]
@@ -471,7 +473,8 @@ def _apply_vert_mixed(plane, x: int, y0: int, widths, lvls, lim, mblim):
 
 
 def _apply_horz_mixed(plane, y: int, x0: int, widths, lvls, lim, mblim):
-    n = widths.size
+    n = min(widths.size, plane.shape[1] - x0)
+    widths, lvls = widths[:n], lvls[:n]
     taps = 8 if (widths >= 16).any() else 4
     p = [plane[y - 1 - k, x0 : x0 + n].astype(np.int32) for k in range(taps)]
     q = [plane[y + k, x0 : x0 + n].astype(np.int32) for k in range(taps)]

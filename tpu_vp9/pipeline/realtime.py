@@ -34,12 +34,60 @@ from tpu_vp9.pipeline.tpu_encdec import (
 LAST = int(RefFrame.LAST)
 
 
-def _leaf_grid_index(geom: Geom, mi_row: int, mi_col: int, bsize):
+def _leaf_grid_index(geom: Geom, mi_row: int, mi_col: int, bsize,
+                     split_mode: bool = False):
     """Map a leaf to (zone, flat block index) in the device output."""
     if bsize == BlockSize.BLOCK_32X32:
         return "m32", (mi_row // 4) * geom.cols32 + (mi_col // 4)
     assert bsize == BlockSize.BLOCK_16X16
+    if split_mode:
+        return "m16f", (mi_row // 2) * (geom.cols32 * 2) + (mi_col // 2)
     return "m16", mi_col // 2
+
+
+def walk_partition_split(mi_rows: int, mi_cols: int, split32):
+    """Decode-order events for the device's mixed 32/16 partitioning.
+
+    Mirrors intra_frame.walk_partition_fixed's node semantics; at the
+    32 level the partition follows split32[(mi_row//4, mi_col//4)].
+    split32 must be 0 wherever a split child would need forced edge
+    descent (pframe_step zeroes the overhang row)."""
+    from tpu_vp9.bitstream.tables import Partition
+
+    events = []
+
+    def node(mi_row, mi_col, bsize):
+        if mi_row >= mi_rows or mi_col >= mi_cols:
+            return
+        has_rows, has_cols = MI.partition_rule(
+            bsize, mi_row, mi_col, mi_rows, mi_cols)
+        bw = 1 << MI.MI_WIDTH_LOG2[bsize]
+        if bsize == BlockSize.BLOCK_64X64:
+            part = Partition.SPLIT
+        elif bsize == BlockSize.BLOCK_32X32 and has_rows and has_cols:
+            part = (Partition.SPLIT
+                    if split32[mi_row // 4, mi_col // 4] else
+                    Partition.NONE)
+        elif has_rows and has_cols:
+            part = Partition.NONE
+        else:
+            part = Partition.SPLIT  # forced descent at edges
+        events.append(("part", mi_row, mi_col, bsize, part))
+        if part == Partition.NONE:
+            events.append(("leaf", mi_row, mi_col, bsize, None))
+        else:
+            sub = T.SUBSIZE[(Partition.SPLIT, bsize)]
+            half = bw >> 1
+            node(mi_row, mi_col, sub)
+            node(mi_row, mi_col + half, sub)
+            node(mi_row + half, mi_col, sub)
+            node(mi_row + half, mi_col + half, sub)
+
+    events.append(("tile", 0, mi_cols, None, None))
+    for sb_r in range(0, mi_rows, 8):
+        for sb_c in range(0, mi_cols, 8):
+            node(sb_r, sb_c, BlockSize.BLOCK_64X64)
+    return events
 
 
 def classify_and_fill_state(frame, geom: Geom, host_out: dict,
@@ -56,8 +104,12 @@ def classify_and_fill_state(frame, geom: Geom, host_out: dict,
     """
     g = geom
     st = make_frame_state(frame, g.mi_rows, g.mi_cols)
-    events = walk_partition_fixed(g.mi_rows, g.mi_cols,
-                                  BlockSize.BLOCK_32X32, 0)
+    split = host_out.get("split32")
+    if split is not None:
+        events = walk_partition_split(g.mi_rows, g.mi_cols, split)
+    else:
+        events = walk_partition_fixed(g.mi_rows, g.mi_cols,
+                                      BlockSize.BLOCK_32X32, 0)
     for ev, mi_row, mi_col, bsize, _ in events:
         if ev == "tile":
             st.tile_mi_start = mi_row
@@ -65,7 +117,8 @@ def classify_and_fill_state(frame, geom: Geom, host_out: dict,
             continue
         if ev != "leaf":
             continue
-        zone, bi = _leaf_grid_index(g, mi_row, mi_col, bsize)
+        zone, bi = _leaf_grid_index(g, mi_row, mi_col, bsize,
+                                    split_mode=split is not None)
         z = host_out[zone]
         mv = (int(z["mv"][bi, 0]), int(z["mv"][bi, 1]))
         skip = bool(z["skip"][bi])
@@ -122,7 +175,13 @@ def _upload_refs(recon_planes, geom: Geom):
 def _device_out_to_host(outs, geom: Geom, want_recon: bool):
     """Materialize the per-frame device outputs needed by the host."""
     host = {}
-    for zone in ("m32", "m16") if geom.strip else ("m32",):
+    zones = ["m32"]
+    if geom.strip:
+        zones.append("m16")
+    if "m16f" in outs:
+        zones.append("m16f")
+        host["split32"] = np.asarray(outs["split32"])
+    for zone in zones:
         z = outs[zone]
         host[zone] = {k: np.asarray(z[k]) for k in
                       ("mv", "skip", "eob_y", "eob_u", "eob_v",
@@ -151,7 +210,8 @@ class RtSession:
     def __init__(self, width: int, height: int, *, intra_period: int = -1,
                  rc=None, error_resilient: bool = False,
                  frame_parallel_decoding: bool = False,
-                 want_recon: bool = True, loop_filter: bool = True):
+                 want_recon: bool = True, loop_filter: bool = True,
+                 split16: bool = False):
         import jax.numpy as jnp
 
         from tpu_vp9.ops.loopfilter import sharpness_limits
@@ -164,13 +224,19 @@ class RtSession:
         self.fpdm = error_resilient or frame_parallel_decoding
         self.want_recon = want_recon
         self.loop_filter = loop_filter
-        self._step = make_pframe_step(self.g)
+        # 32-vs-16 partition decision needs a strip-free geometry
+        self.split16 = split16 and not self.g.strip
+        self._step = make_pframe_step(self.g, split16=self.split16)
         self._lim_tbl, self._mblim_tbl = sharpness_limits(0)
         self._fc = [T.default_frame_context() for _ in range(4)]
         self._refs = None
         self._prev_mv32 = jnp.zeros((self.g.n_blocks32, 2), jnp.int32)
-        self._prev_mv16 = jnp.zeros(
-            (self.g.cols16 if self.g.strip else 1, 2), jnp.int32)
+        if self.split16:
+            n16 = self.g.rows32 * 2 * self.g.cols32 * 2
+            self._prev_mv16 = jnp.zeros((n16, 2), jnp.int32)
+        else:
+            self._prev_mv16 = jnp.zeros(
+                (self.g.cols16 if self.g.strip else 1, 2), jnp.int32)
         self._pending = None  # (frame, idx, hdr, device outs, qidx)
         self._prev_snap = None  # mv snapshot of the last serialized frame
         self._last_was_inter = False
@@ -303,10 +369,19 @@ class RtSession:
         self._prev_mv32 = outs["m32"]["mv"].astype(jnp.int32)
         if g.strip:
             self._prev_mv16 = outs["m16"]["mv"].astype(jnp.int32)
+        elif self.split16:
+            self._prev_mv16 = outs["m16f"]["mv"].astype(jnp.int32)
         # start device->host copies now so they overlap the previous
         # frame's host serialization below (transfers are the largest
         # host-visible cost at 1080p)
-        for zone in ("m32", "m16") if g.strip else ("m32",):
+        zones = ["m32"]
+        if g.strip:
+            zones.append("m16")
+        if self.split16:
+            zones.append("m16f")
+            if hasattr(outs["split32"], "copy_to_host_async"):
+                outs["split32"].copy_to_host_async()
+        for zone in zones:
             for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
                       "lv_y", "lv_u", "lv_v"):
                 arr = outs[zone][k]
@@ -342,7 +417,8 @@ class RtSession:
 
 def encode_stream_rt(frames, qindex: int = 100, intra_period: int = -1,
                      want_recon: bool = True, rc=None,
-                     error_resilient: bool = False):
+                     error_resilient: bool = False,
+                     split16: bool = False):
     """Device-resident realtime encode of an IPPP stream (batch wrapper
     over RtSession).
 
@@ -353,7 +429,7 @@ def encode_stream_rt(frames, qindex: int = 100, intra_period: int = -1,
     h, w = first.y.shape
     sess = RtSession(w, h, intra_period=intra_period, rc=rc,
                      error_resilient=error_resilient,
-                     want_recon=want_recon)
+                     want_recon=want_recon, split16=split16)
     out = []
     for frame in frames:
         out.extend(sess.send(frame, qindex=qindex))

@@ -469,7 +469,8 @@ def _cols_away_from_boundaries(width_px: int, sb: int) -> np.ndarray:
     return np.asarray(cols, np.int64)
 
 
-def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
+def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
+                       split32=None):
     """Exact VP9 loop filter for the uniform grid, fully on device.
 
     Ordering contract (bit-exact with libvpx; see ops/loopfilter.py:1):
@@ -485,8 +486,21 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
     Uniform tool set => Y edge widths are all 16; chroma widths are 16
     in the 32-zone and 8 in the 16-strip (tx8 blocks).
     lvl/lim/mblim: traced int32 scalars (lvl == 0 -> no-op).
+
+    split32: optional traced (rows32, cols32) 0/1 mask of 32-blocks
+    coded as four 16x16 blocks (tx16 luma / tx8 chroma).  Width rules
+    mirror the host oracle (ops/loopfilter.py _edges_for_mi): luma
+    gains 16-offset edges (w16) inside split blocks; chroma edges over
+    split blocks are w8 at the full 8px grid, w16 at 16px multiples
+    otherwise.  New edge classes slot into the same pass structure;
+    per-row width consistency (the deciding block is the block at the
+    edge position) keeps all read/write sets disjoint or correctly
+    ordered — split-block w8 edges write at most +-3 pixels, so they
+    never meet the neighbouring 8-offset windows.  Requires strip=False.
     """
     g = geom
+    if split32 is not None and g.strip:
+        raise ValueError("split32 unsupported with a 16-strip geometry")
     thresh = lvl >> 4
     h_mi, w_mi = g.h_mi, g.w_mi
     h_mi_c, w_mi_c = h_mi >> 1, w_mi >> 1
@@ -494,14 +508,46 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
     alive = (lvl > 0).astype(jnp.int32)
     w16 = 16 * alive
     w8 = 8 * alive
+    if split32 is not None:
+        split32 = split32.astype(jnp.int32)
+        # per-pixel-row expansions of the split mask
+        sp_y = jnp.repeat(split32, 32, axis=0)[:h_mi]      # (h, cols32)
+        sp_c = jnp.repeat(split32, 16, axis=0)[:h_mi_c]    # (hc, cols32)
 
     # ---- pass 1: interior vertical edges ----
     xs_y = np.array([x for x in range(32, w_mi, 32) if x % 64], np.int64)
     y = _lf_vert_gather(y, 0, h_mi, xs_y, w16, thresh, lim, mblim)
     ch_rows = strip_yc if g.strip else h_mi_c
     xs_c = np.array([x for x in range(16, w_mi_c, 16) if x % 32], np.int64)
-    u = _lf_vert_gather(u, 0, ch_rows, xs_c, w16, thresh, lim, mblim)
-    v = _lf_vert_gather(v, 0, ch_rows, xs_c, w16, thresh, lim, mblim)
+    if split32 is None:
+        u = _lf_vert_gather(u, 0, ch_rows, xs_c, w16, thresh, lim, mblim)
+        v = _lf_vert_gather(v, 0, ch_rows, xs_c, w16, thresh, lim, mblim)
+    else:
+        # luma 16-offset verticals: exist only inside split blocks
+        xs_y16 = np.array([x for x in range(16, w_mi, 16) if x % 32],
+                          np.int64)
+        if xs_y16.size:
+            w_y16 = w16 * sp_y[:, xs_y16 // 32]  # (h, E)
+            y = _lf_vert_gather(y, 0, h_mi, xs_y16, w_y16, thresh, lim,
+                                mblim)
+        # chroma 8-offset verticals (split blocks only, tx8 -> w8,
+        # narrow taps); raster puts each BEFORE the 16-mult edge to its
+        # right — safe here because w8 writes (+-3) never reach the
+        # neighbouring windows
+        xs_c8 = np.array([x for x in range(8, w_mi_c, 8) if x % 16],
+                         np.int64)
+        if xs_c8.size:
+            w_c8 = w8 * sp_c[:, xs_c8 // 16]
+            u = _lf_vert_gather(u, 0, ch_rows, xs_c8, w_c8, thresh, lim,
+                                mblim, taps=4)
+            v = _lf_vert_gather(v, 0, ch_rows, xs_c8, w_c8, thresh, lim,
+                                mblim, taps=4)
+        # chroma 16-mult (non-band) verticals: w8 over split blocks
+        w_c16 = jnp.where(sp_c[:, xs_c // 16] > 0, w8, w16)
+        u = _lf_vert_gather(u, 0, ch_rows, xs_c, w_c16, thresh, lim,
+                            mblim)
+        v = _lf_vert_gather(v, 0, ch_rows, xs_c, w_c16, thresh, lim,
+                            mblim)
     if g.strip:
         xs_ys = np.array([x for x in range(16, w_mi, 16) if x % 32],
                          np.int64)
@@ -521,8 +567,31 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
     cols_c = _cols_away_from_boundaries(w_mi_c, 32)
     ys_c = np.array([yy for yy in range(16, h_mi_c, 16)
                      if not (g.strip and yy >= strip_yc)], np.int64)
-    u = _lf_horz_gather(u, ys_c, cols_c, w16, thresh, lim, mblim)
-    v = _lf_horz_gather(v, ys_c, cols_c, w16, thresh, lim, mblim)
+    if split32 is None:
+        u = _lf_horz_gather(u, ys_c, cols_c, w16, thresh, lim, mblim)
+        v = _lf_horz_gather(v, ys_c, cols_c, w16, thresh, lim, mblim)
+    else:
+        # luma 16-offset horizontals inside split blocks
+        ys_y16 = np.array([yy for yy in range(16, h_mi, 16) if yy % 32],
+                          np.int64)
+        if ys_y16.size and cols_y.size:
+            w_hy16 = w16 * split32[ys_y16 // 32][:, cols_y // 32]  # (E, K)
+            y = _lf_horz_gather(y, ys_y16, cols_y, w_hy16, thresh, lim,
+                                mblim)
+        # chroma 8-offset horizontals (split blocks, w8; writes +-3 so
+        # the 16-mult windows below stay untouched per-row)
+        ys_c8 = np.array([yy for yy in range(8, h_mi_c, 8) if yy % 16],
+                         np.int64)
+        if ys_c8.size and cols_c.size:
+            w_hc8 = w8 * split32[ys_c8 // 16][:, cols_c // 16]
+            u = _lf_horz_gather(u, ys_c8, cols_c, w_hc8, thresh, lim,
+                                mblim)
+            v = _lf_horz_gather(v, ys_c8, cols_c, w_hc8, thresh, lim,
+                                mblim)
+        w_hc16 = jnp.where(split32[ys_c // 16][:, cols_c // 16] > 0,
+                           w8, w16)
+        u = _lf_horz_gather(u, ys_c, cols_c, w_hc16, thresh, lim, mblim)
+        v = _lf_horz_gather(v, ys_c, cols_c, w_hc16, thresh, lim, mblim)
     if g.strip:
         ys_cs = np.array([strip_yc], np.int64)  # width-8 tx8 edge
         u = _lf_horz_gather(u, ys_cs, cols_c, w8, thresh, lim, mblim)
@@ -552,40 +621,80 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim):
     bt_y = y[:, bcols_y].astype(jnp.int32)  # (H, nb, 16)
     bt_u = u[:, bcols_c].astype(jnp.int32)
     bt_v = v[:, bcols_c].astype(jnp.int32)
+    # per-half deciding 32-block columns of each band (static)
+    lb_y = xs_b // 32 - 1
+    rb_y = xs_b // 32
+    lb_c = xcs_b // 16 - 1
+    rb_c = xcs_b // 16
+    if split32 is not None:
+        n_sbr2 = 2 * n_sbr
+        sp_pad = jnp.pad(split32, ((0, n_sbr2 - split32.shape[0]), (0, 0)))
 
     def row_step(carry, r):
         bty, btu, btv = carry
         y0 = r * 64
-        # luma: left horizontal halves, vertical, right horizontal halves
-        for dy in (0, 32):
+        if split32 is not None:
+            # the two 32-block rows of this SB row
+            sp2 = jax.lax.dynamic_slice_in_dim(sp_pad, 2 * r, 2, axis=0)
+
+        ones_by = jnp.ones((xs_b.size,), jnp.int32)
+        ones_bc = jnp.ones((xcs_b.size,), jnp.int32)
+
+        def h_widths_y(dy, half_cols):
+            """(per-band,) width for a luma band h edge at y0+dy."""
             yy = y0 + dy
             ok = (yy > 0) & (yy < h_mi)
-            bty = _band_horz(bty, yy, 0, w16 * ok, thresh, lim, mblim)
+            if dy % 32 == 0:
+                return w16 * ok * ones_by
+            sp = sp2[dy // 32][half_cols]  # dy 16 -> row 0, 48 -> row 1
+            return w16 * sp * ok
+
+        # luma: left horizontal halves, vertical, right horizontal halves
+        dys_y = (0, 16, 32, 48) if split32 is not None else (0, 32)
+        for dy in dys_y:
+            bty = _band_horz(bty, y0 + dy, 0,
+                             h_widths_y(dy, lb_y)[:, None], thresh, lim,
+                             mblim)
         wy = jnp.where((y0 + rowi) < h_mi, w16, 0)
         bty = _band_vert(bty, y0, 64, wy, thresh, lim, mblim)
-        for dy in (0, 32):
-            yy = y0 + dy
-            ok = (yy > 0) & (yy < h_mi)
-            bty = _band_horz(bty, yy, 8, w16 * ok, thresh, lim, mblim)
+        for dy in dys_y:
+            bty = _band_horz(bty, y0 + dy, 8,
+                             h_widths_y(dy, rb_y)[:, None], thresh, lim,
+                             mblim)
         # chroma (identical structure at half scale; strip rows are tx8)
         y0c = r * 32
         strip_row = g.strip & ((y0c + rowi_c) >= strip_yc)
         wc = jnp.where((y0c + rowi_c) < h_mi_c,
                        jnp.where(strip_row, w8, w16), 0)
+        if split32 is not None:
+            spc2 = jnp.repeat(sp2, 16, axis=0)  # (32, cols32)
+            wc = jnp.where((y0c + rowi_c) < h_mi_c,
+                           jnp.where(spc2[:, rb_c] > 0, w8, w16), 0)
+
+        def h_widths_c(dy, half_cols):
+            yyc = y0c + dy
+            ok = (yyc > 0) & (yyc < h_mi_c)
+            if split32 is None:
+                wv = jnp.where(g.strip & (yyc >= strip_yc), w8, w16)
+                return wv * ok * ones_bc
+            sp = sp2[dy // 16][half_cols]  # dy 0/8 -> row 0, 16/24 -> 1
+            if dy % 16 == 0:
+                return jnp.where(sp > 0, w8, w16) * ok
+            return w8 * sp * ok
+
+        dys_c = (0, 8, 16, 24) if split32 is not None else (0, 16)
 
         def chroma(btc):
             b = btc
-            for dy in (0, 16):
-                yyc = y0c + dy
-                ok = (yyc > 0) & (yyc < h_mi_c)
-                wv = jnp.where(g.strip & (yyc >= strip_yc), w8, w16)
-                b = _band_horz(b, yyc, 0, wv * ok, thresh, lim, mblim)
+            for dy in dys_c:
+                b = _band_horz(b, y0c + dy, 0,
+                               h_widths_c(dy, lb_c)[:, None], thresh,
+                               lim, mblim)
             b = _band_vert(b, y0c, 32, wc, thresh, lim, mblim)
-            for dy in (0, 16):
-                yyc = y0c + dy
-                ok = (yyc > 0) & (yyc < h_mi_c)
-                wv = jnp.where(g.strip & (yyc >= strip_yc), w8, w16)
-                b = _band_horz(b, yyc, 8, wv * ok, thresh, lim, mblim)
+            for dy in dys_c:
+                b = _band_horz(b, y0c + dy, 8,
+                               h_widths_c(dy, rb_c)[:, None], thresh,
+                               lim, mblim)
             return b
 
         return (bty, chroma(btu), chroma(btv)), None
@@ -652,10 +761,15 @@ def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
 # ---------------------------------------------------------------------------
 
 
-def _zone_positions(geom: Geom, n: int):
-    """Static (pos_y, pos_x) plane-pixel positions of the zone's blocks."""
+def _zone_positions(geom: Geom, n: int, full16: bool = False):
+    """Static (pos_y, pos_x) plane-pixel positions of the zone's blocks.
+
+    full16: the 16-grid covering the whole 32-zone (split-decision mode)
+    rather than the bottom strip."""
     if n == 32:
         rows, cols, y_base = geom.rows32, geom.cols32, 0
+    elif full16:
+        rows, cols, y_base = geom.rows32 * 2, geom.cols32 * 2, 0
     else:
         rows, cols, y_base = 1, geom.cols16, geom.strip_y
     ys = (y_base + np.arange(rows)[:, None] * n
@@ -680,16 +794,17 @@ def _scatter_blocks(blocks, rows: int, cols: int, n: int):
 
 
 def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
-                geom: Geom, n: int, dc_q, ac_q, lam, filters):
+                geom: Geom, n: int, dc_q, ac_q, lam, filters,
+                full16: bool = False):
     """MD + recon for one uniform zone (block size n).
 
     prev_mv: (B, 2) int32 q3 from the previous frame (search centers).
     Returns dict with mv (B,2 int16), skip, eobs, levels, recon planes
-    for the zone, and distortion/rate stats."""
+    for the zone, per-block dist/rate, and aggregate stats."""
     g = geom
-    pos_y, pos_x, rows, cols = _zone_positions(g, n)
+    pos_y, pos_x, rows, cols = _zone_positions(g, n, full16)
     b = rows * cols
-    y0 = 0 if n == 32 else g.strip_y
+    y0 = 0 if (n == 32 or full16) else g.strip_y
     src_blocks = _extract_blocks(src_y, y0, rows, cols, n)
 
     # --- full-pel search, window centered on the previous frame's MV ---
@@ -737,9 +852,10 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     lv_v, eob_v, rec_v = transform_recon(src_vb, pred_v, dc_q, ac_q, nc)
     skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
 
-    dist = ((rec_y.astype(jnp.int32) - src_blocks.astype(jnp.int32)) ** 2
-            ).sum()
-    rate = (lv_y != 0).sum() + (lv_u != 0).sum() + (lv_v != 0).sum()
+    dist_b = ((rec_y.astype(jnp.int32)
+               - src_blocks.astype(jnp.int32)) ** 2).sum(axis=(1, 2))
+    rate_b = ((lv_y != 0).sum(axis=(1, 2)) + (lv_u != 0).sum(axis=(1, 2))
+              + (lv_v != 0).sum(axis=(1, 2)))
     return {
         "mv": jnp.stack([mv_r, mv_c], axis=-1).astype(jnp.int16),
         "skip": skip,
@@ -748,7 +864,8 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         "rec_y": _scatter_blocks(rec_y, rows, cols, n),
         "rec_u": _scatter_blocks(rec_u, rows, cols, nc),
         "rec_v": _scatter_blocks(rec_v, rows, cols, nc),
-        "dist": dist, "rate": rate,
+        "dist_b": dist_b, "rate_b": rate_b,
+        "dist": dist_b.sum(), "rate": rate_b.sum(),
         "sad_zero": sad_zero,
     }
 
@@ -758,13 +875,21 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
 # ---------------------------------------------------------------------------
 
 
+# extra syntax cost (in rate_b units) a 32->16 split pays: partition
+# symbol + 3 extra mode/skip/mv sets; calibrated on the fuzz clips
+SPLIT_RATE_EXTRA = 4.0
+
+
 def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
                 prev_mv16, geom: Geom, dc_q, ac_q, lam, lf_lvl, lf_lim,
-                lf_mblim, filters):
+                lf_mblim, filters, split16: bool = False):
     """One full device P-frame encode step (jit under a static geom).
 
     src planes: padded (pad_h, pad_w)/(pad_h/2, pad_w/2) uint8 device
     arrays.  ref planes: border-extended previous reconstruction.
+    split16: per-32-block 32-vs-4x16 partition decision (RD compare of
+    both zone encodes; EbEncDecProcess.c inter_depth_decision analogue);
+    prev_mv16 then carries the full 16-grid's previous MVs.
     Returns (outputs dict, new (ref_y, ref_u, ref_v)).
     """
     g = geom
@@ -774,6 +899,35 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     rec_y = out32["rec_y"]
     rec_u = out32["rec_u"]
     rec_v = out32["rec_v"]
+    split32 = None
+    if split16:
+        if g.strip:
+            raise ValueError("split16 requires a strip-free geometry")
+        out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
+                            prev_mv16, g, 16, dc_q, ac_q, lam, filters,
+                            full16=True)
+        outs["m16f"] = out16
+        r32, c32 = g.rows32, g.cols32
+        d16 = out16["dist_b"].reshape(r32, 2, c32, 2).sum(axis=(1, 3))
+        rt16 = out16["rate_b"].reshape(r32, 2, c32, 2).sum(axis=(1, 3))
+        d32 = out32["dist_b"].reshape(r32, c32)
+        rt32 = out32["rate_b"].reshape(r32, c32)
+        lam_f = lam.astype(jnp.float32)
+        cost32 = d32.astype(jnp.float32) + lam_f * rt32.astype(jnp.float32)
+        cost16 = (d16.astype(jnp.float32)
+                  + lam_f * (rt16.astype(jnp.float32) + SPLIT_RATE_EXTRA))
+        split32 = (cost16 < cost32).astype(jnp.int32)
+        # 32-blocks overhanging the frame bottom (mi_rows % 4 == 3) have
+        # forced-partition children at the edge the uniform 16-grid
+        # cannot serialize; keep them 32
+        if g.mi_rows % 4 == 3:
+            split32 = split32.at[-1, :].set(0)
+        outs["split32"] = split32
+        m_y = jnp.repeat(jnp.repeat(split32, 32, axis=0), 32, axis=1)
+        m_c = jnp.repeat(jnp.repeat(split32, 16, axis=0), 16, axis=1)
+        rec_y = jnp.where(m_y > 0, out16["rec_y"], rec_y)
+        rec_u = jnp.where(m_c > 0, out16["rec_u"], rec_u)
+        rec_v = jnp.where(m_c > 0, out16["rec_v"], rec_v)
     if g.strip:
         out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                             prev_mv16, g, 16, dc_q, ac_q, lam, filters)
@@ -795,7 +949,8 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
         rec_v = jnp.pad(
             rec_v, ((0, g.pad_h // 2 - rec_v.shape[0]), (0, 0)), mode="edge")
     rec_y, rec_u, rec_v = loop_filter_device(
-        rec_y, rec_u, rec_v, g, lf_lvl, lf_lim, lf_mblim)
+        rec_y, rec_u, rec_v, g, lf_lvl, lf_lim, lf_mblim,
+        split32=split32)
     outs["rec_y"] = rec_y
     outs["rec_u"] = rec_u
     outs["rec_v"] = rec_v
@@ -807,7 +962,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     return outs, (new_ref_y, new_ref_u, new_ref_v)
 
 
-def make_pframe_step(geom: Geom):
+def make_pframe_step(geom: Geom, split16: bool = False):
     """Jitted device step closed over the static geometry."""
     filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
 
@@ -815,6 +970,7 @@ def make_pframe_step(geom: Geom):
              prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
         return pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                            prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
-                           lf_lvl, lf_lim, lf_mblim, filters)
+                           lf_lvl, lf_lim, lf_mblim, filters,
+                           split16=split16)
 
     return jax.jit(step, donate_argnums=(3, 4, 5))
