@@ -7,6 +7,10 @@ run hermetically on CPU and still cover the multi-chip sharding paths.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hermetic routing: the public API must not silently switch to the
+# device-RT path (different latency profile) depending on tunnel health;
+# RT-path coverage constructs its sessions explicitly (test_tpu_encdec)
+os.environ.setdefault("TPU_VP9_FORCE_HOST", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -420,9 +420,29 @@ class Vp9Encoder:
             if next_key == next_poc:
                 if next_poc not in self._ra_buf:
                     break
+                # adaptive keyframe QP needs the following picture's
+                # zz-SAD staticness (QP_SCALING_MODE_1; the reference's
+                # ME kernel fills the previous pcs's non_moving scores,
+                # EbMotionEstimationProcess.c:431): hold the key one
+                # frame unless flushing
+                from tpu_vp9.config import PredStructure
+
+                nxt = self._ra_buf.get(next_poc + 1)
+                if (nxt is None and not flush
+                        and cfg.pred_structure == PredStructure.RANDOM_ACCESS):
+                    break
+                if nxt is None:
+                    nxt = getattr(self, "_ra_next_hint", None)
+                staticness = None
+                if nxt is not None:
+                    from tpu_vp9.pipeline.rc_curves import zz_staticness
+
+                    cur = self._ra_buf[next_poc]
+                    staticness = zz_staticness(cur.y, nxt.y, cfg.source_width,
+                                               cfg.source_height)
                 qov = self._qp_overridden(next_poc)
                 qindex = qov if qov is not None else \
-                    self._rc.frame_qindex(True)
+                    self._rc.frame_qindex(True, staticness=staticness)
                 pkt = ra.encode_key(self._ra_buf.pop(next_poc), next_poc,
                                     qindex)
                 self._la.drop([next_poc])  # retire its complexity entry
@@ -471,9 +491,16 @@ class Vp9Encoder:
                 data=p.data, pts=p.pts, dts=p.dts,
                 is_keyframe=p.is_keyframe, qindex=p.qindex))
 
-    def flush(self) -> None:
-        """Signal end of stream (EB_BUFFERFLAG_EOS analogue)."""
+    def flush(self, next_frame_hint=None) -> None:
+        """Signal end of stream (EB_BUFFERFLAG_EOS analogue).
+
+        next_frame_hint: optional picture that WOULD follow this stream
+        (GOP-parallel chunk boundaries) — used only for the adaptive
+        keyframe-QP staticness measurement so chunked encodes stay
+        byte-identical to sequential ones.
+        """
         if self._ra is not None and not self._eos:
+            self._ra_next_hint = next_frame_hint
             self._ra_drain(flush=True)
         if self._rt is not None and not self._eos:
             for ef in self._rt.flush():

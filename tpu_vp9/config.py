@@ -155,6 +155,10 @@ class EncoderConfig:
             cfg.hierarchical_levels = min(cfg.hierarchical_levels, 2)
         if cfg.vbv_buf_size == 0 and cfg.rate_control_mode == RateControlMode.CBR:
             cfg.vbv_buf_size = 2 * cfg.target_bit_rate
+        if cfg.rate_control_mode == RateControlMode.CQP:
+            # min-qp only constrains the RC modes; CQP scaling may reach
+            # down to lossless-adjacent q (EbEncHandle.c:2130-2132)
+            cfg.min_qp_allowed = 0
         return cfg
 
     @property

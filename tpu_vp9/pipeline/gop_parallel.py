@@ -24,7 +24,7 @@ _SCD_WARMUP = 17
 
 
 def _encode_chunk(payload):
-    cfg, frames, warmup_y, start_idx, qp_overrides = payload
+    cfg, frames, warmup_y, start_idx, qp_overrides, next_hint = payload
     from tpu_vp9.api import Vp9Encoder
 
     enc = Vp9Encoder()
@@ -36,7 +36,9 @@ def _encode_chunk(payload):
         enc.set_frame_qp(idx - start_idx, qp)
     for i, fr in enumerate(frames):
         enc.send_picture(fr, force_keyframe=(i == 0))
-    enc.flush()
+    # the following chunk's first frame keeps a trailing keyframe's
+    # adaptive-QP staticness identical to the sequential encode
+    enc.flush(next_frame_hint=next_hint)
     out = []
     while True:
         p = enc.get_packet()
@@ -78,7 +80,8 @@ def encode_gop_parallel(frames, cfg, workers: int = 2,
         warm = [f.y for f in frames[max(1, s - (_SCD_WARMUP - 1)) : s + 1]]
         ovr = {i: q for i, q in qp_overrides.items()
                if s <= i < s + gop}
-        chunks.append((cfg, frames[s : s + gop], warm, s, ovr))
+        nxt = frames[s + gop] if s + gop < len(frames) else None
+        chunks.append((cfg, frames[s : s + gop], warm, s, ovr, nxt))
     if workers <= 1 or len(chunks) <= 1:
         results = [_encode_chunk(c) for c in chunks]
     else:

@@ -61,14 +61,24 @@ class RateControlState:
         self.la_scale = dict(scales)
 
     def frame_qindex(self, is_keyframe: bool,
-                     temporal_layer: int = -1, poc: int = -1) -> int:
+                     temporal_layer: int = -1, poc: int = -1,
+                     staticness=None) -> int:
         """temporal_layer >= 0 engages the per-layer CQP ladder (RA
         pyramids); -1 = structure-agnostic (low-delay paths manage their
-        own layer offsets).  poc indexes the lookahead complexity map."""
+        own layer offsets).  poc indexes the lookahead complexity map.
+        staticness = (non_moving_average_score, kf_zeromotion_pct) from
+        picture analysis engages the adaptive keyframe qindex
+        (QP_SCALING_MODE_1; I-slices only, EbPictureDecisionProcess.c:1928)."""
         lo = qp_to_qindex(self.cfg.min_qp_allowed)
         hi = qp_to_qindex(self.cfg.max_qp_allowed)
         if self.cfg.rate_control_mode == RateControlMode.CQP:
-            q = self._cqp_qindex(is_keyframe, temporal_layer)
+            if (is_keyframe and staticness is not None
+                    and self.cfg.enable_qp_scaling):
+                q = C.adaptive_kf_qindex(
+                    qp_to_qindex(self.cfg.qp), staticness[0], staticness[1],
+                    self.cfg.source_width, self.cfg.source_height)
+            else:
+                q = self._cqp_qindex(is_keyframe, temporal_layer)
             return int(np.clip(q, lo, hi))
         # VBR/CBR: project bits at q via the libvpx curve and pick the
         # lowest q meeting this frame's target (vp9_rc_regulate_q)

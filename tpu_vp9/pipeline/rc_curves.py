@@ -102,6 +102,81 @@ def qp_scaling_qindex(base_qindex: int, is_key: bool, temporal_layer: int,
     return int(np.clip(base_qindex + delta, MINQ + 1, MAXQ))
 
 
+NON_MOVING_SCORE_0 = 0
+NON_MOVING_SCORE_1 = 10
+NON_MOVING_SCORE_3 = 30
+STATIC_KF_GROUP_THRESH = 99  # vp9_ratectrl.h:39
+
+
+def zz_staticness(cur_y: np.ndarray, nxt_y: np.ndarray,
+                  width: int, height: int):
+    """(non_moving_average_score, kf_zeromotion_pct) from collocated
+    64x64 zz-SAD between two luma planes.
+
+    Mirrors compute_zz_sad + derive_picture_activity_statistics
+    (EbMotionEstimationProcess.c:431-530 thresholds (64*64*{2,4,8}) >>
+    non_moving_th_shift[resolution], EbSourceBasedOperationsProcess.c:
+    70-113 averaging over complete SBs only).
+    """
+    px = width * height
+    if px <= 1024 * 576:
+        shift = 4
+    elif px <= 1920 * 1088:
+        shift = 2 if height < 1000 else 0  # 1080i range keeps shift 2
+    else:
+        shift = 0
+    th = [((64 * 64 * m) >> shift) for m in (2, 4, 8)]
+    scores = []
+    nm_count = 0
+    total = 0
+    for y0 in range(0, height - 63, 64):
+        for x0 in range(0, width - 63, 64):
+            a = cur_y[y0:y0 + 64, x0:x0 + 64].astype(np.int32)
+            b = nxt_y[y0:y0 + 64, x0:x0 + 64].astype(np.int32)
+            zz = int(np.abs(a - b).sum())
+            if zz < th[0]:
+                s = NON_MOVING_SCORE_0
+            elif zz < th[1]:
+                s = NON_MOVING_SCORE_1
+            elif zz < th[2]:
+                s = 20
+            else:
+                s = NON_MOVING_SCORE_3
+            if s < NON_MOVING_SCORE_1:
+                nm_count += 1
+            scores.append(s)
+            total += 1
+    if not total:
+        return NON_MOVING_SCORE_3, 0
+    return sum(scores) // total, (nm_count * 100) // total
+
+
+def adaptive_kf_qindex(base_qindex: int, non_moving_avg: int,
+                       kf_zeromotion_pct: int, width: int,
+                       height: int) -> int:
+    """Adaptive (QP_SCALING_MODE_1) keyframe qindex: libvpx
+    active_best_quality from a kf_boost derived from content staticness.
+
+    EbRateControlProcess.c:4592-4646 — kf_boost by cross-multiplication
+    from non_moving_average_score over [kf_low=300, kf_high=4800],
+    static-group /4 rule, small-format and zero-motion q adjustments.
+    """
+    active_worst = int(base_qindex)
+    kf_boost = ((NON_MOVING_SCORE_3 - int(non_moving_avg))
+                * (KF_HIGH - KF_LOW)) // NON_MOVING_SCORE_3 + KF_LOW
+    active_best = get_kf_active_quality(active_worst, kf_boost)
+    if kf_zeromotion_pct >= STATIC_KF_GROUP_THRESH:
+        active_best //= 4
+    active_best = min(active_worst, max(1, active_best))
+    q_adj_factor = 1.0
+    if width * height <= 352 * 288:
+        q_adj_factor -= 0.25
+    q_adj_factor += 0.05 - 0.001 * float(kf_zeromotion_pct)
+    q_val = qindex_to_q(active_best)
+    active_best += compute_qdelta(q_val, q_val * q_adj_factor)
+    return int(np.clip(active_best, MINQ + 1, MAXQ))
+
+
 def get_kf_active_quality(active_worst: int, kf_boost: int) -> int:
     """get_active_quality with the kf LUT pair (vp9_ratectrl.c)."""
     return _active_quality(active_worst, kf_boost, KF_LOW, KF_HIGH,

@@ -37,7 +37,10 @@ def tpu_alive(timeout_s: float = 60.0) -> bool:
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=timeout_s,
         )
-        _CACHED = "ALIVE" in res.stdout
+        # an accelerator must answer; a CPU-only jax install saying
+        # "ALIVE cpu" is NOT a live device
+        _CACHED = ("ALIVE" in res.stdout
+                   and "ALIVE cpu" not in res.stdout)
     except (subprocess.TimeoutExpired, OSError):
         _CACHED = False
     return _CACHED
