@@ -220,6 +220,139 @@ def _full_search(src_blocks, regions, n: int, r: int):
         jnp.min(flat, axis=1)
 
 
+WIN_R = 40  # exhaustive full-pel search radius (static windows)
+
+
+def _extract_search_windows(ref_padded, n: int, rows: int, cols: int,
+                            y_base: int, col_px: np.ndarray):
+    """Static (B, SW, SW) uint8 search windows, SW = n + 2*WIN_R + 8.
+
+    Window origin = block top-left - (WIN_R + 4): covers the +-WIN_R
+    exhaustive full-pel search plus the 8-tap subpel halo (int offset
+    -1, taps -3..+4).  One compile-time-indexed gather replaces the
+    per-stage dynamic slicing (the HBM-gather hot spot of the previous
+    prev-MV-centered design).  col_px: per-column block x origins in
+    ref_padded LOCAL pixel coords (lets tile shards pass shifted
+    origins).
+    """
+    sw = n + 2 * WIN_R + 8
+    oy = BORDER - WIN_R - 4
+    ridx = ((np.arange(rows) * n)[:, None] + np.arange(sw)[None, :]
+            + y_base + oy)
+    cidx = col_px[:, None] + np.arange(sw)[None, :] + oy
+    strips = ref_padded[jnp.asarray(ridx.reshape(-1), jnp.int32)]
+    strips = strips.reshape(rows, sw, ref_padded.shape[1])
+    wins = strips[:, :, jnp.asarray(cidx.reshape(-1), jnp.int32)]
+    wins = wins.reshape(rows, sw, cols, sw).transpose(0, 2, 1, 3)
+    return wins.reshape(rows * cols, sw, sw)
+
+
+def _full_search_sse_mxu(src_blocks, wins, n: int):
+    """Exhaustive +-WIN_R full-pel SSE search, cross-term on the MXU.
+
+    SSE(dy,dx) = sum(reg^2) - 2*corr(dy,dx) (+ sum(src^2), constant per
+    block, dropped).  corr is a scanned batched matmul: for each dy,
+    M[b,j,x] = sum_i src[b,i,j] * reg[b,dy+i,x] runs on the MXU (f32 is
+    exact: products <= 255^2, 32-term sums < 2^24), then the diagonal
+    j-accumulation runs in int32.  SSE replaces SAD as the full-pel
+    metric (libvpx itself refines subpel on variance/SSE).
+    Returns (dy, dx) int32 in [-WIN_R, WIN_R].
+    """
+    b = src_blocks.shape[0]
+    r = WIN_R
+    d = 2 * r + 1
+    w = n + 2 * r
+    area = wins[:, 4 : 4 + w, 4 : 4 + w].astype(jnp.int32)
+    src_f = src_blocks.astype(jnp.float32)
+    sq = area * area
+    cx = jnp.pad(jnp.cumsum(sq, axis=2), ((0, 0), (0, 0), (1, 0)))
+    rw = cx[:, :, n:] - cx[:, :, :-n]  # (B, W, D)
+    cy = jnp.pad(jnp.cumsum(rw, axis=1), ((0, 0), (1, 0), (0, 0)))
+    e2 = cy[:, n:, :] - cy[:, :-n, :]  # (B, D, D)
+
+    def step(_, dy):
+        reg = jax.lax.dynamic_slice_in_dim(area, dy, n, axis=1)
+        m = jnp.einsum("bij,bix->bjx", src_f, reg.astype(jnp.float32))
+        mi = m.astype(jnp.int32)
+        corr = jnp.zeros((b, d), jnp.int32)
+        for j in range(n):
+            corr = corr + jax.lax.slice_in_dim(mi[:, j, :], j, j + d,
+                                               axis=1)
+        return None, corr
+
+    _, corrs = jax.lax.scan(step, None, jnp.arange(d))
+    sse = e2 - 2 * corrs.transpose(1, 0, 2)  # (B, D, D)
+    idx = jnp.argmin(sse.reshape(b, -1), axis=1)
+    return (idx // d - r).astype(jnp.int32), (idx % d - r).astype(jnp.int32)
+
+
+_Q3_OFFS = np.arange(-6, 7, 2, dtype=np.int32)  # diamond reach, q3
+
+
+def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters):
+    """Exhaustive quarter-pel refinement around the full-pel winner.
+
+    Evaluates all 7x7 quarter-pel offsets in +-6/8 pel from 16
+    precomputed phase planes (4 x-phases x 4 y-phases; H-then-V with
+    the exact libvpx intermediate rounding of mc_predict_batch), SSE
+    metric.  Returns (mv_r_q3, mv_c_q3).
+    """
+    b = src_blocks.shape[0]
+    ln = n + 8
+
+    def slice_one(wn, y0, x0):
+        return jax.lax.dynamic_slice(wn, (y0, x0), (ln, ln))
+
+    loc = jax.vmap(slice_one)(wins, dy + WIN_R, dx + WIN_R).astype(jnp.int32)
+    f = np.asarray(filters, np.int32)  # (16, 8)
+    phases = (0, 4, 8, 12)
+    src_i = src_blocks.astype(jnp.int32)
+
+    # H pass: (B, LN, n+1) per x-phase
+    def conv_h(x, taps):
+        acc = x[:, :, 0 : n + 1] * int(taps[0])
+        for k in range(1, 8):
+            acc = acc + x[:, :, k : k + n + 1] * int(taps[k])
+        return jnp.clip((acc + 64) >> 7, 0, 255)
+
+    ih = {px: conv_h(loc, f[px]) for px in phases}
+
+    # V pass: (B, n+1, n+1) per (y-phase, x-phase)
+    def conv_v(x, taps):
+        acc = x[:, 0 : n + 1, :] * int(taps[0])
+        for k in range(1, 8):
+            acc = acc + x[:, k : k + n + 1, :] * int(taps[k])
+        return jnp.clip((acc + 64) >> 7, 0, 255)
+
+    planes = {(py, px): conv_v(ih[px], f[py])
+              for py in phases for px in phases}
+    best_sse = None
+    best_oy = best_ox = None
+    for oy in _Q3_OFFS:
+        qy = int(oy) * 2
+        sy = (qy >> 4) + 1  # int row start in the phase plane (0 or 1)
+        py = qy & 15
+        for ox in _Q3_OFFS:
+            qx = int(ox) * 2
+            sx = (qx >> 4) + 1
+            px = qx & 15
+            pred = planes[(py, px)][:, sy : sy + n, sx : sx + n]
+            diff = pred - src_i
+            sse = (diff * diff).sum(axis=(1, 2))
+            if best_sse is None:
+                best_sse, best_oy, best_ox = sse, \
+                    jnp.full((b,), int(oy), jnp.int32), \
+                    jnp.full((b,), int(ox), jnp.int32)
+            else:
+                better = sse < best_sse
+                best_sse = jnp.where(better, sse, best_sse)
+                best_oy = jnp.where(better, int(oy), best_oy)
+                best_ox = jnp.where(better, int(ox), best_ox)
+    mv_r = dy * 8 + best_oy
+    mv_c = dx * 8 + best_ox
+    return mv_r.astype(jnp.int32), mv_c.astype(jnp.int32)
+
+
 _DIRS = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1),
                   (0, 1), (1, -1), (1, 0), (1, 1)], np.int32)
 
@@ -807,24 +940,12 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     y0 = 0 if (n == 32 or full16) else g.strip_y
     src_blocks = _extract_blocks(src_y, y0, rows, cols, n)
 
-    # --- full-pel search, window centered on the previous frame's MV ---
-    r = SEARCH_R
-    ctr_r = jnp.clip(prev_mv[:, 0] // 8, -(BORDER - r - 8), BORDER - r - 8)
-    ctr_c = jnp.clip(prev_mv[:, 1] // 8, -(BORDER - r - 8), BORDER - r - 8)
-    win = n + 2 * r
-
-    def slice_region(yy, xx):
-        return jax.lax.dynamic_slice(ref_y, (yy, xx), (win, win))
-
-    regions = jax.vmap(slice_region)(BORDER + pos_y - r + ctr_r,
-                                     BORDER + pos_x - r + ctr_c)
-    dy, dx, sad_f = _full_search(src_blocks, regions, n, r)
-    mv_r = (ctr_r + dy) * 8
-    mv_c = (ctr_c + dx) * 8
-    # --- quarter-pel refinement (exact MC SADs) ---
-    mv_r, mv_c, sad_new = subpel_refine_batch(
-        ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_f, n,
-        g.mi_rows, g.mi_cols, filters)
+    # --- exhaustive +-WIN_R full-pel SSE search (MXU) + exhaustive
+    # quarter-pel, both from one statically-gathered window per block ---
+    wins = _extract_search_windows(ref_y, n, rows, cols, y0,
+                                   np.arange(cols, dtype=np.int64) * n)
+    dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
+    mv_r, mv_c = _subpel_exhaustive(wins, src_blocks, dy, dx, n, filters)
     # --- candidate decision (fast-loop cost, EbEncDecProcess.c:180;
     # candidate injection EbModeDecision.c:185-457): ZERO, NEW, the
     # temporal (prev-frame) MV, and the left/above blocks' NEW MVs.
@@ -832,7 +953,7 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     # serialization (no mvd bits), so they carry lower rate proxies;
     # NEW additionally pays ~log2 mvd bits against the left predictor.
     mv_r, mv_c, sad_zero = _candidate_decide(
-        ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_new, prev_mv,
+        ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, None, prev_mv,
         rows, cols, n, g, lam, filters)
 
     # --- MC prediction (Y + chroma) and transform/recon ---

@@ -30,12 +30,10 @@ import numpy as np
 
 from tpu_vp9.bitstream import tables as T
 from tpu_vp9.pipeline.tpu_encdec import (
-    BORDER, Geom, _candidate_decide, _full_search, _scatter_blocks,
-    loop_filter_device, mc_predict_batch, subpel_refine_batch,
-    transform_recon,
+    BORDER, WIN_R, Geom, _candidate_decide, _extract_search_windows,
+    _full_search_sse_mxu, _scatter_blocks, _subpel_exhaustive,
+    loop_filter_device, mc_predict_batch, transform_recon,
 )
-
-SEARCH_R = 16
 
 
 def _shard_positions(geom: Geom, n_tiles: int, tile_idx):
@@ -106,23 +104,16 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
         .reshape(rows, n, cols_loc, n).transpose(0, 2, 1, 3) \
         .reshape(-1, n, n)
 
-    r = SEARCH_R
-    ctr_r = jnp.clip(prev_mv[:, 0] // 8, -(BORDER - r - 8), BORDER - r - 8)
-    ctr_c = jnp.clip(prev_mv[:, 1] // 8, -(BORDER - r - 8), BORDER - r - 8)
-    win = n + 2 * r
-
-    def slice_region(yy, xx):
-        return jax.lax.dynamic_slice(ref_y_h, (yy, xx), (win, win))
-
-    regions = jax.vmap(slice_region)(
-        BORDER + pos_y - r + ctr_r,
-        BORDER + pos_x - r + ctr_c - x_base_y)
-    dy, dx, sad_f = _full_search(src_blocks, regions, n, r)
-    mv_r = (ctr_r + dy) * 8
-    mv_c = (ctr_c + dx) * 8
-    mv_r, mv_c, sad_new = subpel_refine_batch(
-        ref_y_h, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_f, n,
-        g.mi_rows, g.mi_cols, filters, x_base=x_base_y)
+    # exhaustive +-WIN_R SSE search from static halo-local windows; the
+    # halo (= BORDER >= WIN_R + 4) makes shard windows bit-identical to
+    # the single-chip border-extended windows, so MVs are shard-count
+    # invariant
+    wins = _extract_search_windows(
+        ref_y_h, n, rows, cols_loc, 0,
+        np.arange(cols_loc, dtype=np.int64) * n)
+    dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
+    mv_r, mv_c = _subpel_exhaustive(wins, src_blocks, dy, dx, n, filters)
+    sad_new = None
     # candidate decision needs the previous shard's boundary-column NEW
     # MVs (single small ppermute; frame edge gets zeros, matching the
     # unsharded zero-pad)
