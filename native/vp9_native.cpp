@@ -233,6 +233,97 @@ int boolenc_write_coeffs(BoolEnc* e, const int32_t* levels2d, int tx_size,
     return eob;
 }
 
+// ---------------------------------------------------------------------
+// Coefficient token RATE (RD full-loop cost model).  Walks the exact
+// token path of boolenc_write_coeffs but accumulates bool-coder bit
+// costs instead of writing.  Costs are in 1/256-bit units
+// (vp9_prob_cost semantics: cost(bit, p) = -256*log2(P(bit))).
+// ---------------------------------------------------------------------
+static int g_prob_cost[256];
+static bool g_prob_cost_init = false;
+
+static void init_prob_cost() {
+    if (g_prob_cost_init) return;
+    for (int p = 1; p < 256; ++p)
+        g_prob_cost[p] = (int)(0.5 - 256.0 * std::log2((double)p / 256.0));
+    g_prob_cost[0] = g_prob_cost[1];
+    g_prob_cost_init = true;
+}
+
+static inline int bit_cost(int bit, int prob) {
+    return g_prob_cost[bit ? 256 - prob : prob];
+}
+
+// Rate of one transform block's levels under probs_full (6*6*11).
+// Returns cost in 1/256 bits (includes EOB, zero runs, sign, extras).
+int coeff_token_cost(const int32_t* levels2d, int tx_size, int tx_type,
+                     const uint8_t* probs_full, int ctx0) {
+    init_prob_cost();
+    const TxTables& t = g_tx[tx_size][tx_type];
+    const int n2 = t.n2;
+    int32_t lv[1024];
+    for (int i = 0; i < n2; ++i) lv[i] = levels2d[t.scan[i]];
+    int eob = 0;
+    for (int i = n2 - 1; i >= 0; --i) {
+        if (lv[i]) { eob = i + 1; break; }
+    }
+    int32_t cache[1024];
+    std::memset(cache, 0, sizeof(int32_t) * n2);
+    bool skip_eob = false;
+    int cost = 0;
+    for (int c = 0; c <= eob && c < n2; ++c) {
+        int pt = (c == 0)
+            ? ctx0
+            : (1 + cache[t.nbrs[2 * c]] + cache[t.nbrs[2 * c + 1]]) >> 1;
+        int b = t.band[c];
+        const uint8_t* p = probs_full + (b * 6 + pt) * 11;
+        bool is_eob = (c == eob);
+        if (!skip_eob) cost += bit_cost(is_eob ? 0 : 1, p[0]);
+        if (is_eob) break;
+        int level = lv[c];
+        int mag = level < 0 ? -level : level;
+        int tokv = token_from_mag(mag);
+        if (mag == 0) {
+            cost += bit_cost(0, p[1]);
+            cache[t.scan[c]] = 0;
+            skip_eob = true;
+            continue;
+        }
+        cost += bit_cost(1, p[1]);
+        skip_eob = false;
+        cache[t.scan[c]] = g_energy[tokv];
+        if (mag == 1) {
+            cost += bit_cost(0, p[2]);
+        } else {
+            cost += bit_cost(1, p[2]);
+            const Path& path = g_con_paths[tokv];
+            for (int k = 0; k < path.len; ++k)
+                cost += bit_cost(path.bit[k], p[3 + path.idx[k]]);
+            if (tokv >= 5) {
+                int cat = tokv - 5;
+                int extra = mag - g_cat_base[cat];
+                int nbits = g_cat_bits[cat];
+                for (int k = 0; k < nbits; ++k)
+                    cost += bit_cost((extra >> (nbits - 1 - k)) & 1,
+                                     g_cat_probs[cat][k]);
+            }
+        }
+        cost += 256;  // sign bit at prob 128
+    }
+    return cost;
+}
+
+// Batched variant: nb blocks of levels (each n*n int32, row-major 2-D),
+// shared probs, per-block ctx0; writes per-block costs (1/256 bits).
+void coeff_token_cost_batch(const int32_t* levels, int nb, int n,
+                            int tx_size, int tx_type,
+                            const uint8_t* probs_full,
+                            const int32_t* ctx0, int32_t* costs) {
+    for (int i = 0; i < nb; ++i)
+        costs[i] = coeff_token_cost(levels + (int64_t)i * n * n, tx_size,
+                                    tx_type, probs_full, ctx0[i]);
+}
+
 // Batched full-pel SAD search: returns packed (dy<<20)|(dx<<8 as offsets)…
 // simple per-block API: src nxn, ref region (n+2r)x(n+2r) with stride.
 void sad_full_search(const uint8_t* src, int n, const uint8_t* region,

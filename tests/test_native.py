@@ -233,3 +233,30 @@ def test_native_boolenc_buffered_matches_python():
             py.put_literal(a, b)
             nat_enc.put_literal(a, b)
     assert py.finalize() == nat_enc.finalize()
+
+
+def test_native_coeff_token_cost_matches_python_oracle():
+    """The RD full-loop coeff coster must price exactly what the
+    native/python token walks would encode (rd_cost._py_coeff_cost is
+    the line-by-line oracle of native coeff_token_cost)."""
+    from tpu_vp9 import native as nat
+    from tpu_vp9.bitstream.tables import TxSize, default_frame_context
+    from tpu_vp9.codec import rd_cost as R
+
+    if nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+    fc = default_frame_context()
+    fcst = R.FrameCosts(fc, 100)
+    rng = np.random.default_rng(3)
+    for ts, n in ((TxSize.TX_4X4, 4), (TxSize.TX_8X8, 8),
+                  (TxSize.TX_16X16, 16), (TxSize.TX_32X32, 32)):
+        for density, mag in ((0.0, 1), (0.1, 8), (0.5, 300), (1.0, 20000)):
+            lv = (rng.integers(-mag, mag + 1, (7, n, n))
+                  * (rng.random((7, n, n)) < density)).astype(np.int32)
+            for uv in (False, True):
+                probs = fcst._coef_full[(int(ts), uv, True)]
+                for c0 in (0, 1, 2):
+                    got = fcst.coeff_rate(lv, ts, uv, True, c0)
+                    want = [R._py_coeff_cost(lv[i], ts, probs, c0)
+                            for i in range(7)]
+                    assert got.tolist() == want, (ts, density, uv, c0)

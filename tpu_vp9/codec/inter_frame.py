@@ -661,6 +661,80 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     intra_cost = int(np.abs(
         dc_pred - src[:n, :n].astype(np.int32)).sum()) + 15 * lam
 
+    fcst = getattr(st, "_rd_costs", None)
+    if fcst is not None:
+        # ---- full loop (EbEncDecProcess.c:766): re-rank the fast-loop
+        # winners with true transform-domain distortion and exact
+        # entropy-table rates (coeff tokens, nmv mv bits, mode syntax) ----
+        base_lam = max(1, (ac_q * ac_q) >> 6)
+        lam_factor = lam / base_lam  # QPM/BEA modulation carried over
+        fc = fcst.fc
+
+        def _bitp(p, bit):
+            from tpu_vp9.codec.rd_cost import PROB_COST
+
+            return int(PROB_COST[256 - int(p)] if bit else
+                       PROB_COST[int(p)])
+
+        def single_ref_rate(rid):
+            rctx = single_ref_p1_ctx(st.mig, mi_row, mi_col)
+            not_last = rid != int(RefFrame.LAST)
+            r = _bitp(fc.single_ref_probs[rctx, 0], not_last)
+            if not_last:
+                rctx2 = single_ref_p2_ctx(st.mig, mi_row, mi_col)
+                r += _bitp(fc.single_ref_probs[rctx2, 1],
+                           rid == int(RefFrame.ALTREF))
+            return r
+
+        cands = []
+        for res in results:
+            cands.append(dict(
+                kind="inter", refs=res[6], mv=res[3], mode=res[2],
+                mode_context=res[5], nearest=res[4], ref_id=res[1],
+                ref_rate=single_ref_rate(res[1])))
+        if comp_choice is not None:
+            _, mode, mv0, mv1, pair = comp_choice
+            cctx = comp_inter_ctx(st.mig, mi_row, mi_col,
+                                  compound_refs(sign_bias)[0])
+            cands.append(dict(
+                kind="comp", refs=pair[0][6], refs2=pair[1],
+                mv=mv0, mv2=mv1, mode=mode, mode_context=pair[0][5],
+                nearest=pair[0][4], nearest2=pair[1][4],
+                ref_rate=_bitp(fc.comp_inter_probs[cctx], 1), pair=pair))
+        cands.append(dict(kind="intra", pred=dc_pred))
+        win = _full_loop_choose(st, fcst, cands, mi_row, mi_col, bsize,
+                                qindex, getattr(st, "_qbias", 0.38),
+                                lam_factor)
+        if win["kind"] == "intra":
+            mi = MI.ModeInfo(bsize=bsize, y_mode=IntraMode.DC_PRED,
+                             uv_mode=IntraMode.DC_PRED,
+                             tx_size=T.MAX_TX_SIZE[bsize], skip=False,
+                             is_inter=False)
+            mi.tile_mi_start = st.tile_mi_start
+            st.mig.set_block(mi_row, mi_col, bsize, mi)
+            return None
+        if win["kind"] == "comp":
+            pair = win["pair"]
+            mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize],
+                             skip=False, is_inter=True,
+                             ref_frame=(pair[0][1], pair[1][1]),
+                             mv=(tuple(win["mv"]), tuple(win["mv2"])),
+                             inter_mode=win["mode"])
+            mi.mode_context = pair[0][5]
+            mi.best_ref_mv = pair[0][4]
+            mi.best_ref_mv2 = pair[1][4]
+            st.mig.set_block(mi_row, mi_col, bsize, mi)
+            return (mi, mi_row, mi_col, bsize, win["preds"])
+        mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize],
+                         skip=False, is_inter=True,
+                         ref_frame=(win["ref_id"], -1),
+                         mv=(tuple(win["mv"]), (0, 0)),
+                         inter_mode=win["mode"])
+        mi.mode_context = win["mode_context"]
+        mi.best_ref_mv = win["nearest"]
+        st.mig.set_block(mi_row, mi_col, bsize, mi)
+        return (mi, mi_row, mi_col, bsize, win["preds"])
+
     inter_best = comp_choice[0] if comp_choice is not None else best[0]
     if intra_cost < inter_best:
         mi = MI.ModeInfo(bsize=bsize, y_mode=IntraMode.DC_PRED,
@@ -694,6 +768,121 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     st.mig.set_block(mi_row, mi_col, bsize, mi)
     preds = predict_inter_planes(st, chosen_refs, mi_row, mi_col, bsize, mvv)
     return (mi, mi_row, mi_col, bsize, preds)
+
+
+def _rd_probe_planes(st: FrameState, fcst, preds, mi_row: int, mi_col: int,
+                     bsize: BlockSize, qindex: int, qbias: float,
+                     is_inter: bool = True):
+    """Full-loop price of a prediction: transform/quant/recon all three
+    planes at the max tx size and return (dist_sse, coeff_rate_256,
+    all_zero).  The coefficient rate is the exact token-walk price under
+    this frame's entropy tables (EbEncDecProcess.c:766 full-loop stage;
+    EbRateDistortionCost.c coeff rates)."""
+    dc_q, ac_q = T.dc_quant(qindex), T.ac_quant(qindex)
+    tx = T.MAX_TX_SIZE[bsize]
+    dist = 0
+    rate = 0
+    all_zero = True
+    for pidx, (pred, px, py) in enumerate(preds):
+        pl = st.planes[pidx]
+        ss = pl.subsampling
+        w, h = T.BLOCK_WH[bsize]
+        bw, bh = w >> ss, h >> ss
+        src = pl.source[py : py + bh, px : px + bw].astype(np.int32)
+        txs = tx if pidx == 0 else MI.uv_tx_size(bsize, tx)
+        n = TX_PX[txs]
+        ky, kx = bh // n, bw // n
+        resid = (src - pred.astype(np.int32)).reshape(
+            ky, n, kx, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+        co = txfm.fwd_txfm2d(resid, txs, TxType.DCT_DCT)
+        lv = txfm.quantize_block(co, dc_q, ac_q, txs, bias=qbias)
+        dq = txfm.dequant_block(lv, dc_q, ac_q, txs)
+        ptiles = pred.reshape(ky, n, kx, n).transpose(0, 2, 1, 3) \
+            .reshape(-1, n, n)
+        rec = txfm.inv_txfm_add(dq.astype(np.int64), ptiles, txs,
+                                TxType.DCT_DCT)
+        stiles = src.reshape(ky, n, kx, n).transpose(0, 2, 1, 3) \
+            .reshape(-1, n, n)
+        d = rec.astype(np.int64) - stiles
+        wgt = 1 if pidx == 0 else 1  # planes weighted equally (PSNR-YUV)
+        dist += wgt * int((d * d).sum())
+        if lv.any():
+            all_zero = False
+            rate += int(fcst.coeff_rate(lv, txs, pidx > 0, is_inter,
+                                        1).sum())
+    return dist, rate, all_zero
+
+
+def _full_loop_choose(st: FrameState, fcst, cands, mi_row: int, mi_col: int,
+                      bsize: BlockSize, qindex: int, qbias: float,
+                      lam_factor: float = 1.0):
+    """RD-compare mode candidates with real distortions and rates.
+
+    cands: list of dicts with keys kind ('inter'|'comp'|'intra'),
+    and per-kind fields.  Returns the winning candidate dict with
+    'preds' attached (None for intra: phase 3 reconstructs those).
+    """
+    sctx = MI.skip_ctx(st.mig, mi_row, mi_col)
+    ictx = intra_inter_ctx(st.mig, mi_row, mi_col)
+    lam = fcst.lambda_bits * lam_factor
+    best = None
+    for cand in cands:
+        if cand["kind"] == "intra":
+            # open-loop probe: DC prediction from source refs (exact
+            # recon happens decode-ordered in phase 3)
+            pred = cand["pred"]
+            n = pred.shape[0]
+            pl = st.planes[0]
+            px, py = mi_col * 8, mi_row * 8
+            src = pl.source[py : py + n, px : px + n].astype(np.int32)
+            dc_q, ac_q = T.dc_quant(qindex), T.ac_quant(qindex)
+            txs = {4: TxSize.TX_4X4, 8: TxSize.TX_8X8, 16: TxSize.TX_16X16,
+                   32: TxSize.TX_32X32}[n]
+            resid = (src - pred)[None]
+            co = txfm.fwd_txfm2d(resid, txs, TxType.DCT_DCT)
+            lv = txfm.quantize_block(co, dc_q, ac_q, txs, bias=qbias)
+            dq = txfm.dequant_block(lv, dc_q, ac_q, txs)
+            rec = txfm.inv_txfm_add(dq.astype(np.int64),
+                                    pred[None].astype(np.int32), txs,
+                                    TxType.DCT_DCT)
+            d = rec[0].astype(np.int64) - src
+            dist = int((d * d).sum())
+            # the probe covers n x n of the block; scale to full area
+            bw = T.BLOCK_WH[bsize][0]
+            dist = dist * (bw * bw) // (n * n)
+            rate = int(fcst.intra_inter_cost[ictx][0])
+            rate += 2 * 256  # y/uv mode signaling approximation (DC)
+            if lv.any():
+                rate += int(fcst.skip_cost[sctx][0])
+                rate += int(fcst.coeff_rate(lv, txs, False, False, 1).sum())
+            else:
+                rate += int(fcst.skip_cost[sctx][1])
+            cost = dist + lam * rate / 256.0
+        else:
+            refs2 = cand.get("refs2")
+            preds = predict_inter_planes(
+                st, cand["refs"], mi_row, mi_col, bsize, cand["mv"],
+                refs2=refs2[6] if refs2 is not None else None,
+                mv2_q3=cand.get("mv2"))
+            dist, crate, zero = _rd_probe_planes(
+                st, fcst, preds, mi_row, mi_col, bsize, qindex, qbias)
+            rate = int(fcst.intra_inter_cost[ictx][1])
+            rate += int(fcst.inter_mode_cost[cand["mode_context"],
+                                             cand["mode"]])
+            rate += cand.get("ref_rate", 0)
+            if cand["mode"] == 3:
+                rate += fcst.mv_rate(cand["mv"], cand["nearest"])
+                if cand.get("mv2") is not None:
+                    rate += fcst.mv_rate(cand["mv2"], cand["nearest2"])
+            if zero:
+                rate += int(fcst.skip_cost[sctx][1])
+            else:
+                rate += int(fcst.skip_cost[sctx][0]) + crate
+            cost = dist + lam * rate / 256.0
+            cand = dict(cand, preds=preds)
+        if best is None or cost < best[0]:
+            best = (cost, cand)
+    return best[1]
 
 
 def decide_tx_sizes(st: FrameState, pending, qindex: int,
@@ -1033,7 +1222,8 @@ def encode_pframe(frame, refs, qindex: int,
                   tx_select: bool = False, use_tpu_me: bool = False,
                   fc_base=None, restrict_mv_modes: bool = False,
                   prev_mvs=None, part_depths=None, altref_refs=None,
-                  ref_ranges=None, sign_bias=(0, 0, 0), lambda_map=None):
+                  ref_ranges=None, sign_bias=(0, 0, 0), lambda_map=None,
+                  full_loop: bool = False):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -1052,6 +1242,15 @@ def encode_pframe(frame, refs, qindex: int,
     st._prev_mvs = prev_mvs
     st._sign_bias = (0,) + tuple(sign_bias)
     st._lambda_map = lambda_map
+    st._qbias = qbias
+    st._rd_costs = None
+    if full_loop:
+        from tpu_vp9.bitstream.tables import default_frame_context
+        from tpu_vp9.codec.rd_cost import FrameCosts
+
+        st._rd_costs = FrameCosts(
+            fc_base if fc_base is not None else default_frame_context(),
+            qindex)
     # Device ME pays off when the per-frame block count is large enough to
     # amortize the host<->device round-trip (and its one-time compile).
     if use_tpu_me and w * h >= 1280 * 720:

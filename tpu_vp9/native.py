@@ -67,6 +67,14 @@ def get_lib():
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p]
     lib.boolenc_write_coeffs.restype = ctypes.c_int
+    lib.coeff_token_cost.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.coeff_token_cost.restype = ctypes.c_int
+    lib.coeff_token_cost_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.vp9n_register_tx.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -238,6 +246,32 @@ def make_bool_encoder():
     from tpu_vp9.bitstream.bool_coder import BoolEncoder
 
     return BoolEncoder()
+
+
+def native_coeff_cost_batch(levels, tx_size: int, tx_type: int, probs_full,
+                            ctx0):
+    """Per-block coefficient token rate in 1/256-bit units.
+
+    levels: (B, n, n) int32 quantized levels (2-D coefficient layout);
+    probs_full: (6, 6, 11) uint8 full node probs; ctx0: (B,) int32
+    above+left entropy contexts.  Exact bool-coder cost of the token
+    stream boolenc_write_coeffs would emit (EbRateDistortionCost.c
+    coeff-rate analogue, table-driven instead of estimate-based)."""
+    import numpy as np
+
+    lib = get_lib()
+    lv = np.ascontiguousarray(levels, np.int32)
+    b, n, _ = lv.shape
+    pf = np.ascontiguousarray(probs_full, np.uint8)
+    c0 = np.ascontiguousarray(ctx0, np.int32)
+    out = np.empty(b, np.int32)
+    lib.coeff_token_cost_batch(
+        lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), b, n,
+        int(tx_size), int(tx_type),
+        pf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        c0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 def native_lf_plane(plane_view, dec, sb_span: int, px_per_step: int,

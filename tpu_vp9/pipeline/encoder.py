@@ -173,7 +173,8 @@ def encode_video(frames, cfg):
             tile, st = encode_pframe(
                 frame, refs, qindex, sig.block_size, sig.search_range,
                 qbias=sig.qbias, do_subpel=sig.do_subpel,
-                adaptive_partition=sig.adaptive_partition)
+                adaptive_partition=sig.adaptive_partition,
+                full_loop=getattr(sig, "full_loop", False))
             hdr = FrameHeader(
                 width=w, height=h, is_keyframe=False, error_resilient=True,
                 base_qindex=qindex, tx_mode=TxMode.ALLOW_32X32,

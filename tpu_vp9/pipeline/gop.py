@@ -373,7 +373,8 @@ class RaEncoder:
             tx_select=sig.tx_select, use_tpu_me=sig.use_tpu_me,
             fc_base=fc_base, restrict_mv_modes=False, prev_mvs=prev_mvs,
             part_depths=sig.part_depths, sign_bias=sign_bias,
-            lambda_map=lmap, log2_tile_cols=self.log2_tile_cols)
+            lambda_map=lmap, log2_tile_cols=self.log2_tile_cols,
+            full_loop=getattr(sig, "full_loop", False))
         # DPB wiring: LAST/GOLDEN/ALTREF -> slots; refresh for references
         last_slot = self.dpb.slot(gf.last_poc)
         golden_slot = (self.dpb.slot(gf.golden_poc)

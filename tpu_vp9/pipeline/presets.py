@@ -28,6 +28,7 @@ class PresetSignals:
     part_depths: tuple = None  # (min_bs, max_bs) quadtree partition RDO
     qpm: bool = False  # QPM/BEA analogue: per-SB lambda from analysis maps
     denoise: bool = False  # pre-encode weak denoise when noise detected
+    full_loop: bool = False  # MD full loop: true RD with entropy-table rates
 
 
 _LADDER = {
@@ -74,6 +75,10 @@ def derive_signals(cfg: EncoderConfig) -> PresetSignals:
     if int(cfg.enc_mode) <= 5:
         # quality presets run the analysis-driven QPM/BEA analogue
         sig = dataclasses.replace(sig, qpm=True)
+    if int(cfg.enc_mode) <= 4:
+        # MD full loop with entropy-table rates (EbEncDecProcess.c:766);
+        # faster presets stay on the SAD fast loop
+        sig = dataclasses.replace(sig, full_loop=True)
     if cfg.tune == Tune.SQ:
         # visual tune: slightly wider deadzone on high-energy coeffs,
         # QPM always on, denoiser gated by the noise estimate
