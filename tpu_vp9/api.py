@@ -146,6 +146,11 @@ class Vp9Encoder:
                 and (cfg.tpu_realtime == 1 or self._tpu_ok)):
             from tpu_vp9.pipeline.realtime import RtSession
 
+            from tpu_vp9.config import RateControlMode
+
+            rt_rc = (self._rc
+                     if cfg.rate_control_mode != RateControlMode.CQP
+                     else None)
             try:
                 self._rt = RtSession(
                     cfg.source_width, cfg.source_height,
@@ -154,6 +159,9 @@ class Vp9Encoder:
                     frame_parallel_decoding=cfg.frame_parallel_decoding,
                     want_recon=cfg.recon_file is not None,
                     loop_filter=cfg.loop_filter,
+                    # VBR/CBR: per-frame q + post-encode feedback ride
+                    # the shared controller (EbRateControlProcess ports)
+                    rc=rt_rc,
                     # M8 runs the 32-vs-16 partition decision; M9 keeps
                     # the uniform grid (speed ladder)
                     split16=int(cfg.enc_mode) <= 8)
@@ -384,7 +392,8 @@ class Vp9Encoder:
 
     def _emit_rt(self, ef) -> None:
         """Book-keep one realtime-path EncodedFrame into the packet queue."""
-        self._rc.update(len(ef.payload) * 8, ef.is_keyframe)
+        if self._rt.rc is None:  # session-held RC already got the feedback
+            self._rc.update(len(ef.payload) * 8, ef.is_keyframe)
         if self._rt.want_recon:
             st = ef.state
             h, w = self._cfg.source_height, self._cfg.source_width

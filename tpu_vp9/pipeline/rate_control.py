@@ -20,16 +20,32 @@ from tpu_vp9.pipeline import rc_curves as C
 from tpu_vp9.pipeline.presets import qp_to_qindex
 
 
+# per-temporal-layer share of the total bitrate, percent
+# (EbRateControlProcess.h:33 rate_percentage_layer_array)
+RATE_PCT_LAYER = (
+    (100, 0, 0, 0, 0, 0),
+    (70, 30, 0, 0, 0, 0),
+    (70, 15, 15, 0, 0, 0),
+    (55, 15, 15, 15, 0, 0),
+    (40, 15, 15, 15, 15, 0),
+    (30, 10, 15, 15, 15, 15),
+)
+FRAME_OVERHEAD_BITS = 200  # vp9_ratectrl.h
+
+
 @dataclass
 class RateControlState:
     cfg: EncoderConfig
     qindex: int = 100
     mbs: int = 0  # 16x16 macroblock count (libvpx bits_per_mb unit)
     target_bits_per_frame: float = 0.0
-    buffer_level: float = 0.0  # VBV fullness (bits)
+    buffer_level: float = 0.0  # VBV fullness (bits available to spend)
     buffer_size: float = 0.0
+    optimal_level: float = 0.0
     total_bits: float = 0.0
     frames_coded: int = 0
+    frames_since_key: int = 0
+    vbv_violations: int = 0
     # libvpx-style per-frame-type rate correction factors
     corr_key: float = 1.0
     corr_inter: float = 1.0
@@ -49,9 +65,28 @@ class RateControlState:
         if cfg.rate_control_mode != RateControlMode.CQP:
             fps = max(cfg.fps, 1.0)
             st.target_bits_per_frame = cfg.target_bit_rate / fps
-            st.buffer_size = cfg.vbv_buf_size or 2 * cfg.target_bit_rate
-            st.buffer_level = st.buffer_size * 0.5
+            # CBR always runs a VBV; VBR only when one is configured
+            # (vbv-maxrate/-bufsize flags work in both modes upstream)
+            if (cfg.rate_control_mode == RateControlMode.CBR
+                    or cfg.vbv_buf_size):
+                st.buffer_size = cfg.vbv_buf_size or 2 * cfg.target_bit_rate
+                st.optimal_level = st.buffer_size * 0.6
+                st.buffer_level = st.buffer_size * 0.5
         return st
+
+    def _layer_target(self, temporal_layer: int) -> float:
+        """Per-frame bit target of a temporal layer: the layer's share
+        of the bandwidth divided by its share of the frames
+        (EbRateControlProcess.c:104-109 layer reset)."""
+        avg = self.target_bits_per_frame
+        hl = int(np.clip(self.cfg.hierarchical_levels, 0, 5))
+        if temporal_layer < 0 or hl == 0:
+            return avg
+        tl = min(temporal_layer, hl)
+        pct = RATE_PCT_LAYER[hl][tl] or 5
+        gop = 1 << hl
+        n_frames = 1 if tl == 0 else (1 << (tl - 1))
+        return avg * (pct / 100.0) * gop / n_frames
 
     # -- q selection ---------------------------------------------------------
 
@@ -85,6 +120,12 @@ class RateControlState:
         target = self._frame_target(is_keyframe, temporal_layer)
         if not is_keyframe:
             target *= float(self.la_scale.get(poc, 1.0))
+        # hard VBV: a frame may never spend more than the buffer holds
+        # (vp9_rc_clamp_*frame_target_size + decoder-buffer constraint)
+        if self.buffer_size > 0:
+            target = min(target, max(self.buffer_level * 0.9,
+                                     FRAME_OVERHEAD_BITS))
+        target = max(target, FRAME_OVERHEAD_BITS)
         cf = self.corr_key if is_keyframe else self.corr_inter
         q = C.regulate_q(target, self.mbs, is_keyframe, cf, lo, hi)
         if not is_keyframe and temporal_layer > 0:  # noqa: SIM102
@@ -104,18 +145,38 @@ class RateControlState:
             five_level=self.cfg.hierarchical_levels >= 5)
 
     def _frame_target(self, is_key: bool, temporal_layer: int) -> float:
-        target = self.target_bits_per_frame
+        avg = self.target_bits_per_frame
+        fps = max(self.cfg.fps, 1.0)
         if is_key:
-            return target * 6.0  # kf boost budget (rc kf_boost analogue)
+            # calc_iframe_target_size_one_pass_cbr: frame 0 gets half
+            # the starting buffer; later keys a frames-since-key-scaled
+            # kf boost
+            if self.frames_coded == 0 and self.buffer_size > 0:
+                return self.buffer_level * 0.5
+            kf_boost = max(32.0, 2.0 * fps - 16.0)
+            if self.frames_since_key < fps / 2:
+                kf_boost *= self.frames_since_key / (fps / 2)
+            return avg * (16.0 + kf_boost) / 16.0
         if self.cfg.rate_control_mode == RateControlMode.CBR:
-            # one-pass CBR: lean against VBV drift
-            # (vp9_calc_pframe_target_size_one_pass_cbr semantics)
-            drift = (self.buffer_level - 0.5 * self.buffer_size)
-            target += drift / max(self.cfg.fps, 1.0) * 0.5
-        else:
-            # VBR: redistribute accumulated over/undershoot
-            target += self.vbr_bits_off_target * 0.05
-        return max(target, 64.0)
+            # calc_pframe_target_size_one_pass_cbr: steer toward the
+            # optimal buffer level, +-pct/200 per percent of deviation
+            target = avg
+            diff = self.optimal_level - self.buffer_level
+            one_pct = 1.0 + self.optimal_level / 100.0
+            shoot_pct = 50.0  # under/over_shoot_pct defaults
+            if diff > 0:
+                pct = min(diff / one_pct, shoot_pct)
+                target -= target * pct / 200.0
+            elif diff < 0:
+                pct = min(-diff / one_pct, shoot_pct)
+                target += target * pct / 200.0
+            return max(target, max(avg / 16.0, FRAME_OVERHEAD_BITS))
+        # VBR: per-layer share of the bandwidth + redistribution of the
+        # accumulated over/undershoot (EbRateControlProcess.c:434 VBR
+        # frame-level targets + rate_percentage_layer_array)
+        target = self._layer_target(temporal_layer)
+        target += self.vbr_bits_off_target * 0.08
+        return max(target, FRAME_OVERHEAD_BITS)
 
     # -- feedback -------------------------------------------------------------
 
@@ -124,8 +185,12 @@ class RateControlState:
         vp9_rc_update_rate_correction_factors + postencode_update."""
         self.total_bits += frame_bits
         self.frames_coded += 1
+        self.frames_since_key = 0 if is_keyframe \
+            else self.frames_since_key + 1
         if self.cfg.rate_control_mode == RateControlMode.CQP:
             return
+        if self.buffer_size > 0 and frame_bits > self.buffer_level:
+            self.vbv_violations += 1  # decoder buffer underflow
         if self._last is not None:
             q_used, was_key, _ = self._last
             cf = self.corr_key if was_key else self.corr_inter
@@ -145,9 +210,8 @@ class RateControlState:
         cap = self.target_bits_per_frame * max(self.cfg.fps, 1.0)
         self.vbr_bits_off_target = float(
             np.clip(self.vbr_bits_off_target, -cap, cap))
-        if self.cfg.rate_control_mode == RateControlMode.CBR:
-            # VBV accounting: drain at target rate, fill with frame bits
+        if self.buffer_size > 0:
+            # VBV accounting: fill at channel rate, drain by frame bits
             self.buffer_level += self.target_bits_per_frame - frame_bits
             self.buffer_level = float(
-                np.clip(self.buffer_level, -self.buffer_size,
-                        self.buffer_size))
+                np.clip(self.buffer_level, 0.0, self.buffer_size))
