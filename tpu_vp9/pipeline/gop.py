@@ -97,8 +97,11 @@ def layer_qindex(base_q: int, layer: int, n_layers: int,
 
     if n_layers <= 1:
         return base_q
+    # NEW_PRED_STRUCT indexes the OQ delta table with
+    # [hierarchical_levels == 4] (EbRateControlProcess.c:4703): 16-frame
+    # 4-level GOPs already ride the deeper 0.30/0.60/0.80/0.90 ladder
     return C.qp_scaling_qindex(base_q, False, layer, tune=tune,
-                               five_level=n_layers > 5)
+                               five_level=n_layers >= 5)
 
 
 class DpbAllocator:

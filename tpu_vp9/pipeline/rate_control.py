@@ -142,7 +142,7 @@ class RateControlState:
             return base  # caller manages its own layer offsets
         return C.qp_scaling_qindex(
             base, is_key, temporal_layer, tune=int(self.cfg.tune),
-            five_level=self.cfg.hierarchical_levels >= 5)
+            five_level=self.cfg.hierarchical_levels >= 4)
 
     def _frame_target(self, is_key: bool, temporal_layer: int) -> float:
         avg = self.target_bits_per_frame
