@@ -724,6 +724,56 @@ int64_t mc_block_sad_avg(const uint8_t* padded0, int stride0,
     return sad;
 }
 
+// SSE variants of the fused MC metrics: the mode-decision fast loop
+// costs candidates in squared-error units (dimensionally consistent
+// with the q^2 lambda; captures compound noise-averaging gains SAD
+// cannot see).
+int64_t mc_block_sse(const uint8_t* padded, int stride, int border,
+                     int mi_row, int mi_col, int w, int h,
+                     int mv_row_q3, int mv_col_q3,
+                     int mi_rows, int mi_cols,
+                     const uint8_t* src, int src_stride,
+                     const int16_t* filters) {
+    uint8_t pred[64 * 64];
+    mc_predict_y(padded, stride, border, mi_row, mi_col, w, h, mv_row_q3,
+                 mv_col_q3, mi_rows, mi_cols, filters, pred);
+    int64_t sse = 0;
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* s = src + (int64_t)y * src_stride;
+        const uint8_t* p = pred + y * w;
+        for (int x = 0; x < w; ++x) {
+            int d = (int)p[x] - (int)s[x];
+            sse += (int64_t)d * d;
+        }
+    }
+    return sse;
+}
+
+int64_t mc_block_sse_avg(const uint8_t* padded0, int stride0,
+                         const uint8_t* padded1, int stride1, int border,
+                         int mi_row, int mi_col, int w, int h,
+                         int mv0_row_q3, int mv0_col_q3,
+                         int mv1_row_q3, int mv1_col_q3,
+                         int mi_rows, int mi_cols,
+                         const uint8_t* src, int src_stride,
+                         const int16_t* filters) {
+    uint8_t p0[64 * 64], p1[64 * 64];
+    mc_predict_y(padded0, stride0, border, mi_row, mi_col, w, h, mv0_row_q3,
+                 mv0_col_q3, mi_rows, mi_cols, filters, p0);
+    mc_predict_y(padded1, stride1, border, mi_row, mi_col, w, h, mv1_row_q3,
+                 mv1_col_q3, mi_rows, mi_cols, filters, p1);
+    int64_t sse = 0;
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* s = src + (int64_t)y * src_stride;
+        for (int x = 0; x < w; ++x) {
+            int avg = ((int)p0[y * w + x] + (int)p1[y * w + x] + 1) >> 1;
+            int d = avg - (int)s[x];
+            sse += (int64_t)d * d;
+        }
+    }
+    return sse;
+}
+
 // Rectangular full-pel exhaustive SAD search (w x h block, strided src).
 void sad_full_search_rect(const uint8_t* src, int src_stride, int w, int h,
                           const uint8_t* region, int region_stride, int r,

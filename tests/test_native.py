@@ -260,3 +260,41 @@ def test_native_coeff_token_cost_matches_python_oracle():
                     want = [R._py_coeff_cost(lv[i], ts, probs, c0)
                             for i in range(7)]
                     assert got.tolist() == want, (ts, density, uv, c0)
+
+
+def test_native_mc_sse_matches_python():
+    """SSE fused-MC metrics must equal the python predict + square sum."""
+    from tpu_vp9 import native as nat
+    from tpu_vp9.ops import inter as inter_ops
+    from tpu_vp9.ops.inter import BORDER
+
+    if nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    h, w = 64, 96
+    mi_rows, mi_cols = h // 8, w // 8
+    plane = rng.integers(0, 255, (h + 2 * BORDER, w + 2 * BORDER),
+                         dtype=np.uint8)
+    plane2 = rng.integers(0, 255, plane.shape, dtype=np.uint8)
+    src = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    for _ in range(40):
+        bw = int(rng.choice([8, 16, 32]))
+        mi_r = int(rng.integers(0, mi_rows - bw // 8 + 1))
+        mi_c = int(rng.integers(0, mi_cols - bw // 8 + 1))
+        mv = (int(rng.integers(-100, 100)), int(rng.integers(-100, 100)))
+        mv2 = (int(rng.integers(-100, 100)), int(rng.integers(-100, 100)))
+        blk = src[mi_r * 8 : mi_r * 8 + bw, mi_c * 8 : mi_c * 8 + bw]
+        got = nat.native_mc_sse(plane, BORDER, mi_r, mi_c, bw, bw, mv,
+                                mi_rows, mi_cols, blk)
+        pred = inter_ops.predict_inter_block(
+            plane, mi_r, mi_c, 0, 0, bw, bw, mv, 0, mi_rows, mi_cols)
+        d = pred.astype(np.int64) - blk.astype(np.int64)
+        assert got == int((d * d).sum())
+        got2 = nat.native_mc_sse_avg(plane, plane2, BORDER, mi_r, mi_c,
+                                     bw, bw, mv, mv2, mi_rows, mi_cols,
+                                     blk)
+        p2 = inter_ops.predict_inter_block(
+            plane2, mi_r, mi_c, 0, 0, bw, bw, mv2, 0, mi_rows, mi_cols)
+        avg = (pred.astype(np.int64) + p2.astype(np.int64) + 1) >> 1
+        d2 = avg - blk.astype(np.int64)
+        assert got2 == int((d2 * d2).sum())

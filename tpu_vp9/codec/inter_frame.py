@@ -478,14 +478,17 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     use_native = nat.get_lib() is not None
 
     def mc_sad(ref_planes, mv_q3):
+        # squared-error metric: dimensionally matched to the q^2 lambda
+        # and sensitive to compound noise-averaging (SAD is not)
         if use_native:
-            return nat.native_mc_sad(ref_planes[0], BORDER, mi_row, mi_col,
+            return nat.native_mc_sse(ref_planes[0], BORDER, mi_row, mi_col,
                                      w, h, mv_q3, st.mi_rows, st.mi_cols,
                                      src)
         pred = inter_ops.predict_inter_block(
             ref_planes[0], mi_row, mi_col, 0, 0, w, h, mv_q3, 0,
             st.mi_rows, st.mi_cols)
-        return int(np.abs(pred.astype(np.int32) - src.astype(np.int32)).sum())
+        d = pred.astype(np.int64) - src.astype(np.int64)
+        return int((d * d).sum())
 
     prev_mvs = getattr(st, "_prev_mvs", None)
     # with temporal MVs modeled, the candidate list is fully known and no
@@ -583,14 +586,17 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
     results = [eval_ref(int(RefFrame.LAST), refs, 0,
                         ranges.get(int(RefFrame.LAST), search_range))]
     golden_refs = getattr(st, "_golden_refs", None)
-    # lossless GOLDEN skip: the cheapest possible GOLDEN mode costs
-    # (1 + extra_rate) * lam even at zero SAD
-    if golden_refs is not None and results[0][0] > 3 * lam:
+    # cheap-LAST no longer skips the other references outright: compound
+    # averaging of two anchors' quantization noise is a ~1-2 dB win on
+    # low-motion leaves (the reference injects bi-pred candidates at all
+    # presets, EbModeDecision.c:421), and eval_ref's internal NEWMV skip
+    # already makes the extra evaluations predictor-only when cheap
+    if golden_refs is not None:
         results.append(eval_ref(
             int(RefFrame.GOLDEN), golden_refs, 2,
             ranges.get(int(RefFrame.GOLDEN), max(search_range // 2, 8))))
     altref_refs = getattr(st, "_altref_refs", None)
-    if altref_refs is not None and results[0][0] > 3 * lam:
+    if altref_refs is not None:
         results.append(eval_ref(
             int(RefFrame.ALTREF), altref_refs, 2,
             ranges.get(int(RefFrame.ALTREF), search_range)))
@@ -614,7 +620,7 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
 
             def comp_sad(p0_planes, p1_planes, mv0, mv1):
                 if use_native:
-                    return nat.native_mc_sad_avg(
+                    return nat.native_mc_sse_avg(
                         p0_planes[0], p1_planes[0], BORDER, mi_row, mi_col,
                         w, h, mv0, mv1, st.mi_rows, st.mi_cols, src)
                 p0 = inter_ops.predict_inter_block(
@@ -623,8 +629,9 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
                 p1 = inter_ops.predict_inter_block(
                     p1_planes[0], mi_row, mi_col, 0, 0, w, h, mv1, 0,
                     st.mi_rows, st.mi_cols)
-                avg = (p0.astype(np.int32) + p1.astype(np.int32) + 1) >> 1
-                return int(np.abs(avg - src.astype(np.int32)).sum())
+                avg = (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
+                d = avg - src.astype(np.int64)
+                return int((d * d).sum())
 
             for var in var_refs:
                 vr = by_ref.get(var)
@@ -658,8 +665,8 @@ def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
         pl.source, px, py, n, pl.width, pl.height, ha, hl, False)
     dc_pred = intra_ops.predict_block_full(IntraMode.DC_PRED, above, al,
                                            left, ha, hl, n)
-    intra_cost = int(np.abs(
-        dc_pred - src[:n, :n].astype(np.int32)).sum()) + 15 * lam
+    _di = dc_pred.astype(np.int64) - src[:n, :n].astype(np.int64)
+    intra_cost = int((_di * _di).sum()) + 15 * lam
 
     fcst = getattr(st, "_rd_costs", None)
     if fcst is not None:

@@ -111,6 +111,8 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.mc_block_sad.restype = ctypes.c_int64
+    lib.mc_block_sse.argtypes = lib.mc_block_sad.argtypes
+    lib.mc_block_sse.restype = ctypes.c_int64
     lib.mc_block_sad_avg.argtypes = [
         ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -119,6 +121,8 @@ def get_lib():
         ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.mc_block_sad_avg.restype = ctypes.c_int64
+    lib.mc_block_sse_avg.argtypes = lib.mc_block_sad_avg.argtypes
+    lib.mc_block_sse_avg.restype = ctypes.c_int64
     lib.sad_full_search_rect.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -369,6 +373,43 @@ def native_mc_sad_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
     if src.dtype != np.uint8 or src.strides[1] != 1:
         src = np.ascontiguousarray(src, np.uint8)
     return int(lib.mc_block_sad_avg(
+        ref0_padded.ctypes.data, ref0_padded.strides[0],
+        ref1_padded.ctypes.data, ref1_padded.strides[0], border,
+        mi_row, mi_col, w, h,
+        int(mv0_q3[0]), int(mv0_q3[1]), int(mv1_q3[0]), int(mv1_q3[1]),
+        mi_rows, mi_cols, src.ctypes.data, src.strides[0],
+        _filters_addr()))
+
+
+def native_mc_sse(ref_padded, border: int, mi_row: int, mi_col: int,
+                  w: int, h: int, mv_q3, mi_rows: int, mi_cols: int,
+                  src_block):
+    """Fused MC + squared error (fast-loop RD metric; q^2-lambda
+    consistent, sees compound noise-averaging gains)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.asarray(src_block)
+    if src.dtype != np.uint8 or src.strides[1] != 1:
+        src = np.ascontiguousarray(src, np.uint8)
+    return int(lib.mc_block_sse(
+        ref_padded.ctypes.data, ref_padded.strides[0], border,
+        mi_row, mi_col, w, h, int(mv_q3[0]), int(mv_q3[1]),
+        mi_rows, mi_cols, src.ctypes.data, src.strides[0],
+        _filters_addr()))
+
+
+def native_mc_sse_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
+                      mi_col: int, w: int, h: int, mv0_q3, mv1_q3,
+                      mi_rows: int, mi_cols: int, src_block):
+    """Compound averaged MC + squared error."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.asarray(src_block)
+    if src.dtype != np.uint8 or src.strides[1] != 1:
+        src = np.ascontiguousarray(src, np.uint8)
+    return int(lib.mc_block_sse_avg(
         ref0_padded.ctypes.data, ref0_padded.strides[0],
         ref1_padded.ctypes.data, ref1_padded.strides[0], border,
         mi_row, mi_col, w, h,
