@@ -187,10 +187,12 @@ def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
 
 def _mc_sad(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c, n, mi_rows,
             mi_cols, filters, x_base=0):
+    """Exact-MC squared error per block (SSE metric: dimensionally
+    consistent with the q^2 lambda, like the host fast loop)."""
     pred = mc_predict_batch(ref_padded, pos_y, pos_x, mv_r, mv_c, n, 0,
                             mi_rows, mi_cols, filters, x_base)
-    return jnp.abs(pred.astype(jnp.int32)
-                   - src_blocks.astype(jnp.int32)).sum(axis=(1, 2))
+    d = pred.astype(jnp.int32) - src_blocks.astype(jnp.int32)
+    return (d * d).sum(axis=(1, 2))
 
 
 # ---------------------------------------------------------------------------
