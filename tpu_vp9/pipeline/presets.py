@@ -103,8 +103,9 @@ def derive_signals(cfg: EncoderConfig) -> PresetSignals:
     return sig
 
 
-# quantizer (0-63) to qindex (0-255): spec quantizer_to_qindex ladder
-QUANTIZER_TO_QINDEX = [q * 4 for q in range(64)]
+# quantizer (0-63) to qindex (0-255): q*4 except the top two entries
+# (249/255), matching vp9_quantize.c:323 quantizer_to_qindex
+QUANTIZER_TO_QINDEX = [q * 4 for q in range(62)] + [249, 255]
 
 
 def qp_to_qindex(qp: int) -> int:

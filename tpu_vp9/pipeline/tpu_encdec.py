@@ -239,14 +239,31 @@ def _extract_search_windows(ref_padded, n: int, rows: int, cols: int,
     """
     sw = n + 2 * WIN_R + 8
     oy = BORDER - WIN_R - 4
-    ridx = ((np.arange(rows) * n)[:, None] + np.arange(sw)[None, :]
-            + y_base + oy)
-    cidx = col_px[:, None] + np.arange(sw)[None, :] + oy
-    strips = ref_padded[jnp.asarray(ridx.reshape(-1), jnp.int32)]
-    strips = strips.reshape(rows, sw, ref_padded.shape[1])
-    wins = strips[:, :, jnp.asarray(cidx.reshape(-1), jnp.int32)]
-    wins = wins.reshape(rows, sw, cols, sw).transpose(0, 2, 1, 3)
-    return wins.reshape(rows * cols, sw, sw)
+    # regular n-strided window starts decompose into ceil(sw/n)
+    # contiguous reshape-chunks per axis — memcpy-class data movement
+    # instead of a (B*sw*sw)-element gather (which measured 83 ms at
+    # 1080p on v5e; this form is ~5 ms)
+    assert np.array_equal(col_px, col_px[0] + np.arange(cols) * n), \
+        "col origins must be n-strided"
+    x_base = int(col_px[0])
+    n_chunks = (sw + n - 1) // n
+    row_chunks = []
+    for i0 in range(n_chunks):
+        wlen = min(n, sw - i0 * n)
+        y0 = y_base + oy + i0 * n
+        sl = jax.lax.slice_in_dim(ref_padded, y0, y0 + rows * n, axis=0)
+        sl = sl.reshape(rows, n, -1)[:, :wlen]
+        row_chunks.append(sl)
+    strips = jnp.concatenate(row_chunks, axis=1)  # (rows, sw, W)
+    col_chunks = []
+    for j0 in range(n_chunks):
+        wlen = min(n, sw - j0 * n)
+        x0 = x_base + oy + j0 * n
+        sl = jax.lax.slice_in_dim(strips, x0, x0 + cols * n, axis=2)
+        sl = sl.reshape(rows, sw, cols, n)[..., :wlen]
+        col_chunks.append(sl)
+    wins = jnp.concatenate(col_chunks, axis=3)  # (rows, sw, cols, sw)
+    return wins.transpose(0, 2, 1, 3).reshape(rows * cols, sw, sw)
 
 
 def _full_search_sse_mxu(src_blocks, wins, n: int):
