@@ -73,8 +73,8 @@ def _measure_1080p_rt():
     refs = (extend_borders_device(src_y, w, h),
             extend_borders_device(src_u, w // 2, h // 2),
             extend_borders_device(src_v, w // 2, h // 2))
-    pm32 = jnp.zeros((g.n_blocks32, 2), jnp.int32)
-    pm16 = jnp.zeros((g.cols16 if g.strip else 1, 2), jnp.int32)
+    pm32 = jnp.zeros_like(sess._prev_mv32)
+    pm16 = jnp.zeros_like(sess._prev_mv16)
     from tpu_vp9.bitstream import tables as T
     from tpu_vp9.ops.loopfilter import pick_filter_level, sharpness_limits
 
@@ -105,11 +105,18 @@ def main() -> None:
     from tpu_vp9.utils.yuv import synthetic_frames
 
     rt_e2e = rt_step = rt_bpf = None
+    tpu_error = None
     if tpu_alive():
         try:
             rt_e2e, rt_step, rt_bpf = _measure_1080p_rt()
         except Exception:
-            pass
+            import traceback
+
+            tpu_error = traceback.format_exc(limit=8)
+    else:
+        from tpu_vp9.utils.device import tpu_dead_reason
+
+        tpu_error = f"tpu_alive=False: {tpu_dead_reason()}"
 
     # --- CIF random-access host path at M8 (BASELINE config 1) ---
     n_frames = 17  # key + one full 16-frame RA pyramid
@@ -168,6 +175,7 @@ def main() -> None:
         "cif_m0_fps": round(m0_fps, 2),
         "cif_m0_bytes_per_frame": m0_bytes // max(len(frames), 1),
         "cif_bytes_per_frame": total_bytes // max(len(frames) - 1, 1),
+        "tpu_error": tpu_error,
     }))
 
 

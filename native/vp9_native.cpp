@@ -884,3 +884,1012 @@ void boolenc_put_many(BoolEnc* e, const uint8_t* bits, const uint8_t* probs,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Fast-loop mode decision for the uniform-grid P-frame path (presets M5-M9).
+//
+// One call per tile runs the whole per-leaf candidate evaluation natively in
+// decode order: the normative MV-reference scan (vp9_mvref_common.c
+// semantics, reading the flat mode-info field arrays), NEAREST/NEAR/ZERO
+// predictor costs, full-pel (+HME) and subpel NEW search, compound-average
+// candidates, and the open-loop intra-DC fallback.  Bit-identical to the
+// Python decide_leaf_inter loop (asserted by tests/test_native_fastloop.py);
+// reference analogue: EbEncDecProcess.c perform_fast_loop (:180) +
+// EbModeDecision.c candidate injection (:185-457).
+// ===========================================================================
+
+namespace fastloop {
+
+static const int BW_PX[13] = {4, 4, 8, 8, 8, 16, 16, 16, 32, 32, 32, 64, 64};
+static const int BH_PX[13] = {4, 8, 4, 8, 16, 8, 16, 32, 16, 32, 64, 32, 64};
+
+// MV_REF_BLOCKS (row, col) scan offsets per bsize (vp9_mvref_common.c)
+static const int8_t MVREF[13][8][2] = {
+    {{-1, 0}, {0, -1}, {-1, -1}, {-2, 0}, {0, -2}, {-2, -1}, {-1, -2}, {-2, -2}},
+    {{-1, 0}, {0, -1}, {-1, -1}, {-2, 0}, {0, -2}, {-2, -1}, {-1, -2}, {-2, -2}},
+    {{-1, 0}, {0, -1}, {-1, -1}, {-2, 0}, {0, -2}, {-2, -1}, {-1, -2}, {-2, -2}},
+    {{-1, 0}, {0, -1}, {-1, -1}, {-2, 0}, {0, -2}, {-2, -1}, {-1, -2}, {-2, -2}},
+    {{0, -1}, {-1, 0}, {1, -1}, {-1, -1}, {0, -2}, {-2, 0}, {-2, -1}, {-1, -2}},
+    {{-1, 0}, {0, -1}, {-1, 1}, {-1, -1}, {-2, 0}, {0, -2}, {-1, -2}, {-2, -1}},
+    {{-1, 0}, {0, -1}, {-1, 1}, {1, -1}, {-1, -1}, {-3, 0}, {0, -3}, {-3, -3}},
+    {{0, -1}, {-1, 0}, {2, -1}, {-1, -1}, {-1, 1}, {0, -3}, {-3, 0}, {-3, -3}},
+    {{-1, 0}, {0, -1}, {-1, 2}, {-1, -1}, {1, -1}, {-3, 0}, {0, -3}, {-3, -3}},
+    {{-1, 1}, {1, -1}, {-1, 2}, {2, -1}, {-1, -1}, {-3, 0}, {0, -3}, {-3, -3}},
+    {{0, -1}, {-1, 0}, {4, -1}, {-1, 2}, {-1, -1}, {0, -3}, {-3, 0}, {2, -1}},
+    {{-1, 0}, {0, -1}, {-1, 4}, {2, -1}, {-1, -1}, {-3, 0}, {0, -3}, {-1, 2}},
+    {{-1, 3}, {3, -1}, {-1, 4}, {4, -1}, {-1, -1}, {-1, 0}, {0, -1}, {-1, 6}},
+};
+
+static const int COUNTER_TO_CONTEXT[19] = {2, 3, 4, 1, 3, 9, 0, 9, 9, 5,
+                                           5, 9, 5, 9, 9, 9, 9, 9, 6};
+
+static inline int mode2counter(int combined_mode) {
+    // intra x10 -> 9; NEAREST(10) 0, NEAR(11) 0, ZERO(12) 3, NEW(13) 1
+    if (combined_mode < 10) return 9;
+    if (combined_mode == 12) return 3;
+    if (combined_mode == 13) return 1;
+    return 0;
+}
+
+struct MiGrid {
+    int mi_rows, mi_cols;
+    uint8_t* inter;
+    int8_t* ref0;
+    int8_t* ref1;
+    int8_t* mode;
+    int32_t* mv0;  // [cell][2]
+    int32_t* mv1;
+};
+
+struct RefPlane {
+    const uint8_t* full;   // border-extended plane
+    const uint8_t* half;   // HME pyramid (may be null)
+    const uint8_t* quarter;
+    int fh, fw;            // full plane dims (incl. borders)
+    int range;             // full-pel search range (<=0 => absent)
+};
+
+struct Ctx {
+    MiGrid g;
+    const uint8_t* src;  // padded source Y plane
+    int64_t src_stride;
+    int border, frame_w, frame_h;
+    int tile_mi_start, tile_mi_end;
+    int64_t lam;
+    int do_subpel, restrict_flag;
+    const int32_t* sign_bias;  // [4]
+    const int8_t* prev_ref0;
+    const int8_t* prev_ref1;
+    const int32_t* prev_mv0;
+    const int32_t* prev_mv1;
+    const int16_t* filters;
+    RefPlane refs[3];  // LAST, GOLDEN, ALTREF
+};
+
+struct MvRefs {
+    int mv[2][2];   // (row, col) x2
+    int mode_ctx;
+    int stable;
+};
+
+static const int MV_BORDER_Q3 = 16 << 3;
+
+static void mb_edges(int mi_row, int mi_col, int bsize, int mi_rows,
+                     int mi_cols, int* tl, int* tr, int* tt, int* tb) {
+    int bw = BW_PX[bsize] >= 8 ? BW_PX[bsize] / 8 : 1;
+    int bh = BH_PX[bsize] >= 8 ? BH_PX[bsize] / 8 : 1;
+    *tl = -(mi_col * 8) * 8;
+    *tr = ((mi_cols - bw - mi_col) * 8) * 8;
+    *tt = -(mi_row * 8) * 8;
+    *tb = ((mi_rows - bh - mi_row) * 8) * 8;
+}
+
+static inline void clamp_mv(int* r, int* c, int lo_c, int hi_c, int lo_r,
+                            int hi_r) {
+    if (*r < lo_r) *r = lo_r;
+    if (*r > hi_r) *r = hi_r;
+    if (*c < lo_c) *c = lo_c;
+    if (*c > hi_c) *c = hi_c;
+}
+
+// ADD_MV_REF_LIST semantics: unique-2 early exit.  Returns true when done.
+static inline bool add_mv(MvRefs* o, int* n, int r, int c) {
+    if (*n > 0) {
+        if (r != o->mv[0][0] || c != o->mv[0][1]) {
+            o->mv[1][0] = r;
+            o->mv[1][1] = c;
+            *n = 2;
+            return true;
+        }
+    } else {
+        o->mv[0][0] = r;
+        o->mv[0][1] = c;
+        *n = 1;
+    }
+    return false;
+}
+
+static void find_mv_refs(const Ctx& ctx, int mi_row, int mi_col, int bsize,
+                         int ref_frame, MvRefs* out) {
+    const MiGrid& g = ctx.g;
+    const int8_t(*search)[2] = MVREF[bsize];
+    int n = 0, counter = 0;
+    bool different_ref_found = false, done = false;
+    const int this_bias = ctx.sign_bias[ref_frame];
+
+    auto inside = [&](int i) -> int64_t {
+        int r = mi_row + search[i][0], c = mi_col + search[i][1];
+        if (r < 0 || c < ctx.tile_mi_start || r >= g.mi_rows) return -1;
+        int lim = g.mi_cols < ctx.tile_mi_end ? g.mi_cols : ctx.tile_mi_end;
+        if (c >= lim) return -1;
+        return (int64_t)r * g.mi_cols + c;
+    };
+    auto flip_r = [&](int v, int cand_ref) {
+        return ctx.sign_bias[cand_ref] != this_bias ? -v : v;
+    };
+
+    for (int i = 0; i < 2 && !done; ++i) {
+        int64_t cell = inside(i);
+        if (cell < 0) continue;
+        counter += mode2counter(g.mode[cell]);
+        different_ref_found = true;
+        if (g.inter[cell] && g.ref0[cell] == ref_frame) {
+            done = add_mv(out, &n, g.mv0[cell * 2], g.mv0[cell * 2 + 1]);
+        } else if (g.inter[cell] && g.ref1[cell] == ref_frame) {
+            done = add_mv(out, &n, g.mv1[cell * 2], g.mv1[cell * 2 + 1]);
+        }
+    }
+    if (!done) {
+        for (int i = 2; i < 8 && !done; ++i) {
+            int64_t cell = inside(i);
+            if (cell < 0) continue;
+            different_ref_found = true;
+            if (g.inter[cell] && g.ref0[cell] == ref_frame) {
+                done = add_mv(out, &n, g.mv0[cell * 2], g.mv0[cell * 2 + 1]);
+            } else if (g.inter[cell] && g.ref1[cell] == ref_frame) {
+                done = add_mv(out, &n, g.mv1[cell * 2], g.mv1[cell * 2 + 1]);
+            }
+        }
+    }
+    out->stable = n;
+    const int64_t pc = (int64_t)mi_row * g.mi_cols + mi_col;
+    if (!done && ctx.prev_ref0 != nullptr) {
+        if (ctx.prev_ref0[pc] == ref_frame) {
+            done = add_mv(out, &n, ctx.prev_mv0[pc * 2],
+                          ctx.prev_mv0[pc * 2 + 1]);
+        } else if (ctx.prev_ref1[pc] == ref_frame) {
+            done = add_mv(out, &n, ctx.prev_mv1[pc * 2],
+                          ctx.prev_mv1[pc * 2 + 1]);
+        }
+    }
+    if (!done && different_ref_found) {
+        for (int i = 0; i < 8 && !done; ++i) {
+            int64_t cell = inside(i);
+            if (cell < 0) continue;
+            if (!g.inter[cell]) continue;
+            if (g.ref0[cell] != ref_frame) {
+                done = add_mv(out, &n,
+                              flip_r(g.mv0[cell * 2], g.ref0[cell]),
+                              flip_r(g.mv0[cell * 2 + 1], g.ref0[cell]));
+                if (done) break;
+            }
+            if (g.ref1[cell] > 0 && g.ref1[cell] != ref_frame &&
+                (g.mv1[cell * 2] != g.mv0[cell * 2] ||
+                 g.mv1[cell * 2 + 1] != g.mv0[cell * 2 + 1])) {
+                done = add_mv(out, &n,
+                              flip_r(g.mv1[cell * 2], g.ref1[cell]),
+                              flip_r(g.mv1[cell * 2 + 1], g.ref1[cell]));
+            }
+        }
+    }
+    if (!done && ctx.prev_ref0 != nullptr) {
+        int p0 = ctx.prev_ref0[pc];
+        if (p0 != ref_frame && p0 > 0) {
+            done = add_mv(out, &n, flip_r(ctx.prev_mv0[pc * 2], p0),
+                          flip_r(ctx.prev_mv0[pc * 2 + 1], p0));
+        }
+        if (!done) {
+            int p1 = ctx.prev_ref1[pc];
+            int m0r = ctx.prev_mv0[pc * 2], m0c = ctx.prev_mv0[pc * 2 + 1];
+            int m1r = ctx.prev_mv1[pc * 2], m1c = ctx.prev_mv1[pc * 2 + 1];
+            if (p1 > 0 && p1 != ref_frame && (m1r != m0r || m1c != m0c)) {
+                add_mv(out, &n, flip_r(m1r, p1), flip_r(m1c, p1));
+            }
+        }
+    }
+    for (; n < 2; ++n) {
+        out->mv[n][0] = 0;
+        out->mv[n][1] = 0;
+    }
+    out->mode_ctx = COUNTER_TO_CONTEXT[counter];
+    int tl, tr, tt, tb;
+    mb_edges(mi_row, mi_col, bsize, g.mi_rows, g.mi_cols, &tl, &tr, &tt, &tb);
+    for (int i = 0; i < 2; ++i) {
+        clamp_mv(&out->mv[i][0], &out->mv[i][1], tl - MV_BORDER_Q3,
+                 tr + MV_BORDER_Q3, tt - MV_BORDER_Q3, tb + MV_BORDER_Q3);
+    }
+}
+
+static const int MV_MARGIN_Q3 = (160 - 4) << 3;
+
+// lower_mv_precision (allow_hp = false) + clamp_mv2 -> (nearest, near)
+static void best_ref_mvs(const MvRefs& refs, int mi_row, int mi_col,
+                         int bsize, int mi_rows, int mi_cols, int nearest[2],
+                         int nearv[2]) {
+    int tl, tr, tt, tb;
+    mb_edges(mi_row, mi_col, bsize, mi_rows, mi_cols, &tl, &tr, &tt, &tb);
+    for (int i = 0; i < 2; ++i) {
+        int r = refs.mv[i][0], c = refs.mv[i][1];
+        if (r & 1) r += r > 0 ? -1 : 1;
+        if (c & 1) c += c > 0 ? -1 : 1;
+        clamp_mv(&r, &c, tl - MV_MARGIN_Q3, tr + MV_MARGIN_Q3,
+                 tt - MV_MARGIN_Q3, tb + MV_MARGIN_Q3);
+        (i == 0 ? nearest : nearv)[0] = r;
+        (i == 0 ? nearest : nearv)[1] = c;
+    }
+}
+
+static inline int clampi(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// ops/me.py full_pel_search: exhaustive SAD over +-r around a clamped
+// center; first minimum (row-major) wins.  src_blk points at the block's
+// top-left pixel (any stride); (px, py) locate the block in PLANE coords.
+static void full_pel_search(const uint8_t* plane, int ph, int pw, int border,
+                            const uint8_t* src_blk, int64_t src_stride,
+                            int px, int py, int w, int h, int r, int cy_in,
+                            int cx_in, int* best_dy, int* best_dx,
+                            int64_t* best_sad) {
+    int cy = clampi(cy_in, r - border - py, ph - border - py - h - r);
+    int cx = clampi(cx_in, r - border - px, pw - border - px - w - r);
+    const int y0 = border + py + cy - r;
+    const int x0 = border + px + cx - r;
+    int64_t best = INT64_MAX;
+    int bdy = 0, bdx = 0;
+    for (int dy = 0; dy <= 2 * r; ++dy) {
+        for (int dx = 0; dx <= 2 * r; ++dx) {
+            const uint8_t* q = plane + (int64_t)(y0 + dy) * pw + x0 + dx;
+            int64_t sad = 0;
+            for (int y = 0; y < h; ++y) {
+                const uint8_t* a = src_blk + (int64_t)y * src_stride;
+                const uint8_t* b = q + (int64_t)y * pw;
+                for (int x = 0; x < w; ++x) {
+                    int d = (int)a[x] - (int)b[x];
+                    sad += d < 0 ? -d : d;
+                }
+                if (sad >= best) break;
+            }
+            if (sad < best) {
+                best = sad;
+                bdy = dy - r;
+                bdx = dx - r;
+            }
+        }
+    }
+    *best_dy = cy + bdy;
+    *best_dx = cx + bdx;
+    *best_sad = best;
+}
+
+// ops/hme.py downsample2x: 2x2 box average, odd trailing row/col
+// replicated.  out must hold ceil(h/2) * ceil(w/2).
+static void downsample2x(const uint8_t* p, int64_t stride, int h, int w,
+                         uint8_t* out, int* oh, int* ow) {
+    int h2 = (h + 1) / 2, w2 = (w + 1) / 2;
+    for (int y = 0; y < h2; ++y) {
+        const uint8_t* r0 = p + (int64_t)(2 * y) * stride;
+        const uint8_t* r1 = (2 * y + 1 < h) ? r0 + stride : r0;
+        for (int x = 0; x < w2; ++x) {
+            int x0 = 2 * x, x1 = (2 * x + 1 < w) ? 2 * x + 1 : 2 * x;
+            int s = r0[x0] + r0[x1] + r1[x0] + r1[x1];
+            out[y * w2 + x] = (uint8_t)((s + 2) >> 2);
+        }
+    }
+    *oh = h2;
+    *ow = w2;
+}
+
+// ops/hme.py hme_search: quarter-res sweep then +-2 refinements.
+static void hme_search(const Ctx& ctx, const RefPlane& rp, int px, int py,
+                       int w, int h, int total_range, int cy, int cx,
+                       int* dy, int* dx, int64_t* sad) {
+    const uint8_t* src_blk = ctx.src + (int64_t)py * ctx.src_stride + px;
+    const int n = w < h ? w : h;
+    if (n < 8 || total_range < 16 || rp.half == nullptr) {
+        full_pel_search(rp.full, rp.fh, rp.fw, ctx.border, src_blk,
+                        ctx.src_stride, px, py, w, h, total_range, cy, cx,
+                        dy, dx, sad);
+        return;
+    }
+    // per-block source pyramid (downsample2x of the block itself)
+    uint8_t srcb[64 * 64], src_h[32 * 32], src_q[16 * 16];
+    for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x)
+            srcb[y * w + x] = src_blk[(int64_t)y * ctx.src_stride + x];
+    int hh, hw, qh, qw;
+    downsample2x(srcb, w, h, w, src_h, &hh, &hw);
+    downsample2x(src_h, hw, hh, hw, src_q, &qh, &qw);
+    const int hfh = (rp.fh + 1) / 2, hfw = (rp.fw + 1) / 2;
+    const int qfh = (hfh + 1) / 2, qfw = (hfw + 1) / 2;
+    // np.round is round-half-to-even; nearbyint matches under the
+    // default FE_TONEAREST mode
+    int c2y = (int)nearbyint(cy / 4.0), c2x = (int)nearbyint(cx / 4.0);
+    int r2 = total_range >> 2;
+    if (r2 < 2) r2 = 2;
+    int dy2, dx2, dy1, dx1;
+    int64_t s;
+    full_pel_search(rp.quarter, qfh, qfw, ctx.border >> 2, src_q, qw, px >> 2,
+                    py >> 2, qw, qh, r2, c2y, c2x, &dy2, &dx2, &s);
+    full_pel_search(rp.half, hfh, hfw, ctx.border >> 1, src_h, hw, px >> 1,
+                    py >> 1, hw, hh, 2, dy2 * 2, dx2 * 2, &dy1, &dx1, &s);
+    full_pel_search(rp.full, rp.fh, rp.fw, ctx.border, src_blk,
+                    ctx.src_stride, px, py, w, h, 2, dy1 * 2, dx1 * 2, dy,
+                    dx, sad);
+}
+
+struct EvalOut {
+    int64_t cost;
+    int ref_id;
+    int mode;        // 0 NEAREST / 1 NEAR / 2 ZERO / 3 NEW
+    int mv[2];       // winning mv (q3)
+    int nearest[2];
+    int nearv[2];
+    int mode_ctx;
+    int valid;
+};
+
+static int64_t sse_of(const Ctx& ctx, const RefPlane& rp, int mi_row,
+                      int mi_col, int w, int h, int mvr, int mvc) {
+    const uint8_t* s = ctx.src + (int64_t)(mi_row * 8) * ctx.src_stride
+                       + mi_col * 8;
+    return mc_block_sse(rp.full, rp.fw, ctx.border, mi_row, mi_col, w, h,
+                        mvr, mvc, ctx.g.mi_rows, ctx.g.mi_cols, s,
+                        ctx.src_stride, ctx.filters);
+}
+
+static void eval_ref(const Ctx& ctx, int ref_id, const RefPlane& rp,
+                     int extra_rate, int mi_row, int mi_col, int bsize,
+                     EvalOut* out) {
+    const int w = BW_PX[bsize], h = BH_PX[bsize];
+    const int px = mi_col * 8, py = mi_row * 8;
+    MvRefs refs;
+    find_mv_refs(ctx, mi_row, mi_col, bsize, ref_id, &refs);
+    int nearest[2], nearv[2];
+    best_ref_mvs(refs, mi_row, mi_col, bsize, ctx.g.mi_rows, ctx.g.mi_cols,
+                 nearest, nearv);
+    out->ref_id = ref_id;
+    out->mode_ctx = refs.mode_ctx;
+    out->nearest[0] = nearest[0];
+    out->nearest[1] = nearest[1];
+    out->nearv[0] = nearv[0];
+    out->nearv[1] = nearv[1];
+    out->valid = 1;
+    // predictor candidates (mode, mv, rate); restriction per stable count
+    struct Cand { int mode, mvr, mvc, rate; };
+    Cand cands[3];
+    int ncand = 0;
+    bool newmv_ok = true;
+    if (ctx.restrict_flag && ctx.prev_ref0 == nullptr) {
+        if (refs.stable == 0) {
+            cands[ncand++] = {2, 0, 0, 1};
+            newmv_ok = false;
+        } else if (refs.stable == 1) {
+            cands[ncand++] = {0, nearest[0], nearest[1], 2};
+            cands[ncand++] = {2, 0, 0, 1};
+        } else {
+            cands[ncand++] = {0, nearest[0], nearest[1], 2};
+            cands[ncand++] = {1, nearv[0], nearv[1], 3};
+            cands[ncand++] = {2, 0, 0, 1};
+        }
+    } else {
+        cands[ncand++] = {0, nearest[0], nearest[1], 2};
+        cands[ncand++] = {1, nearv[0], nearv[1], 3};
+        cands[ncand++] = {2, 0, 0, 1};
+    }
+    int64_t best_cost = INT64_MAX;
+    int best_mode = 2, best_mvr = 0, best_mvc = 0;
+    // c_sad caches by mv value in Python; recomputing yields identical
+    // numbers, so no cache is needed for parity
+    for (int i = 0; i < ncand; ++i) {
+        int64_t sse = sse_of(ctx, rp, mi_row, mi_col, w, h, cands[i].mvr,
+                             cands[i].mvc);
+        int64_t cost = sse + (int64_t)(cands[i].rate + extra_rate) * ctx.lam;
+        if (cost < best_cost) {
+            best_cost = cost;
+            best_mode = cands[i].mode;
+            best_mvr = cands[i].mvr;
+            best_mvc = cands[i].mvc;
+        }
+    }
+    // lossless NEWMV skip (SAD >= 0 can't flip the decision)
+    if (newmv_ok && best_cost > (int64_t)(10 + extra_rate) * ctx.lam) {
+        int cy = clampi(nearest[0] >> 3, -64, 64);
+        int cx = clampi(nearest[1] >> 3, -64, 64);
+        int dy, dx;
+        int64_t fsad;
+        if (rp.range >= 32) {
+            hme_search(ctx, rp, px, py, w, h, rp.range, cy, cx, &dy, &dx,
+                       &fsad);
+        } else {
+            const uint8_t* sblk = ctx.src + (int64_t)py * ctx.src_stride + px;
+            full_pel_search(rp.full, rp.fh, rp.fw, ctx.border, sblk,
+                            ctx.src_stride, px, py, w, h, rp.range, cy, cx,
+                            &dy, &dx, &fsad);
+        }
+        int new_mv[2] = {dy * 8, dx * 8};
+        if (ctx.do_subpel) {
+            // strided source view straight from the padded plane
+            const uint8_t* s = ctx.src + (int64_t)py * ctx.src_stride + px;
+            const uint8_t* base = rp.full
+                + (int64_t)(ctx.border + py) * rp.fw + ctx.border + px;
+            int32_t o[3];
+            subpel_refine_rect(base, rp.fw, s, ctx.src_stride, w, h, dy * 8,
+                               dx * 8, ctx.filters, o);
+            new_mv[0] = o[0];
+            new_mv[1] = o[1];
+        }
+        int64_t cost = sse_of(ctx, rp, mi_row, mi_col, w, h, new_mv[0],
+                              new_mv[1])
+                       + (int64_t)(10 + extra_rate) * ctx.lam;
+        if (cost < best_cost) {
+            best_cost = cost;
+            best_mode = 3;
+            best_mvr = new_mv[0];
+            best_mvc = new_mv[1];
+        }
+    }
+    out->cost = best_cost;
+    out->mode = best_mode;
+    out->mv[0] = best_mvr;
+    out->mv[1] = best_mvc;
+}
+
+// compound_refs (vp9_pred_common.c:25)
+static void compound_refs_of(const int32_t* sb, int* fixed_ref,
+                             int* var0, int* var1) {
+    if (sb[1] == sb[2]) {
+        *fixed_ref = 3; *var0 = 1; *var1 = 2;
+    } else if (sb[1] == sb[3]) {
+        *fixed_ref = 2; *var0 = 1; *var1 = 3;
+    } else {
+        *fixed_ref = 1; *var0 = 2; *var1 = 3;
+    }
+}
+
+static int64_t sse_avg_of(const Ctx& ctx, const RefPlane& a,
+                          const RefPlane& b, int mi_row, int mi_col, int w,
+                          int h, const int* mv0, const int* mv1) {
+    const uint8_t* s = ctx.src + (int64_t)(mi_row * 8) * ctx.src_stride
+                       + mi_col * 8;
+    return mc_block_sse_avg(a.full, a.fw, b.full, b.fw, ctx.border, mi_row,
+                            mi_col, w, h, mv0[0], mv0[1], mv1[0], mv1[1],
+                            ctx.g.mi_rows, ctx.g.mi_cols, s, ctx.src_stride,
+                            ctx.filters);
+}
+
+}  // namespace fastloop
+
+extern "C" {
+
+// out per leaf (stride 16 int32):
+//   [0]=kind (0 intra / 1 single / 2 compound)
+//   [1]=ref0 [2]=ref1 [3]=inter_mode [4]=mode_context
+//   [5..6]=mv0 (r,c)  [7..8]=mv1
+//   [9..10]=best_ref_mv (pair0 nearest)  [11..12]=best_ref_mv2
+void fast_loop_decide(
+    int mi_rows, int mi_cols, int tile_mi_start, int tile_mi_end, int border,
+    int frame_w, int frame_h,
+    const uint8_t* src, int64_t src_stride,
+    const uint8_t* const* ref_ptrs,      // [9]: (full, half, quarter) x3
+    const int32_t* ref_dims,             // [6]: (fh, fw) x3
+    const int32_t* ranges,               // [3]; <=0 => ref absent
+    int64_t lam, int do_subpel, int restrict_flag, const int32_t* sign_bias,
+    const int8_t* prev_ref0, const int8_t* prev_ref1,
+    const int32_t* prev_mv0, const int32_t* prev_mv1,
+    uint8_t* f_inter, int8_t* f_ref0, int8_t* f_ref1, int8_t* f_mode,
+    int32_t* f_mv0, int32_t* f_mv1,
+    const int32_t* leaves, int n_leaves, const int16_t* filters,
+    int32_t* out) {
+    using namespace fastloop;
+    Ctx ctx;
+    ctx.g = {mi_rows, mi_cols, f_inter, f_ref0, f_ref1, f_mode, f_mv0, f_mv1};
+    ctx.src = src;
+    ctx.src_stride = src_stride;
+    ctx.border = border;
+    ctx.frame_w = frame_w;
+    ctx.frame_h = frame_h;
+    ctx.tile_mi_start = tile_mi_start;
+    ctx.tile_mi_end = tile_mi_end;
+    ctx.lam = lam;
+    ctx.do_subpel = do_subpel;
+    ctx.restrict_flag = restrict_flag;
+    ctx.sign_bias = sign_bias;
+    ctx.prev_ref0 = prev_ref0;
+    ctx.prev_ref1 = prev_ref1;
+    ctx.prev_mv0 = prev_mv0;
+    ctx.prev_mv1 = prev_mv1;
+    ctx.filters = filters;
+    for (int r = 0; r < 3; ++r) {
+        ctx.refs[r].full = ref_ptrs[r * 3];
+        ctx.refs[r].half = ref_ptrs[r * 3 + 1];
+        ctx.refs[r].quarter = ref_ptrs[r * 3 + 2];
+        ctx.refs[r].fh = ref_dims[r * 2];
+        ctx.refs[r].fw = ref_dims[r * 2 + 1];
+        ctx.refs[r].range = ranges[r];
+    }
+    const bool has_comp = (sign_bias[1] != sign_bias[2]
+                           || sign_bias[1] != sign_bias[3]
+                           || sign_bias[2] != sign_bias[3]);
+
+    for (int li = 0; li < n_leaves; ++li) {
+        const int mi_row = leaves[li * 3];
+        const int mi_col = leaves[li * 3 + 1];
+        const int bsize = leaves[li * 3 + 2];
+        const int w = BW_PX[bsize], h = BH_PX[bsize];
+        const int px = mi_col * 8, py = mi_row * 8;
+
+        EvalOut res[3];
+        int nres = 0;
+        EvalOut by_ref[4];
+        for (int r = 0; r < 3; ++r) by_ref[r + 1].valid = 0;
+        for (int r = 0; r < 3; ++r) {
+            if (ctx.refs[r].full == nullptr || ctx.refs[r].range <= 0)
+                continue;
+            int extra = r == 0 ? 0 : 2;
+            eval_ref(ctx, r + 1, ctx.refs[r], extra, mi_row, mi_col, bsize,
+                     &res[nres]);
+            by_ref[r + 1] = res[nres];
+            ++nres;
+        }
+        // min over results: first minimal wins (LAST preferred on tie)
+        int best_i = 0;
+        for (int i = 1; i < nres; ++i)
+            if (res[i].cost < res[best_i].cost) best_i = i;
+        const EvalOut& best = res[best_i];
+
+        // compound candidate (EbModeDecision.c bi-pred injection analogue)
+        bool have_comp = false;
+        int64_t comp_cost = INT64_MAX;
+        int comp_mode = 0;
+        int comp_mv[2][2] = {{0, 0}, {0, 0}};
+        const EvalOut* pairA = nullptr;  // position 0 in ref_frame order
+        const EvalOut* pairB = nullptr;
+        if (has_comp && nres > 1) {
+            int fixed_ref, var0, var1;
+            compound_refs_of(sign_bias, &fixed_ref, &var0, &var1);
+            const EvalOut& fx = by_ref[fixed_ref];
+            if (fx.valid) {
+                const int idx = sign_bias[fixed_ref];  // fx's pair slot
+                const int vars[2] = {var0, var1};
+                for (int vi = 0; vi < 2; ++vi) {
+                    const EvalOut& vr = by_ref[vars[vi]];
+                    if (!vr.valid) continue;
+                    const EvalOut* p0 = idx == 0 ? &fx : &vr;
+                    const EvalOut* p1 = idx == 0 ? &vr : &fx;
+                    // cands: (mode, mv0, mv1, rate); dedup by
+                    // (mode>=3, mv0, mv1)
+                    struct CC { int mode; int m0[2]; int m1[2]; int rate; };
+                    CC cc[4] = {
+                        {0, {p0->nearest[0], p0->nearest[1]},
+                            {p1->nearest[0], p1->nearest[1]}, 4},
+                        {1, {p0->nearv[0], p0->nearv[1]},
+                            {p1->nearv[0], p1->nearv[1]}, 5},
+                        {2, {0, 0}, {0, 0}, 3},
+                        {3, {p0->mv[0], p0->mv[1]},
+                            {p1->mv[0], p1->mv[1]}, 22},
+                    };
+                    bool seen_used[4] = {false, false, false, false};
+                    for (int k = 0; k < 4; ++k) {
+                        bool dup = false;
+                        for (int j = 0; j < k; ++j) {
+                            if (!seen_used[j]) continue;
+                            bool knew = cc[k].mode >= 3, jnew = cc[j].mode >= 3;
+                            if (knew == jnew
+                                && cc[k].m0[0] == cc[j].m0[0]
+                                && cc[k].m0[1] == cc[j].m0[1]
+                                && cc[k].m1[0] == cc[j].m1[0]
+                                && cc[k].m1[1] == cc[j].m1[1]) {
+                                dup = true;
+                                break;
+                            }
+                        }
+                        if (dup) continue;
+                        seen_used[k] = true;
+                        const RefPlane& rpa = ctx.refs[p0->ref_id - 1];
+                        const RefPlane& rpb = ctx.refs[p1->ref_id - 1];
+                        int64_t cost = sse_avg_of(ctx, rpa, rpb, mi_row,
+                                                  mi_col, w, h, cc[k].m0,
+                                                  cc[k].m1)
+                                       + (int64_t)cc[k].rate * ctx.lam;
+                        if (cost < best.cost
+                            && (!have_comp || cost < comp_cost)) {
+                            have_comp = true;
+                            comp_cost = cost;
+                            comp_mode = cc[k].mode;
+                            comp_mv[0][0] = cc[k].m0[0];
+                            comp_mv[0][1] = cc[k].m0[1];
+                            comp_mv[1][0] = cc[k].m1[0];
+                            comp_mv[1][1] = cc[k].m1[1];
+                            pairA = p0;
+                            pairB = p1;
+                        }
+                    }
+                }
+            }
+        }
+
+        // open-loop intra DC fallback (source-based references)
+        const int n = w < h ? (w < 32 ? w : 32) : (h < 32 ? h : 32);
+        const bool ha = py > 0, hl = px > tile_mi_start * 8;
+        int64_t sum_a = 0, sum_l = 0;
+        if (ha) {
+            const uint8_t* arow = src + (int64_t)(py - 1) * src_stride;
+            int n_avail = frame_w - px;
+            if (n_avail > n) n_avail = n;
+            if (n_avail < 0) n_avail = 0;
+            if (n_avail) {
+                for (int x = 0; x < n_avail; ++x) sum_a += arow[px + x];
+                sum_a += (int64_t)(n - n_avail) * arow[px + n_avail - 1];
+            } else {
+                sum_a = (int64_t)n * arow[frame_w - 1];
+            }
+        }
+        if (hl) {
+            int n_avail = frame_h - py;
+            if (n_avail > n) n_avail = n;
+            if (n_avail < 0) n_avail = 0;
+            if (n_avail) {
+                for (int y = 0; y < n_avail; ++y)
+                    sum_l += src[(int64_t)(py + y) * src_stride + px - 1];
+                sum_l += (int64_t)(n - n_avail)
+                         * src[(int64_t)(py + n_avail - 1) * src_stride
+                               + px - 1];
+            } else {
+                sum_l = (int64_t)n * src[(int64_t)(frame_h - 1) * src_stride
+                                         + px - 1];
+            }
+        }
+        int log2n = 0;
+        while ((1 << log2n) < n) ++log2n;
+        int dc;
+        if (ha && hl) dc = (int)((sum_a + sum_l + n) >> (log2n + 1));
+        else if (ha) dc = (int)((sum_a + (n >> 1)) >> log2n);
+        else if (hl) dc = (int)((sum_l + (n >> 1)) >> log2n);
+        else dc = 128;
+        int64_t intra_sse = 0;
+        for (int y = 0; y < n; ++y) {
+            const uint8_t* s = src + (int64_t)(py + y) * src_stride + px;
+            for (int x = 0; x < n; ++x) {
+                int d = (int)s[x] - dc;
+                intra_sse += (int64_t)d * d;
+            }
+        }
+        const int64_t intra_cost = intra_sse + 15 * ctx.lam;
+        const int64_t inter_best = have_comp ? comp_cost : best.cost;
+
+        int32_t* o = out + li * 16;
+        const int bw_mi = w >= 8 ? w / 8 : 1;
+        const int bh_mi = h >= 8 ? h / 8 : 1;
+        const int r1 = mi_row + bh_mi < mi_rows ? mi_row + bh_mi : mi_rows;
+        const int c1 = mi_col + bw_mi < mi_cols ? mi_col + bw_mi : mi_cols;
+        auto fill_grid = [&](int inter, int rf0, int rf1, int mode, int m0r,
+                             int m0c, int m1r, int m1c) {
+            for (int rr = mi_row; rr < r1; ++rr) {
+                for (int cc2 = mi_col; cc2 < c1; ++cc2) {
+                    int64_t cell = (int64_t)rr * mi_cols + cc2;
+                    f_inter[cell] = (uint8_t)inter;
+                    f_ref0[cell] = (int8_t)rf0;
+                    f_ref1[cell] = (int8_t)rf1;
+                    f_mode[cell] = (int8_t)mode;
+                    f_mv0[cell * 2] = m0r;
+                    f_mv0[cell * 2 + 1] = m0c;
+                    f_mv1[cell * 2] = m1r;
+                    f_mv1[cell * 2 + 1] = m1c;
+                }
+            }
+        };
+        if (intra_cost < inter_best) {
+            o[0] = 0;
+            for (int k = 1; k < 16; ++k) o[k] = 0;
+            fill_grid(0, 0, -1, 0, 0, 0, 0, 0);
+        } else if (have_comp) {
+            o[0] = 2;
+            o[1] = pairA->ref_id;
+            o[2] = pairB->ref_id;
+            o[3] = comp_mode;
+            o[4] = pairA->mode_ctx;
+            o[5] = comp_mv[0][0];
+            o[6] = comp_mv[0][1];
+            o[7] = comp_mv[1][0];
+            o[8] = comp_mv[1][1];
+            o[9] = pairA->nearest[0];
+            o[10] = pairA->nearest[1];
+            o[11] = pairB->nearest[0];
+            o[12] = pairB->nearest[1];
+            o[13] = o[14] = o[15] = 0;
+            fill_grid(1, pairA->ref_id, pairB->ref_id, 10 + comp_mode,
+                      comp_mv[0][0], comp_mv[0][1], comp_mv[1][0],
+                      comp_mv[1][1]);
+        } else {
+            o[0] = 1;
+            o[1] = best.ref_id;
+            o[2] = -1;
+            o[3] = best.mode;
+            o[4] = best.mode_ctx;
+            o[5] = best.mv[0];
+            o[6] = best.mv[1];
+            o[7] = o[8] = 0;
+            o[9] = best.nearest[0];
+            o[10] = best.nearest[1];
+            o[11] = o[12] = 0;
+            o[13] = o[14] = o[15] = 0;
+            fill_grid(1, best.ref_id, -1, 10 + best.mode, best.mv[0],
+                      best.mv[1], 0, 0);
+        }
+    }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Batched winner MC: produce the chosen predictions (Y/U/V, single or
+// compound-averaged) for every inter leaf in one call.  Mirrors
+// tpu_vp9.ops.inter.predict_inter_block (clamp_mv_to_umv_border with the
+// ss=1 chroma scale, two-stage 8-tap convolve) and predict_inter_planes'
+// spec-rounded compound average.
+// ===========================================================================
+
+namespace fastloop {
+
+static void mc_predict_plane(const uint8_t* padded, int64_t stride,
+                             int border, int mi_row, int mi_col, int bw,
+                             int bh, int ss, int mv_row_q3, int mv_col_q3,
+                             int mi_rows, int mi_cols,
+                             const int16_t* filters, uint8_t* out) {
+    const int spel_left = (4 + bw) << 4;
+    const int spel_right = spel_left - 16;
+    const int spel_top = (4 + bh) << 4;
+    const int spel_bottom = spel_top - 16;
+    const int scale = 1 << (1 - ss);
+    int row = mv_row_q3 * scale, col = mv_col_q3 * scale;
+    const int mb_to_left = -((mi_col * 8) * 8);
+    const int mb_to_right = ((mi_cols - ((bw << ss) / 8) - mi_col) * 8) * 8;
+    const int mb_to_top = -((mi_row * 8) * 8);
+    const int mb_to_bottom = ((mi_rows - ((bh << ss) / 8) - mi_row) * 8) * 8;
+    col = clamp_i(col, mb_to_left * scale - spel_left,
+                  mb_to_right * scale + spel_right);
+    row = clamp_i(row, mb_to_top * scale - spel_top,
+                  mb_to_bottom * scale + spel_bottom);
+    const int px = (mi_col * 8) >> ss, py = (mi_row * 8) >> ss;
+    const int x_q4 = (px << 4) + col, y_q4 = (py << 4) + row;
+    const int x0 = x_q4 >> 4, y0 = y_q4 >> 4;
+    const int sx = x_q4 & 15, sy = y_q4 & 15;
+    const uint8_t* base = padded + (int64_t)(border + y0) * stride
+                          + border + x0;
+    if (sx == 0 && sy == 0) {
+        for (int y = 0; y < bh; ++y)
+            for (int x = 0; x < bw; ++x)
+                out[y * bw + x] = base[(int64_t)y * stride + x];
+        return;
+    }
+    const int16_t* fx = filters + sx * 8;
+    const int16_t* fy = filters + sy * 8;
+    int inter[71 * 64];
+    const uint8_t* win = base - 3 * stride - 3;
+    for (int y = 0; y < bh + 7; ++y) {
+        const uint8_t* rowp = win + (int64_t)y * stride;
+        for (int x = 0; x < bw; ++x) {
+            int sum = 0;
+            for (int k = 0; k < 8; ++k) sum += rowp[x + k] * fx[k];
+            inter[y * 64 + x] = clamp_i((sum + 64) >> 7, 0, 255);
+        }
+    }
+    for (int y = 0; y < bh; ++y) {
+        for (int x = 0; x < bw; ++x) {
+            int sum = 0;
+            for (int k = 0; k < 8; ++k) sum += inter[(y + k) * 64 + x] * fy[k];
+            out[y * bw + x] = (uint8_t)clamp_i((sum + 64) >> 7, 0, 255);
+        }
+    }
+}
+
+}  // namespace fastloop
+
+extern "C" {
+
+// jobs: per leaf 9 int32 (mi_row, mi_col, bsize, ref0, ref1, mv0r, mv0c,
+// mv1r, mv1c); ref1 <= 0 => single reference.  ref_planes: [ref][plane]
+// pointers laid out flat (LAST y,u,v, GOLDEN y,u,v, ALTREF y,u,v); absent
+// refs null.  strides likewise.  out: packed per-job y|u|v blocks at
+// out + offsets[i].
+void mc_predict_winners(const uint8_t* const* ref_planes,
+                        const int64_t* strides, int border, int mi_rows,
+                        int mi_cols, const int32_t* jobs, int n,
+                        const int16_t* filters, uint8_t* out,
+                        const int64_t* offsets) {
+    using namespace fastloop;
+    uint8_t tmp[64 * 64];
+    for (int i = 0; i < n; ++i) {
+        const int32_t* j = jobs + i * 9;
+        const int mi_row = j[0], mi_col = j[1], bsize = j[2];
+        const int r0 = j[3] - 1, r1 = j[4] - 1;
+        const int w = BW_PX[bsize], h = BH_PX[bsize];
+        uint8_t* dst = out + offsets[i];
+        for (int p = 0; p < 3; ++p) {
+            const int ss = p == 0 ? 0 : 1;
+            const int bw = w >> ss, bh = h >> ss;
+            mc_predict_plane(ref_planes[r0 * 3 + p], strides[r0 * 3 + p],
+                             border, mi_row, mi_col, bw, bh, ss, j[5], j[6],
+                             mi_rows, mi_cols, filters, dst);
+            if (r1 >= 0) {
+                mc_predict_plane(ref_planes[r1 * 3 + p],
+                                 strides[r1 * 3 + p], border, mi_row,
+                                 mi_col, bw, bh, ss, j[7], j[8], mi_rows,
+                                 mi_cols, filters, tmp);
+                for (int k = 0; k < bw * bh; ++k)
+                    dst[k] = (uint8_t)(((int)dst[k] + (int)tmp[k] + 1) >> 1);
+            }
+            dst += bw * bh;
+        }
+    }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Trellis coefficient optimization (the reference's vp9_optimize_b role,
+// EbEncDecProcess.c:426/471/517): backward dynamic program over the scan
+// order choosing, per coefficient, the quantized level or level-1, and the
+// cheapest EOB truncation point, under the exact token-cost model of
+// coeff_token_cost.  Two DP states track the VP9 skip-EOB rule (no EOB
+// symbol immediately after a ZERO token).  Contexts use the original
+// token cache (the same approximation libvpx makes).
+// ===========================================================================
+
+extern "C" {
+
+// levels2d: in/out quantized levels (row-major n x n).  coeffs2d: float
+// transform coefficients (pre-quant).  lam: lambda premultiplied by the
+// transform gain / 256 so cost = coeff_err^2 + lam * rate_256.
+// q_shift: 1 for TX32 (dequant = (l*q) >> 1), else 0.  Returns new eob.
+int optimize_coeffs(int32_t* levels2d, const float* coeffs2d, int tx_size,
+                    int tx_type, const uint8_t* probs_full, int ctx0,
+                    double lam, int q_dc, int q_ac, int q_shift) {
+    init_prob_cost();
+    const TxTables& t = g_tx[tx_size][tx_type];
+    const int n2 = t.n2;
+    int32_t lv[1024];
+    float cf[1024];
+    for (int i = 0; i < n2; ++i) {
+        lv[i] = levels2d[t.scan[i]];
+        cf[i] = coeffs2d[t.scan[i]];
+    }
+    int eob = 0;
+    for (int i = n2 - 1; i >= 0; --i)
+        if (lv[i]) { eob = i + 1; break; }
+    if (eob == 0) return 0;
+
+    // per-position contexts from the ORIGINAL levels
+    int32_t cache[1024];
+    std::memset(cache, 0, sizeof(int32_t) * n2);
+    int pt[1025];
+    for (int c = 0; c <= eob && c < n2; ++c) {
+        pt[c] = (c == 0)
+            ? ctx0
+            : (1 + cache[t.nbrs[2 * c]] + cache[t.nbrs[2 * c + 1]]) >> 1;
+        if (c < eob) {
+            int mag = lv[c] < 0 ? -lv[c] : lv[c];
+            cache[t.scan[c]] = mag ? g_energy[token_from_mag(mag)] : 0;
+        }
+    }
+
+    auto tok_rate = [&](int mag, const uint8_t* p) -> int {
+        // nonzero-token rate: not-zero bit, one-vs-more, tree, extras, sign
+        int r = bit_cost(1, p[1]);
+        if (mag == 1) {
+            r += bit_cost(0, p[2]);
+        } else {
+            r += bit_cost(1, p[2]);
+            int tokv = token_from_mag(mag);
+            const Path& path = g_con_paths[tokv];
+            for (int k = 0; k < path.len; ++k)
+                r += bit_cost(path.bit[k], p[3 + path.idx[k]]);
+            if (tokv >= 5) {
+                int cat = tokv - 5;
+                int extra = mag - g_cat_base[cat];
+                int nbits = g_cat_bits[cat];
+                for (int k = 0; k < nbits; ++k)
+                    r += bit_cost((extra >> (nbits - 1 - k)) & 1,
+                                  g_cat_probs[cat][k]);
+            }
+        }
+        return r + 256;  // sign at prob 128
+    };
+    auto deq = [&](int mag, int c) -> double {
+        int64_t v = (int64_t)mag * (c == 0 ? q_dc : q_ac);
+        return (double)(v >> q_shift);
+    };
+
+    // suffix distortion of zeroing positions c..eob-1 (END option)
+    static thread_local std::vector<double> sufd_v, f0_v, f1_v;
+    static thread_local std::vector<int8_t> ch0_v, ch1_v;
+    sufd_v.assign(eob + 1, 0.0);
+    for (int c = eob - 1; c >= 0; --c)
+        sufd_v[c] = sufd_v[c + 1] + (double)cf[c] * cf[c];
+    // f[s][c]: min cost of positions c.. given skip state s
+    // choice codes: 0 = keep x, 1 = x-1, 2 = END (zero the tail)
+    f0_v.assign(eob + 1, 0.0);
+    f1_v.assign(eob + 1, 0.0);
+    ch0_v.assign(eob + 1, 0);
+    ch1_v.assign(eob + 1, 0);
+    const double INF = 1e300;
+    if (eob < n2) {
+        const uint8_t* p = probs_full + (t.band[eob] * 6 + pt[eob]) * 11;
+        f0_v[eob] = lam * bit_cost(0, p[0]);
+        f1_v[eob] = 0.0;
+    }
+    for (int c = eob - 1; c >= 0; --c) {
+        const uint8_t* p = probs_full + (t.band[c] * 6 + pt[c]) * 11;
+        const double eobbit = lam * bit_cost(1, p[0]);  // "not eob" in S0
+        const int x = lv[c] < 0 ? -lv[c] : lv[c];
+        const double cfa = cf[c] < 0 ? -cf[c] : cf[c];
+        double best0 = INF, best1 = INF;
+        int bc0 = 0, bc1 = 0;
+        for (int k = 0; k < 2; ++k) {
+            int m = k == 0 ? x : x - 1;
+            if (m < 0 || (k == 1 && x == 0)) continue;
+            double e = cfa - deq(m, c);
+            double dist = e * e;
+            double cost;
+            if (m == 0) {
+                cost = dist + lam * bit_cost(0, p[1]) + f1_v[c + 1];
+            } else {
+                cost = dist + lam * tok_rate(m, p) + f0_v[c + 1];
+            }
+            if (cost + eobbit < best0) { best0 = cost + eobbit; bc0 = k; }
+            if (cost < best1) { best1 = cost; bc1 = k; }
+        }
+        // END: eob symbol here (S0 only), tail zeroed
+        double cend = lam * bit_cost(0, p[0]) + sufd_v[c];
+        if (cend < best0) { best0 = cend; bc0 = 2; }
+        f0_v[c] = best0;
+        ch0_v[c] = (int8_t)bc0;
+        f1_v[c] = best1;
+        ch1_v[c] = (int8_t)bc1;
+    }
+
+    // forward reconstruction of the chosen path (position 0 is S0)
+    int s = 0;
+    for (int c = 0; c < eob; ++c) {
+        int choice = s == 0 ? ch0_v[c] : ch1_v[c];
+        if (choice == 2) {  // END (only reachable in S0)
+            for (int k = c; k < eob; ++k) lv[k] = 0;
+            break;
+        }
+        int x = lv[c] < 0 ? -lv[c] : lv[c];
+        int m = choice == 0 ? x : x - 1;
+        lv[c] = cf[c] < 0 ? -m : m;
+        s = m ? 0 : 1;
+    }
+    int new_eob = 0;
+    for (int i = eob - 1; i >= 0; --i)
+        if (lv[i]) { new_eob = i + 1; break; }
+    for (int i = 0; i < n2; ++i) levels2d[t.scan[i]] = lv[i];
+    return new_eob;
+}
+
+// Batched variant over nb blocks (shared probs/lambda, per-block ctx0).
+void optimize_coeffs_batch(int32_t* levels, const float* coeffs, int nb,
+                           int n, int tx_size, int tx_type,
+                           const uint8_t* probs_full, const int32_t* ctx0,
+                           double lam, int q_dc, int q_ac, int q_shift,
+                           int32_t* eobs) {
+    for (int i = 0; i < nb; ++i)
+        eobs[i] = optimize_coeffs(levels + (int64_t)i * n * n,
+                                  coeffs + (int64_t)i * n * n, tx_size,
+                                  tx_type, probs_full, ctx0[i], lam, q_dc,
+                                  q_ac, q_shift);
+}
+
+}  // extern "C"

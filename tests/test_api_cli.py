@@ -191,3 +191,23 @@ def test_cli_stdin_pipe(tmp_path):
 
     with open(out, "rb") as fh:
         assert len(list(decode_ivf(fh))) == 3
+
+
+def test_rt_require_errors_without_device(monkeypatch):
+    """tpu_realtime=1 (require) must error out instead of silently
+    degrading to the host path (VERDICT r3 weak #6)."""
+    import pytest
+
+    import tpu_vp9.utils.device as dev
+    from tpu_vp9.api import Vp9Encoder
+    from tpu_vp9.config import EncoderConfig, PredStructure
+
+    monkeypatch.setattr(dev, "_CACHED", False)
+    monkeypatch.setattr(dev, "_REASON", "test: forced dead")
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(
+        source_width=128, source_height=96, frame_rate=30, qp=32,
+        enc_mode=9, intra_period=-1, tpu_realtime=1,
+        pred_structure=PredStructure.LOW_DELAY_P))
+    with pytest.raises(RuntimeError, match="no live accelerator"):
+        enc.init()

@@ -213,7 +213,7 @@ def test_public_api_routes_through_rt():
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(
         source_width=w, source_height=h, frame_rate=30, qp=32,
-        enc_mode=9, intra_period=2, tpu_realtime=1,
+        enc_mode=9, intra_period=2, tpu_realtime=2,
         pred_structure=PredStructure.LOW_DELAY_P))
     enc.init()
     assert enc._rt is not None
@@ -376,3 +376,50 @@ def test_rt_split16_roundtrip_and_gain():
 
     assert b_s < b_u * 0.9, (b_s, b_u)
     assert dsum(enc_s) <= dsum(enc_u) * 1.02
+
+
+def test_rt_golden_roundtrip():
+    """GOLDEN anchor in HBM: per-block LAST/GOLDEN choice, periodic
+    refresh (refresh_frame_mask 0x03), entropy-table candidate rates.
+    Streams must decode bit-exactly against the device recon."""
+    w, h = 128, 96
+    frames = list(synthetic_frames(w, h, 12, seed=2, motion=True))
+    enc, dec = roundtrip_rt(frames, qindex=120, golden=True,
+                            golden_interval=4)
+    check_exact(frames, enc, dec, w, h)
+
+
+def test_rt_golden_split16_roundtrip():
+    w, h = 128, 96
+    frames = list(synthetic_frames(w, h, 6, seed=3, motion=True))
+    enc, dec = roundtrip_rt(frames, qindex=120, golden=True, split16=True)
+    check_exact(frames, enc, dec, w, h)
+
+
+def test_rt_golden_picks_anchor_on_occlusion():
+    """A static background occluded by a moving box for a few frames:
+    once the box moves on, GOLDEN (pre-occlusion) predicts the revealed
+    area better than LAST; at least one block must choose it."""
+    rng = np.random.default_rng(7)
+    w, h = 128, 96
+    bg = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    from tpu_vp9.utils.yuv import Frame420
+
+    frames = []
+    for i in range(8):
+        y = bg.copy()
+        x0 = 8 * i
+        y[32:64, x0 : x0 + 32] = 255  # moving occluder
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append(Frame420(y=y, u=u, v=v))
+    enc, dec = roundtrip_rt(frames, qindex=60, golden=True,
+                            golden_interval=16)
+    check_exact(frames, enc, dec, w, h)
+    used_golden = False
+    for ef in enc[2:]:
+        for mi in {id(m): m for m in ef.state.mig.grid.reshape(-1)
+                   if m is not None}.values():
+            if mi.is_inter and mi.ref_frame[0] == 2:
+                used_golden = True
+    assert used_golden

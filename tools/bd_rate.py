@@ -37,18 +37,26 @@ REF_APP = os.environ.get(
     "SVT_VP9_APP", "/tmp/svt_ref_build/src/Bin/Release/SvtVp9EncApp")
 
 
-def clips(frames: int):
+def clips(frames: int, w: int = 352, h: int = 288,
+          mixed: bool = False):
     """Synthetic but differentiated content: global pan, noisy detail,
     scene-cut free zoom-ish motion.  (No egress: no real clips in the
-    image; the harness accepts -i overrides for real y4m when present.)"""
+    image; the harness accepts -i overrides for real y4m when present.)
+    mixed: add a scene-cut clip (two sources spliced mid-stream) — the
+    long-clip configuration of the parity evidence."""
     from tpu_vp9.utils.yuv import synthetic_frames
 
     out = []
     for name, seed, motion in (("pan_text", 0, True), ("noisy", 7, True),
                                ("slow", 3, False)):
-        frs = list(synthetic_frames(352, 288, frames, seed=seed,
+        frs = list(synthetic_frames(w, h, frames, seed=seed,
                                     motion=motion))
-        out.append((name, 352, 288, frs))
+        out.append((name, w, h, frs))
+    if mixed:
+        a = list(synthetic_frames(w, h, frames // 2, seed=11, motion=True))
+        b = list(synthetic_frames(w, h, frames - frames // 2, seed=23,
+                                  motion=False))
+        out.append((f"cut{frames // 2}", w, h, a + b))
     return out
 
 
@@ -73,31 +81,44 @@ def psnr_stream(ivf_bytes: bytes, frs) -> float:
     return 10.0 * np.log10(255.0 ** 2 / (se / n))
 
 
-def encode_ref(yuv, w, h, n, qp, enc_mode, out_ivf):
+def encode_ref(yuv, w, h, n, qp, enc_mode, out_ivf, pred_struct=2,
+               rc=0, tbr=0):
     cmd = [REF_APP, "-i", yuv, "-w", str(w), "-h", str(h), "-fps", "30",
            "-q", str(qp), "-enc-mode", str(enc_mode), "-n", str(n),
-           "-intra-period", "-1", "-pred-struct", "2", "-rc", "0",
-           "-b", out_ivf]
+           "-intra-period", "-1", "-pred-struct", str(pred_struct),
+           "-rc", str(rc), "-b", out_ivf]
+    if rc:
+        cmd += ["-tbr", str(tbr)]
     subprocess.run(cmd, check=True, capture_output=True, timeout=600)
     with open(out_ivf, "rb") as f:
         return f.read()
 
 
-def encode_ours(frs, w, h, qp, enc_mode):
+def encode_ours(frs, w, h, qp, enc_mode, rt: bool = False,
+                vbr_tbr: int = 0):
     import io
 
     from tpu_vp9.api import Vp9Encoder
     from tpu_vp9.bitstream.ivf import (
         patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
     )
-    from tpu_vp9.config import EncoderConfig, PredStructure
+    from tpu_vp9.config import EncoderConfig, PredStructure, RateControlMode
 
     enc = Vp9Encoder()
     enc.set_parameter(EncoderConfig(
         source_width=w, source_height=h, frame_rate=30, qp=qp,
         enc_mode=enc_mode, intra_period=-1,
-        pred_structure=PredStructure.RANDOM_ACCESS))
+        rate_control_mode=(RateControlMode.VBR if vbr_tbr
+                           else RateControlMode.CQP),
+        target_bit_rate=vbr_tbr or 7_000_000,
+        # --rt: quality measured THROUGH the device EncDec path (forced
+        # onto whatever jax backend is live; VERDICT r3 next-step #2)
+        tpu_realtime=2 if rt else 0,
+        pred_structure=(PredStructure.LOW_DELAY_P if rt
+                        else PredStructure.RANDOM_ACCESS)))
     enc.init()
+    if rt and enc._rt is None:
+        raise RuntimeError("--rt requested but realtime session not built")
     pkts = []
     for fr in frs:
         enc.send_picture(fr)
@@ -142,8 +163,19 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--qps", default="30,40,50,60")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--rt", action="store_true",
+                    help="measure the device realtime path (low-delay vs "
+                         "reference -pred-struct 0)")
+    ap.add_argument("--width", type=int, default=352)
+    ap.add_argument("--height", type=int, default=288)
+    ap.add_argument("--mixed", action="store_true",
+                    help="add a spliced scene-cut clip")
+    ap.add_argument("--vbr-tbrs", default="",
+                    help="comma-separated target bitrates: VBR "
+                         "rate-accuracy sweep instead of the CQP QP sweep")
     args = ap.parse_args()
     qps = [int(q) for q in args.qps.split(",")]
+    tbrs = [int(t) for t in args.vbr_tbrs.split(",") if t]
 
     if not os.path.exists(REF_APP):
         print(f"reference app missing; run tools/svt_ref/build_ref.sh "
@@ -152,16 +184,26 @@ def main():
 
     rows = []
     with tempfile.TemporaryDirectory() as td:
-        for name, w, h, frs in clips(args.frames):
+        for name, w, h, frs in clips(args.frames, args.width, args.height,
+                                     args.mixed):
             yuv = os.path.join(td, f"{name}.yuv")
             write_yuv(yuv, frs)
             r_ref, p_ref, r_our, p_our = [], [], [], []
-            for qp in qps:
-                ivf = encode_ref(yuv, w, h, len(frs), qp, args.enc_mode,
-                                 os.path.join(td, f"{name}_{qp}.ivf"))
+            points = ([("vbr", t) for t in tbrs] if tbrs
+                      else [("qp", q) for q in qps])
+            for kind, val in points:
+                ivf = encode_ref(
+                    yuv, w, h, len(frs), 50 if kind == "vbr" else val,
+                    args.enc_mode, os.path.join(td, f"{name}_{val}.ivf"),
+                    pred_struct=0 if args.rt else 2,
+                    rc=1 if kind == "vbr" else 0,
+                    tbr=val if kind == "vbr" else 0)
                 r_ref.append(len(ivf))
                 p_ref.append(psnr_stream(ivf, frs))
-                ours = encode_ours(frs, w, h, qp, args.enc_mode)
+                ours = encode_ours(frs, w, h,
+                                   50 if kind == "vbr" else val,
+                                   args.enc_mode, rt=args.rt,
+                                   vbr_tbr=val if kind == "vbr" else 0)
                 r_our.append(len(ours))
                 p_our.append(psnr_stream(ours, frs))
             bd = bd_rate(r_ref, p_ref, r_our, p_our)

@@ -61,6 +61,8 @@ class Vp9Encoder:
         self._last_was_inter = False
         self._prev_snapshot = None  # (ref0, mv) grids of the last frame
         self._frame_idx = 0
+        self._decode_order = 0  # packets emitted so far (decode order)
+        self._dts_offset = 0  # DTS = decode_order - 2^hier + 1 (RA)
         self._packets: list = []
         self._last_recon = None
         self._eos = False
@@ -76,6 +78,16 @@ class Vp9Encoder:
     def init(self) -> None:
         if self._cfg is None:
             raise RuntimeError("set_parameter must be called before init")
+        # warm the one-time intra predictor tables (dir_maps /
+        # all_modes_matrix are functools.cached per block size) so the
+        # first keyframe doesn't pay table construction at stream time —
+        # eb_vp9_init_encoder builds its ep-block stats up front too
+        # (EbEncHandle.c:808)
+        from tpu_vp9.ops import intra as _intra_ops
+
+        for _bs in (4, 8, 16, 32):
+            _intra_ops.dir_maps(_bs)
+        _intra_ops.all_modes_matrix(32)
         self._sig = derive_signals(self._cfg)
         from tpu_vp9.pipeline.picture_decision import SceneChangeDetector
 
@@ -84,7 +96,8 @@ class Vp9Encoder:
         if self._sig.use_tpu_me:
             from dataclasses import replace
 
-            from tpu_vp9.utils.device import tpu_alive
+            from tpu_vp9.utils.device import tpu_alive, tpu_dead_reason
+            from tpu_vp9.utils.trace import notice
 
             if not tpu_alive():
                 # wedged/absent accelerator: host ME fallback.  use_tpu_hints
@@ -92,6 +105,8 @@ class Vp9Encoder:
                 # fallback (openloop_mode_hints_np) feeding the wavefront.
                 self._sig = replace(self._sig, use_tpu_me=False)
                 self._tpu_ok = False
+                notice(f"TPU unavailable ({tpu_dead_reason()}); "
+                       "falling back to host motion estimation")
         self._rc = RateControlState.create(self._cfg)
         # real VP9 tile columns (the scale-out unit the reference forces
         # to 1): tpu_tile_columns > 1 requests that many, clamped to the
@@ -117,6 +132,9 @@ class Vp9Encoder:
 
             self._ra = RaEncoder(self._cfg, self._sig, self._rc)
             self._ra.log2_tile_cols = self._log2_tile_cols
+            # packetization latency contract: DTS = decode_order -
+            # 2^hier + 1 (EbPacketizationProcess.c:360-361)
+            self._dts_offset = -(1 << self._cfg.hierarchical_levels) + 1
             self._ra_buf = {}
             self._ra_keys = set()
             # initial-RC lookahead window (look_ahead_distance analogue:
@@ -142,31 +160,52 @@ class Vp9Encoder:
         self._rt = None
         cfg = self._cfg
         if (self._ra is None and cfg.tpu_realtime != 0
-                and int(cfg.enc_mode) >= 8
-                and (cfg.tpu_realtime == 1 or self._tpu_ok)):
-            from tpu_vp9.pipeline.realtime import RtSession
+                and int(cfg.enc_mode) >= 8):
+            from tpu_vp9.utils.device import tpu_dead_reason
+            from tpu_vp9.utils.trace import notice
 
-            from tpu_vp9.config import RateControlMode
+            if cfg.tpu_realtime == 1 and not self._tpu_ok:
+                # explicit -rt 1 must not silently degrade to a ~0.5 fps
+                # host encode (reference: error packet on the output FIFO,
+                # EbEncHandle.c:437-452); -rt 2 forces a CPU-jax session
+                # for hermetic testing
+                raise RuntimeError(
+                    "tpu_realtime=1 requested but no live accelerator: "
+                    f"{tpu_dead_reason()}")
+            if self._tpu_ok or cfg.tpu_realtime in (1, 2):
+                from tpu_vp9.config import RateControlMode
+                from tpu_vp9.pipeline.realtime import RtSession
 
-            rt_rc = (self._rc
-                     if cfg.rate_control_mode != RateControlMode.CQP
-                     else None)
-            try:
-                self._rt = RtSession(
-                    cfg.source_width, cfg.source_height,
-                    intra_period=cfg.intra_period,
-                    error_resilient=cfg.error_resilient,
-                    frame_parallel_decoding=cfg.frame_parallel_decoding,
-                    want_recon=cfg.recon_file is not None,
-                    loop_filter=cfg.loop_filter,
-                    # VBR/CBR: per-frame q + post-encode feedback ride
-                    # the shared controller (EbRateControlProcess ports)
-                    rc=rt_rc,
-                    # M8 runs the 32-vs-16 partition decision; M9 keeps
-                    # the uniform grid (speed ladder)
-                    split16=int(cfg.enc_mode) <= 8)
-            except ValueError:
-                self._rt = None  # unsupported geometry: host fallback
+                rt_rc = (self._rc
+                         if cfg.rate_control_mode != RateControlMode.CQP
+                         else None)
+                try:
+                    self._rt = RtSession(
+                        cfg.source_width, cfg.source_height,
+                        intra_period=cfg.intra_period,
+                        error_resilient=cfg.error_resilient,
+                        frame_parallel_decoding=cfg.frame_parallel_decoding,
+                        want_recon=cfg.recon_file is not None,
+                        loop_filter=cfg.loop_filter,
+                        # VBR/CBR: per-frame q + post-encode feedback ride
+                        # the shared controller (EbRateControlProcess ports)
+                        rc=rt_rc,
+                        # M8 runs the 32-vs-16 partition decision and the
+                        # HBM GOLDEN anchor; M9 keeps the uniform
+                        # LAST-only grid (speed ladder)
+                        split16=int(cfg.enc_mode) <= 8,
+                        golden=(int(cfg.enc_mode) <= 8
+                                and not cfg.tpu_mesh_shape),
+                        mesh_shape=(tuple(cfg.tpu_mesh_shape)
+                                    if cfg.tpu_mesh_shape else None))
+                except ValueError as exc:
+                    if cfg.tpu_realtime == 1:
+                        raise RuntimeError(
+                            "tpu_realtime=1 requested but the realtime "
+                            f"session rejected this geometry: {exc}") from exc
+                    self._rt = None  # unsupported geometry: host fallback
+                    notice(f"realtime device session unavailable ({exc}); "
+                           "falling back to host encode")
         self._initialized = True
 
     def _speed_report(self, n_frames: int, seconds: float) -> None:
@@ -385,10 +424,17 @@ class Vp9Encoder:
             st.planes[1].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
             st.planes[2].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
         )
-        self._packets.append(Packet(data=payload, pts=idx, dts=idx,
-                                    is_keyframe=is_key, qindex=qindex))
+        self._emit(Packet(data=payload, pts=idx, dts=0,
+                          is_keyframe=is_key, qindex=qindex))
         if self._sc is not None:
             self._speed_report(1, _time.perf_counter() - _sc_t0)
+
+    def _emit(self, pkt: Packet) -> None:
+        """Stamp decode-order DTS and queue the packet
+        (EbPacketizationProcess.c:359-361)."""
+        pkt.dts = self._decode_order + self._dts_offset
+        self._decode_order += 1
+        self._packets.append(pkt)
 
     def _emit_rt(self, ef) -> None:
         """Book-keep one realtime-path EncodedFrame into the packet queue."""
@@ -402,9 +448,8 @@ class Vp9Encoder:
                 st.planes[1].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
                 st.planes[2].recon[: (h + 1) >> 1, : (w + 1) >> 1].copy(),
             )
-        self._packets.append(Packet(data=ef.payload, pts=ef.pts, dts=ef.pts,
-                                    is_keyframe=ef.is_keyframe,
-                                    qindex=ef.qindex))
+        self._emit(Packet(data=ef.payload, pts=ef.pts, dts=0,
+                          is_keyframe=ef.is_keyframe, qindex=ef.qindex))
 
     def _ra_drain(self, flush: bool) -> None:
         """Encode every complete (or flush-truncated) minigop in the buffer.
@@ -495,10 +540,9 @@ class Vp9Encoder:
         return None
 
     def _emit_ra(self, ra_packets) -> None:
-        for i, p in enumerate(ra_packets):
-            self._packets.append(Packet(
-                data=p.data, pts=p.pts, dts=p.dts,
-                is_keyframe=p.is_keyframe, qindex=p.qindex))
+        for p in ra_packets:
+            self._emit(Packet(data=p.data, pts=p.pts, dts=0,
+                              is_keyframe=p.is_keyframe, qindex=p.qindex))
 
     def flush(self, next_frame_hint=None) -> None:
         """Signal end of stream (EB_BUFFERFLAG_EOS analogue).

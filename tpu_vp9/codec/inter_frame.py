@@ -372,8 +372,11 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
 
     ac_q = T.ac_quant(qindex)
     split_bias = max(8, (40 * ac_q) >> 4)
-    # inter blocks stop at 8x8 (sub-8x8 bmi MVs not emitted yet)
-    if int(min_bs) < int(BlockSize.BLOCK_8X8):
+    # sub-8x8 descent needs stable bmi candidate lists: gate it off under
+    # the non-ER restriction machinery (no temporal-MV model)
+    if (int(min_bs) < int(BlockSize.BLOCK_8X8)
+            and getattr(st, "_restrict_mv", False)
+            and getattr(st, "_prev_mvs", None) is None):
         min_bs = BlockSize.BLOCK_8X8
     mi_rows, mi_cols = st.mi_rows, st.mi_cols
 
@@ -385,6 +388,49 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
         forced_split = not (has_rows and has_cols)
         can_none = not forced_split and int(bsize) <= int(max_bs)
         can_split = int(bsize) > int(min_bs)
+        if bsize == BlockSize.BLOCK_8X8 and can_split:
+            # 8x8 -> ONE sub-8x8 mi (4X4 / 4X8 / 8X4) with bmi MVs:
+            # compare the 8x8 probe against per-sub-block searches
+            # (sub-8x8 candidate injection, EbModeDecision.c:569)
+            cost8, mv8 = probe_inter_cost(st, refs, mi_row, mi_col, bsize,
+                                          8, center)
+            pl = st.planes[0]
+            px, py = mi_col * 8, mi_row * 8
+            s4 = []
+            for j in range(4):
+                xo, yo = (j % 2) * 4, (j // 2) * 4
+                src4 = pl.source[py + yo : py + yo + 4,
+                                 px + xo : px + xo + 4]
+                _, _, s = me_ops.full_pel_search(
+                    src4, refs[0], px + xo, py + yo, BORDER, 4, mv8)
+                s4.append(s)
+            rect_bias = max(4, split_bias >> 1)
+            sv = sh_ = 0
+            for xo in (0, 4):  # VERT: two 4-wide halves, one MV each
+                src48 = pl.source[py : py + 8, px + xo : px + xo + 4]
+                _, _, s = me_ops.full_pel_search(
+                    src48, refs[0], px + xo, py, BORDER, 4, mv8)
+                sv += s
+            for yo in (0, 4):  # HORZ: two 4-tall halves
+                src84 = pl.source[py + yo : py + yo + 4, px : px + 8]
+                _, _, s = me_ops.full_pel_search(
+                    src84, refs[0], px, py + yo, BORDER, 4, mv8)
+                sh_ += s
+            cands = [(cost8 if can_none else 1 << 60, Partition.NONE,
+                      bsize),
+                     (split_bias + sum(s4), Partition.SPLIT,
+                      BlockSize.BLOCK_4X4),
+                     (rect_bias + sv, Partition.VERT,
+                      BlockSize.BLOCK_4X8),
+                     (rect_bias + sh_, Partition.HORZ,
+                      BlockSize.BLOCK_8X4)]
+            cost, part, leaf_bs = min(cands, key=lambda x: x[0])
+            if part == Partition.NONE:
+                return cost, [("part", mi_row, mi_col, bsize,
+                               Partition.NONE),
+                              ("leaf", mi_row, mi_col, bsize, None)]
+            return cost, [("part", mi_row, mi_col, bsize, part),
+                          ("leaf", mi_row, mi_col, leaf_bs, None)]
         cost_none = mv = None
         if can_none:
             r = search_range if bsize >= max_bs else 8
@@ -447,6 +493,111 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
                 _, ev = node(sb_r, sb_c, BlockSize.BLOCK_64X64, (0, 0))
                 events.extend(ev)
     return events
+
+
+def decide_leaf_sub8x8_inter(st: FrameState, refs, mi_row: int, mi_col: int,
+                             bsize: BlockSize, qindex: int,
+                             do_subpel: bool = True):
+    """Sub-8x8 inter leaf (bmi MVs): per-sub-block decision among
+    {NEAREST, NEAR, ZERO, NEW} with the normative sub-block candidate
+    rules (vp9_append_sub8x8_mvs_for_idx); LAST reference only.
+    Prediction mirrors the decoder exactly: per-4x4 luma MC with each
+    bmi MV, one 4x4 chroma MC at the q4-averaged MV.
+    Reference: EbModeDecision.c:569 sub-8x8 candidate injection.
+    """
+    from tpu_vp9.codec.intra_frame import _sub8x8_rc_steps
+
+    LAST = int(RefFrame.LAST)
+    ac_q = T.ac_quant(qindex)
+    lam = max(1, (ac_q * ac_q) >> 6)
+    pl = st.planes[0]
+    px, py = mi_col * 8, mi_row * 8
+    prev_mvs = getattr(st, "_prev_mvs", None)
+    sign_bias = getattr(st, "_sign_bias", None) or (0, 0, 0, 0)
+    mv_list, mode_context = MV.find_mv_refs(
+        st.mig, mi_row, mi_col, bsize, LAST, st.mig.tile_mi_start,
+        st.mig.tile_mi_end, prev_mvs=prev_mvs, sign_bias=sign_bias)
+    nearest_blk, _ = MV.find_best_ref_mvs(
+        mv_list, False, mi_row, mi_col, bsize, st.mi_rows, st.mi_cols)
+    filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
+    fcst = getattr(st, "_rd_costs", None)
+    bmi = [(0, 0)] * 4
+    sub_modes = [0] * 4
+    for j, num4w, num4h in _sub8x8_rc_steps(bsize):
+        x_off, y_off = (j % 2) * 4, (j // 2) * 4
+        sw = 4 if num4w == 1 else 8
+        sh = 4 if num4h == 1 else 8
+        src = pl.source[py + y_off : py + y_off + sh,
+                        px + x_off : px + x_off + sw]
+
+        def sse_of(mv):
+            pred = inter_ops.predict_inter_block(
+                refs[0], mi_row, mi_col, x_off, y_off, sw, sh, mv, 0,
+                st.mi_rows, st.mi_cols)
+            d = pred.astype(np.int64) - src.astype(np.int64)
+            return int((d * d).sum())
+
+        nearest_s, near_s = MV.append_sub8x8_mvs(
+            st.mig, mi_row, mi_col, bsize, LAST, j, bmi,
+            st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=prev_mvs,
+            sign_bias=sign_bias)
+        best = None
+        for mode, mvv, rate in ((0, nearest_s, 2), (1, near_s, 3),
+                                (2, (0, 0), 1)):
+            cost = sse_of(mvv) + rate * lam
+            if best is None or cost < best[0]:
+                best = (cost, mode, mvv)
+        # NEW: small full-pel search around the sub nearest + subpel
+        center = (int(np.clip(nearest_s[0] >> 3, -32, 32)),
+                  int(np.clip(nearest_s[1] >> 3, -32, 32)))
+        dy, dx, _ = me_ops.full_pel_search(src, refs[0], px + x_off,
+                                           py + y_off, BORDER, 8, center)
+        if do_subpel:
+            new_mv, _ = me_ops.subpel_refine(
+                src, refs[0], px + x_off, py + y_off, BORDER, (dy, dx),
+                filters)
+        else:
+            new_mv = (dy * 8, dx * 8)
+        if fcst is not None:
+            mv_bits = 10 + fcst.mv_rate(new_mv, nearest_blk) // 256
+        else:
+            mv_bits = 12
+        cost = sse_of(new_mv) + mv_bits * lam
+        if cost < best[0]:
+            best = (cost, 3, new_mv)
+        _, mode, mvv = best
+        bmi[j] = tuple(mvv)
+        sub_modes[j] = mode
+        if num4h == 2:
+            bmi[j + 2] = bmi[j]
+            sub_modes[j + 2] = mode
+        if num4w == 2:
+            bmi[j + 1] = bmi[j]
+            sub_modes[j + 1] = mode
+    mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize], skip=False,
+                     is_inter=True, ref_frame=(LAST, -1),
+                     mv=(bmi[3], (0, 0)), inter_mode=sub_modes[3],
+                     sub_mvs=tuple((b, (0, 0)) for b in bmi),
+                     sub_modes=tuple(sub_modes))
+    mi.mode_context = mode_context
+    mi.best_ref_mv = nearest_blk
+    st.mig.set_block(mi_row, mi_col, bsize, mi)
+    # decoder-exact prediction: per-4x4 luma, q4-averaged-MV 4x4 chroma
+    pred_y = np.zeros((8, 8), np.uint8)
+    for j in range(4):
+        x_off, y_off = (j % 2) * 4, (j // 2) * 4
+        pred_y[y_off : y_off + 4, x_off : x_off + 4] = \
+            inter_ops.predict_inter_block(
+                refs[0], mi_row, mi_col, x_off, y_off, 4, 4, bmi[j], 0,
+                st.mi_rows, st.mi_cols)
+    mv_avg = MV.mi_mv_pred_q4(bmi)
+    preds = [(pred_y, px, py)]
+    for pidx in (1, 2):
+        p = inter_ops.predict_inter_block(
+            refs[pidx], mi_row, mi_col, 0, 0, 4, 4, mv_avg, 1,
+            st.mi_rows, st.mi_cols)
+        preds.append((p, px >> 1, py >> 1))
+    return (mi, mi_row, mi_col, bsize, preds)
 
 
 def decide_leaf_inter(st: FrameState, refs, mi_row: int, mi_col: int,
@@ -940,6 +1091,37 @@ def decide_tx_sizes(st: FrameState, pending, qindex: int,
             mi.tx_size = TxSize(int(max_tx) - 1) if pick_small[i] else max_tx
 
 
+def _optimize_levels(fcst, levels, coeffs, txs, items, dc_q, ac_q):
+    """Trellis-optimize a batch of quantized tx blocks with the frame's
+    exact token-cost tables.  items carry the plane index (chroma and
+    luma price against their own probability sets).  Falls back to the
+    unoptimized levels when the native library is unavailable."""
+    import os
+
+    from tpu_vp9 import native as nat
+
+    if os.environ.get("TPU_VP9_NO_TRELLIS") == "1":
+        return levels
+    n = TX_PX[txs]
+    gain = 16.0 if n == 32 else 64.0
+    lam = fcst.lambda_bits * gain / 256.0
+    q_shift = 1 if n == 32 else 0
+    out = np.ascontiguousarray(levels, np.int32)
+    by_plane = {}
+    for i, it in enumerate(items):
+        by_plane.setdefault(it[2] > 0, []).append(i)
+    for is_uv, idxs in by_plane.items():
+        sel = np.asarray(idxs)
+        probs = fcst._coef_full[(int(txs), is_uv, True)]
+        res = nat.native_optimize_coeffs_batch(
+            out[sel], coeffs[sel], int(txs), int(TxType.DCT_DCT), probs,
+            1, lam, dc_q, ac_q, q_shift)
+        if res is None:
+            return levels
+        out[sel] = res[0]
+    return out
+
+
 def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
                               qbias: float = 0.38) -> None:
     """Phase 2: transform/quant/recon ALL inter blocks batched per tx size.
@@ -952,12 +1134,15 @@ def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
     ac_q = T.ac_quant(qindex)
     jobs = {}  # tx -> list of (mi, key, pidx, py, px, pred)
     for mi, mi_row, mi_col, bsize, preds in pending:
+        eff = bsize if bsize >= T.BlockSize.BLOCK_8X8 \
+            else T.BlockSize.BLOCK_8X8
         y_tx = mi.tx_size
-        uv_tx = MI.uv_tx_size(bsize, y_tx)
+        uv_tx = (MI.uv_tx_size(bsize, y_tx)
+                 if bsize >= T.BlockSize.BLOCK_8X8 else TxSize.TX_4X4)
         for pidx, txs in ((0, y_tx), (1, uv_tx), (2, uv_tx)):
             ss = st.planes[pidx].subsampling
             pred_full = preds[pidx][0]
-            for x4, y4 in tx_blocks_of(bsize, txs, ss):
+            for x4, y4 in tx_blocks_of(eff, txs, ss):
                 if not _visible(st, pidx, mi_row, mi_col, x4, y4):
                     continue
                 n = TX_PX[txs]
@@ -969,6 +1154,7 @@ def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
                     key = (pidx, mi_row + y4, mi_col + x4)
                 pred = pred_full[y4 * 4 : y4 * 4 + n, x4 * 4 : x4 * 4 + n]
                 jobs.setdefault(txs, []).append((mi, key, pidx, py, px, pred))
+    fcst = getattr(st, "_rd_costs", None)
     for txs, items in jobs.items():
         n = TX_PX[txs]
         preds = np.stack([it[5] for it in items]).astype(np.int32)
@@ -978,6 +1164,11 @@ def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
         resid = srcs - preds
         coeffs = txfm.fwd_txfm2d(resid, txs, TxType.DCT_DCT)
         levels = txfm.quantize_block(coeffs, dc_q, ac_q, txs, bias=qbias)
+        if fcst is not None:
+            # trellis RDOQ on the final coded levels (vp9_optimize_b
+            # analogue, EbEncDecProcess.c:426; M0-M4 full-loop presets)
+            levels = _optimize_levels(fcst, levels, coeffs, txs, items,
+                                      dc_q, ac_q)
         deq = txfm.dequant_block(levels, dc_q, ac_q, txs)
         recon = txfm.inv_txfm_add(deq.astype(np.int64), preds, txs,
                                   TxType.DCT_DCT)
@@ -992,12 +1183,15 @@ def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
             st.eobs[key] = int(eobs[i])
     # skip determination: a block skips iff all its tx blocks are empty
     for mi, mi_row, mi_col, bsize, _ in pending:
+        eff = bsize if bsize >= T.BlockSize.BLOCK_8X8 \
+            else T.BlockSize.BLOCK_8X8
         y_tx = mi.tx_size
-        uv_tx = MI.uv_tx_size(bsize, y_tx)
+        uv_tx = (MI.uv_tx_size(bsize, y_tx)
+                 if bsize >= T.BlockSize.BLOCK_8X8 else TxSize.TX_4X4)
         all_zero = True
         for pidx, txs in ((0, y_tx), (1, uv_tx), (2, uv_tx)):
             ss = st.planes[pidx].subsampling
-            for x4, y4 in tx_blocks_of(bsize, txs, ss):
+            for x4, y4 in tx_blocks_of(eff, txs, ss):
                 if not _visible(st, pidx, mi_row, mi_col, x4, y4):
                     continue
                 if pidx == 0:
@@ -1113,13 +1307,25 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
                 key = {3: "tx_p32", 2: "tx_p16", 1: "tx_p8"}[int(max_tx)]
                 counts_sink[key][txctx, int(mi.tx_size)] += 1
         if not mi.is_inter:
-            grp = T.SIZE_GROUP[bsize]
-            T.write_token(enc, "intra_mode_tree", fc.if_y_probs[grp],
-                          int(mi.y_mode))
+            if bsize < BlockSize.BLOCK_8X8:
+                # per-sub-block modes (bmi), inter-frame intra trees
+                from tpu_vp9.codec.intra_frame import _sub8x8_rc_steps
+
+                for j, _, _ in _sub8x8_rc_steps(bsize):
+                    m = int(mi.sub_modes[j])
+                    T.write_token(enc, "intra_mode_tree", fc.if_y_probs[0],
+                                  m)
+                    if counts_sink is not None:
+                        counts_sink["y_mode"][0, m] += 1
+            else:
+                grp = T.SIZE_GROUP[bsize]
+                T.write_token(enc, "intra_mode_tree", fc.if_y_probs[grp],
+                              int(mi.y_mode))
+                if counts_sink is not None:
+                    counts_sink["y_mode"][grp, int(mi.y_mode)] += 1
             T.write_token(enc, "intra_mode_tree",
                           fc.if_uv_probs[int(mi.y_mode)], int(mi.uv_mode))
             if counts_sink is not None:
-                counts_sink["y_mode"][grp, int(mi.y_mode)] += 1
                 counts_sink["uv_mode"][int(mi.y_mode), int(mi.uv_mode)] += 1
         else:
             compound = mi.ref_frame[1] > 0
@@ -1157,32 +1363,59 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
                     if counts_sink is not None:
                         counts_sink["single_ref"][rctx2, 1,
                                                   1 if is_alt else 0] += 1
-            # inter mode
-            T.write_token(enc, "inter_mode_tree",
-                          fc.inter_mode_probs[mi.mode_context],
-                          int(mi.inter_mode))
-            if counts_sink is not None:
-                counts_sink["inter_mode"][mi.mode_context,
-                                          int(mi.inter_mode)] += 1
-            if mi.inter_mode == 3:  # NEWMV
-                best_refs = (mi.best_ref_mv,
-                             getattr(mi, "best_ref_mv2", (0, 0)))
-                for i in range(2 if compound else 1):
-                    MV.write_mv(enc, mi.mv[i], best_refs[i], fc.nmv, False)
-                    if counts_sink is not None:
-                        from tpu_vp9.codec.adapt import inc_mv
+            best_refs = (mi.best_ref_mv,
+                         getattr(mi, "best_ref_mv2", (0, 0)))
+            if bsize < BlockSize.BLOCK_8X8:
+                # bmi loop: per-sub-block inter mode + NEWMV mvds
+                # (vp9_bitstream.c:360 write_modes_b sub-8x8 branch)
+                from tpu_vp9.codec.intra_frame import _sub8x8_rc_steps
 
-                        inc_mv(counts_sink,
-                               (mi.mv[i][0] - best_refs[i][0],
-                                mi.mv[i][1] - best_refs[i][1]))
-        # tokens
+                for j, _, _ in _sub8x8_rc_steps(bsize):
+                    bm = int(mi.sub_modes[j])
+                    T.write_token(enc, "inter_mode_tree",
+                                  fc.inter_mode_probs[mi.mode_context], bm)
+                    if counts_sink is not None:
+                        counts_sink["inter_mode"][mi.mode_context, bm] += 1
+                    if bm == 3:
+                        for i in range(2 if compound else 1):
+                            MV.write_mv(enc, mi.sub_mvs[j][i],
+                                        best_refs[i], fc.nmv, False)
+                            if counts_sink is not None:
+                                from tpu_vp9.codec.adapt import inc_mv
+
+                                inc_mv(counts_sink,
+                                       (mi.sub_mvs[j][i][0]
+                                        - best_refs[i][0],
+                                        mi.sub_mvs[j][i][1]
+                                        - best_refs[i][1]))
+            else:
+                # inter mode
+                T.write_token(enc, "inter_mode_tree",
+                              fc.inter_mode_probs[mi.mode_context],
+                              int(mi.inter_mode))
+                if counts_sink is not None:
+                    counts_sink["inter_mode"][mi.mode_context,
+                                              int(mi.inter_mode)] += 1
+                if mi.inter_mode == 3:  # NEWMV
+                    for i in range(2 if compound else 1):
+                        MV.write_mv(enc, mi.mv[i], best_refs[i], fc.nmv,
+                                    False)
+                        if counts_sink is not None:
+                            from tpu_vp9.codec.adapt import inc_mv
+
+                            inc_mv(counts_sink,
+                                   (mi.mv[i][0] - best_refs[i][0],
+                                    mi.mv[i][1] - best_refs[i][1]))
+        # tokens (sub-8x8 blocks code the enclosing 8x8 geometry at TX_4X4)
+        eff = bsize if bsize >= BlockSize.BLOCK_8X8 else BlockSize.BLOCK_8X8
         y_tx = mi.tx_size
-        uv_tx = MI.uv_tx_size(bsize, y_tx)
+        uv_tx = (MI.uv_tx_size(bsize, y_tx)
+                 if bsize >= BlockSize.BLOCK_8X8 else T.TxSize.TX_4X4)
         if mi.skip:
             for pidx in (0, 1, 2):
                 ss = st.planes[pidx].subsampling
                 pc = planes_ctx[pidx]
-                w4, h4 = plane_block_geometry(bsize, ss)
+                w4, h4 = plane_block_geometry(eff, ss)
                 bx4 = (mi_col * 2) >> ss
                 by4 = (mi_row * 2) >> ss
                 pc.above[bx4 : bx4 + w4] = 0
@@ -1197,7 +1430,7 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
             ss = st.planes[pidx].subsampling
             pc = planes_ctx[pidx]
             probs = full_probs[(txs, pidx > 0, mi.is_inter)]
-            for x4, y4 in tx_blocks_of(bsize, txs, ss):
+            for x4, y4 in tx_blocks_of(eff, txs, ss):
                 if not _visible(st, pidx, mi_row, mi_col, x4, y4):
                     continue
                 gx4 = ((mi_col * 2) >> ss) + x4
@@ -1213,12 +1446,171 @@ def serialize_pframe(st: FrameState, events, qindex: int, fc=None,
                     ref_i = 1 if mi.is_inter else 0
                     cnt = counts_sink[("coef", txs)][pt_i, ref_i]
                     ecnt = counts_sink[("eob", txs)][pt_i, ref_i]
-                eob = tok.write_coeffs_any(enc, levels, txs, tt, probs, ctx0,
-                                           cnt, ecnt)
+                tt_blk = tt
+                if (pidx == 0 and not mi.is_inter
+                        and bsize < BlockSize.BLOCK_8X8):
+                    # sub-8x8 intra: per-sub-block tx type from its mode
+                    tt_blk = MI.y_tx_type(
+                        IntraMode(int(mi.sub_modes[y4 * 2 + x4])), False,
+                        False, txs)
+                eob = tok.write_coeffs_any(enc, levels, txs, tt_blk, probs,
+                                           ctx0, cnt, ecnt)
                 pc.set_ctx(gx4, gy4, txs, eob > 0,
                            (st.mi_cols * 2) >> ss, (st.mi_rows * 2) >> ss)
     tiles.append(enc.finalize())
     return pack_tiles(tiles)
+
+
+def _native_phase1(st: FrameState, refs, events, qindex: int,
+                   search_range: int, do_subpel: bool, pending: list,
+                   intra_leaves: list) -> bool:
+    """Run phase-1 mode decision through the native fast loop when the
+    active toolset is covered by it (the M5-M9 fast-loop configuration:
+    no full loop, no QPM lambda map, no device-ME hints, no partition
+    probes).  Appends to pending/intra_leaves exactly like the Python
+    loop; returns False to request the Python fallback.
+
+    Bit-identical to decide_leaf_inter (tests/test_native_fastloop.py);
+    the per-leaf Python overhead — the round-3 host regression — is gone.
+    """
+    import os
+
+    from tpu_vp9 import native as nat
+
+    if os.environ.get("TPU_VP9_NO_NATIVE_FASTLOOP") == "1":
+        return False
+    if (getattr(st, "_rd_costs", None) is not None
+            or getattr(st, "_lambda_map", None) is not None
+            or getattr(st, "_tpu_mv", None) is not None
+            or getattr(st, "_probe_cache", None)):
+        return False
+    lib = nat.get_lib()
+    if lib is None or not hasattr(lib, "fast_loop_decide"):
+        return False
+    ac_q = T.ac_quant(qindex)
+    lam = max(1, (ac_q * ac_q) >> 6)
+    LAST, GOLD, ALT = (int(RefFrame.LAST), int(RefFrame.GOLDEN),
+                       int(RefFrame.ALTREF))
+    ranges_in = getattr(st, "_ref_ranges", None) or {}
+    ref_sets = {LAST: refs,
+                GOLD: getattr(st, "_golden_refs", None),
+                ALT: getattr(st, "_altref_refs", None)}
+    defaults = {LAST: search_range,
+                GOLD: max(search_range // 2, 8),
+                ALT: search_range}
+    ranges3 = []
+    triples = []
+    for rid in (LAST, GOLD, ALT):
+        planes = ref_sets[rid]
+        if planes is None:
+            ranges3.append(0)
+            triples.append(None)
+            continue
+        rng = int(ranges_in.get(rid, defaults[rid]))
+        ranges3.append(rng)
+        full = planes[0]
+        if full.dtype != np.uint8 or not full.flags["C_CONTIGUOUS"]:
+            return False
+        half = quarter = None
+        if rng >= 32:
+            cache = getattr(st, "_hme_cache", None)
+            if cache is None:
+                cache = st._hme_cache = {}
+            pyr = cache.get(id(full))
+            if pyr is None:
+                pyr = cache[id(full)] = hme_ops.build_pyramid(full)
+            half = np.ascontiguousarray(pyr[1])
+            quarter = np.ascontiguousarray(pyr[2])
+        triples.append((full, half, quarter))
+    prev_mvs = getattr(st, "_prev_mvs", None)
+    if prev_mvs is not None:
+        p0, p1, m0, m1 = prev_mvs
+        prev_mvs = (np.ascontiguousarray(p0, np.int8),
+                    np.ascontiguousarray(p1, np.int8),
+                    np.ascontiguousarray(m0, np.int32),
+                    np.ascontiguousarray(m1, np.int32))
+    restrict = getattr(st, "_restrict_mv", False)
+    sign_bias = getattr(st, "_sign_bias", None) or (0, 0, 0, 0)
+    mig = st.mig
+    fields = (mig.f_inter.view(np.uint8), mig.f_ref0, mig.f_ref1,
+              mig.f_mode, mig.f_mv, mig.f_mv1)
+    pl = st.planes[0]
+    src = pl.source
+    if src.dtype != np.uint8 or not src.flags["C_CONTIGUOUS"]:
+        return False
+
+    # group decode-order leaves by tile segment
+    segments = []  # (tile_start, tile_end, [(mi_row, mi_col, bsize)...])
+    cur = None
+    for ev, mi_row, mi_col, bsize, _ in events:
+        if ev == "tile":
+            cur = (mi_row, mi_col, [])
+            segments.append(cur)
+        elif ev == "leaf":
+            cur[2].append((mi_row, mi_col, int(bsize)))
+    jobs = []  # winner-MC jobs: (mi_row, mi_col, bsize, ref0, ref1, mvs)
+    for tile_start, tile_end, leaves in segments:
+        st.tile_mi_start = tile_start
+        mig.tile_mi_start, mig.tile_mi_end = tile_start, tile_end
+        if not leaves:
+            continue
+        out = nat.native_fast_loop_decide(
+            st.mi_rows, st.mi_cols, tile_start, tile_end, BORDER,
+            pl.width, pl.height, src, triples, ranges3, lam, do_subpel,
+            restrict, (sign_bias[0], sign_bias[1], sign_bias[2],
+                       sign_bias[3]), prev_mvs, fields,
+            np.asarray(leaves, np.int32))
+        if out is None:
+            return False
+        for (mi_row, mi_col, bsize), o in zip(leaves, out):
+            bsize = BlockSize(bsize)
+            kind = int(o[0])
+            if kind == 0:
+                mi = MI.ModeInfo(bsize=bsize, y_mode=IntraMode.DC_PRED,
+                                 uv_mode=IntraMode.DC_PRED,
+                                 tx_size=T.MAX_TX_SIZE[bsize], skip=False,
+                                 is_inter=False)
+                mi.tile_mi_start = tile_start
+                st.mig.set_block(mi_row, mi_col, bsize, mi)
+                intra_leaves.append((mi_row, mi_col, bsize))
+                continue
+            ref0 = int(o[1])
+            mv0 = (int(o[5]), int(o[6]))
+            if kind == 2:
+                ref1 = int(o[2])
+                mv1 = (int(o[7]), int(o[8]))
+                mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize],
+                                 skip=False, is_inter=True,
+                                 ref_frame=(ref0, ref1), mv=(mv0, mv1),
+                                 inter_mode=int(o[3]))
+                mi.best_ref_mv2 = (int(o[11]), int(o[12]))
+            else:
+                ref1 = -1
+                mv1 = (0, 0)
+                mi = MI.ModeInfo(bsize=bsize, tx_size=T.MAX_TX_SIZE[bsize],
+                                 skip=False, is_inter=True,
+                                 ref_frame=(ref0, -1), mv=(mv0, (0, 0)),
+                                 inter_mode=int(o[3]))
+            mi.mode_context = int(o[4])
+            mi.best_ref_mv = (int(o[9]), int(o[10]))
+            st.mig.set_block(mi_row, mi_col, bsize, mi)
+            pending.append((mi, mi_row, mi_col, bsize, None))
+            jobs.append((mi_row, mi_col, int(bsize), ref0, ref1,
+                         mv0[0], mv0[1], mv1[0], mv1[1]))
+    if jobs:
+        # all winner predictions in one native pass (MC is tile-agnostic)
+        mc = nat.native_mc_predict_winners(
+            {rid: ref_sets[rid] for rid in ref_sets}, BORDER, st.mi_rows,
+            st.mi_cols, np.asarray(jobs, np.int32))
+        if mc is None:
+            return False
+        for i, (mi, mi_row, mi_col, bsize, _) in enumerate(pending):
+            y, u, v = mc[i]
+            px, py = mi_col * 8, mi_row * 8
+            pending[i] = (mi, mi_row, mi_col, bsize,
+                          [(y, px, py), (u, px >> 1, py >> 1),
+                           (v, px >> 1, py >> 1)])
+    return True
 
 
 def encode_pframe(frame, refs, qindex: int,
@@ -1291,19 +1683,27 @@ def encode_pframe(frame, refs, qindex: int,
     pending = []
     intra_leaves = []
     with span("mode_decision"):
-        for ev, mi_row, mi_col, bsize, _ in events:
-            if ev == "tile":
-                st.tile_mi_start = mi_row
-                st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
-                continue
-            if ev != "leaf":
-                continue
-            entry = decide_leaf_inter(st, refs, mi_row, mi_col, bsize,
-                                      qindex, search_range, do_subpel)
-            if entry is None:
-                intra_leaves.append((mi_row, mi_col, bsize))
-            else:
-                pending.append(entry)
+        native_done = _native_phase1(st, refs, events, qindex, search_range,
+                                     do_subpel, pending, intra_leaves)
+        if not native_done:
+            for ev, mi_row, mi_col, bsize, _ in events:
+                if ev == "tile":
+                    st.tile_mi_start = mi_row
+                    st.mig.tile_mi_start, st.mig.tile_mi_end = mi_row, mi_col
+                    continue
+                if ev != "leaf":
+                    continue
+                if bsize < BlockSize.BLOCK_8X8:
+                    entry = decide_leaf_sub8x8_inter(
+                        st, refs, mi_row, mi_col, bsize, qindex, do_subpel)
+                else:
+                    entry = decide_leaf_inter(st, refs, mi_row, mi_col,
+                                              bsize, qindex, search_range,
+                                              do_subpel)
+                if entry is None:
+                    intra_leaves.append((mi_row, mi_col, bsize))
+                else:
+                    pending.append(entry)
     # phase 2: all inter blocks batched (independent of each other)
     with span("batch_txfm"):
         if tx_select:

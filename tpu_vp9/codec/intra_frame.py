@@ -240,6 +240,17 @@ def decide_partition_tree_intra(y: np.ndarray, mi_rows: int, mi_cols: int,
     return events
 
 
+def _sub8x8_rc_steps(bsize: BlockSize):
+    """bmi read/write order for a sub-8x8 block: [(j, num4w, num4h)]
+    with j = idy*2 + idx (vp9 read_inter_block_mode_info loop)."""
+    w, h = T.BLOCK_WH[bsize]
+    num4w = 2 if w == 8 else 1
+    num4h = 2 if h == 8 else 1
+    return [(idy * 2 + idx, num4w, num4h)
+            for idy in range(0, 2, num4h)
+            for idx in range(0, 2, num4w)]
+
+
 def plane_block_geometry(bsize: BlockSize, plane_ss: int):
     """(w4, h4): plane block size in 4px units."""
     w, h = T.BLOCK_WH[BlockSize(bsize)]

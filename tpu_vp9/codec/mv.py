@@ -71,11 +71,29 @@ def _clamp(mv, lo_col, hi_col, lo_row, hi_row):
     return (min(max(mv[0], lo_row), hi_row), min(max(mv[1], lo_col), hi_col))
 
 
+# idx_n_column_to_subblock (vp9_mvref_common.c): which bmi entry of a
+# sub-8x8 NEIGHBOR faces sub-block `block` of the current mi; second
+# index: 1 when the candidate is in the same column (above/below),
+# 0 when in the same row (left/right)
+IDX_N_COLUMN_TO_SUBBLOCK = ((1, 2), (1, 3), (3, 2), (3, 3))
+
+
+def _sub_block_mv(cand: MI.ModeInfo, which: int, search_col: int,
+                  block_idx: int):
+    """get_sub_block_mv: a sub-8x8 neighbor contributes the bmi MV of
+    the sub-block facing us when scanning for a sub-block candidate."""
+    if (block_idx >= 0 and cand.bsize < BlockSize.BLOCK_8X8
+            and getattr(cand, "sub_mvs", ())):
+        j = IDX_N_COLUMN_TO_SUBBLOCK[block_idx][1 if search_col == 0 else 0]
+        return tuple(cand.sub_mvs[j][which])
+    return cand.mv[which]
+
+
 def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
                  bsize: BlockSize, ref_frame: int,
                  tile_mi_col_start: int = 0, tile_mi_col_end: int = 1 << 30,
                  return_stable: bool = False, prev_mvs=None,
-                 sign_bias=(0, 0, 0, 0)):
+                 sign_bias=(0, 0, 0, 0), block_idx: int = -1):
     """Returns (mv_ref_list[2], mode_context[, stable_count]).
 
     prev_mvs: (ref0, ref1, mv0, mv1) grids of the previous decoded frame
@@ -126,11 +144,11 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
         context_counter += MODE_2_COUNTER[combined_mode(cand)]
         different_ref_found = True
         if cand.is_inter and cand.ref_frame[0] == ref_frame:
-            if add(cand.mv[0]):
+            if add(_sub_block_mv(cand, 0, pos[1], block_idx)):
                 done = True
                 break
         elif cand.is_inter and cand.ref_frame[1] == ref_frame:
-            if add(cand.mv[1]):
+            if add(_sub_block_mv(cand, 1, pos[1], block_idx)):
                 done = True
                 break
     if not done:
@@ -207,6 +225,51 @@ def find_mv_refs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
     if return_stable:
         return mv_list, mode_context, stable_count
     return mv_list, mode_context
+
+
+def append_sub8x8_mvs(mig: MI.ModeInfoGrid, mi_row: int, mi_col: int,
+                      bsize: BlockSize, ref_frame: int, block: int,
+                      bmi_mvs, tile_mi_col_start: int = 0,
+                      tile_mi_col_end: int = 1 << 30, prev_mvs=None,
+                      sign_bias=(0, 0, 0, 0)):
+    """(nearest, near) for sub-block `block` of a sub-8x8 mi
+    (vp9_append_sub8x8_mvs_for_idx): earlier sub-blocks' MVs lead the
+    candidate list, then the block-level scan (which itself extracts
+    facing bmi entries from sub-8x8 neighbours).  bmi_mvs: this mi's
+    already-decided sub MVs indexed 0..3 (for this ref).  NOTE: unlike
+    find_best_ref_mvs, the results are NOT precision-lowered."""
+    mv_list, _ = find_mv_refs(
+        mig, mi_row, mi_col, bsize, ref_frame, tile_mi_col_start,
+        tile_mi_col_end, prev_mvs=prev_mvs, sign_bias=sign_bias,
+        block_idx=block)
+    if block == 0:
+        return tuple(mv_list[0]), tuple(mv_list[1])
+    if block in (1, 2):
+        cands = [tuple(bmi_mvs[0]), tuple(mv_list[0]), tuple(mv_list[1])]
+    else:
+        cands = [tuple(bmi_mvs[2]), tuple(bmi_mvs[1]), tuple(bmi_mvs[0]),
+                 tuple(mv_list[0]), tuple(mv_list[1])]
+    nearest = cands[0]
+    near = (0, 0)
+    for c in cands[1:]:
+        if c != nearest:
+            near = c
+            break
+    return nearest, near
+
+
+def mi_mv_pred_q4(bmi_mvs):
+    """Chroma (420) MV for a sub-8x8 mi: rounded average of the 4 sub
+    MVs (vp9_reconinter.c mi_mv_pred_q4 / round_mv_comp_q4)."""
+
+    def rnd(v):
+        # C truncating division of (v +- 2) / 4
+        s = v - 2 if v < 0 else v + 2
+        return -((-s) // 4) if s < 0 else s // 4
+
+    sr = sum(m[0] for m in bmi_mvs)
+    sc = sum(m[1] for m in bmi_mvs)
+    return (rnd(sr), rnd(sc))
 
 
 def use_mv_hp(ref_mv) -> bool:

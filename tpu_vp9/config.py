@@ -96,7 +96,9 @@ class EncoderConfig:
     tpu_frame_parallel: int = 1  # frames batched per device step
     # device-resident realtime EncDec loop for low-delay streams:
     # -1 = auto (use when preset/structure/geometry allow and a TPU is
-    # reachable), 0 = never, 1 = force (even on CPU jax; testing)
+    # reachable), 0 = never, 1 = require (error out when no live
+    # accelerator or unsupported geometry — no silent 100x degradation),
+    # 2 = force (build even on CPU jax; hermetic testing)
     tpu_realtime: int = -1
     # error_resilient=False (default): frame-context persistence + temporal
     # (prev-frame) MV candidates, ~5% smaller streams; True disables both

@@ -425,11 +425,21 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
         st.counts["skip"][sctx, 1 if skip else 0] += 1
     if bsize < BlockSize.BLOCK_8X8:
         if not (h.is_keyframe or h.intra_only):
-            raise NotImplementedError(
-                "sub-8x8 in inter frames not yet supported")
-        if bsize != BlockSize.BLOCK_4X4:
-            raise NotImplementedError("4x8/8x4 decode not yet supported")
-        _decode_sub8x8_intra(st, bd, mi_row, mi_col, skip, full_probs)
+            from tpu_vp9.codec.inter_frame import intra_inter_ctx
+
+            iictx = intra_inter_ctx(st.mig, mi_row, mi_col)
+            is_inter = bd.read_bit(int(fc.intra_inter_probs[iictx])) == 1
+            if st.counts is not None:
+                st.counts["intra_inter"][iictx, 1 if is_inter else 0] += 1
+            if is_inter:
+                _decode_sub8x8_inter(st, bd, mi_row, mi_col, bsize, skip,
+                                     full_probs)
+                if skip:
+                    _reset_skip_ctx(st, mi_row, mi_col,
+                                    BlockSize.BLOCK_8X8)
+                return
+        _decode_sub8x8_intra(st, bd, mi_row, mi_col, bsize, skip,
+                             full_probs)
         return
     max_tx = T.MAX_TX_SIZE[bsize]
     tx_allowed = {T.TxMode.ONLY_4X4: 0, T.TxMode.ALLOW_8X8: 1,
@@ -512,37 +522,68 @@ def _decode_intra_block(st: DecState, bd: BoolDecoder, mi_row: int,
         _reset_skip_ctx(st, mi_row, mi_col, bsize)
 
 
+def _sub8x8_loop(bsize: BlockSize):
+    """(num4w, num4h, [j indices read]) for the bmi read loop."""
+    w, hh = T.BLOCK_WH[bsize]
+    num4w = 2 if w == 8 else 1
+    num4h = 2 if hh == 8 else 1
+    js = [idy * 2 + idx for idy in range(0, 2, num4h)
+          for idx in range(0, 2, num4w)]
+    return num4w, num4h, js
+
+
 def _decode_sub8x8_intra(st: DecState, bd: BoolDecoder, mi_row: int,
-                         mi_col: int, skip: bool, full_probs) -> None:
-    """BLOCK_4X4 keyframe block: four per-4x4 sub-modes (bmi), one uv
-    mode; token/recon geometry is the enclosing 8x8
+                         mi_col: int, bsize: BlockSize, skip: bool,
+                         full_probs) -> None:
+    """Sub-8x8 intra block (4X4/4X8/8X4): per-sub-block modes (bmi),
+    one uv mode; token/recon geometry is the enclosing 8x8
     (libvpx decode_block: plane_bsize = max(bsize, BLOCK_8X8))."""
     h = st.h
+    fc = st.fc
+    keyish = h.is_keyframe or h.intra_only
     above_mi = st.mig.above(mi_row, mi_col)
     left_mi = st.mig.left(mi_row, mi_col)
     kf_y = T.kf_y_mode_probs()
-    sub = []
-    # vp9_above_block_mode / vp9_left_block_mode context chaining
-    for i in range(4):
-        if i < 2:
-            a = (MI._neighbor_sub_mode(above_mi, i + 2)
-                 if above_mi is not None else IntraMode.DC_PRED)
+    num4w, num4h, js = _sub8x8_loop(bsize)
+    sub = [None] * 4
+    for j in js:
+        if keyish:
+            # vp9_above_block_mode / vp9_left_block_mode context chain
+            if j < 2:
+                a = (MI._neighbor_sub_mode(above_mi, j + 2)
+                     if above_mi is not None else IntraMode.DC_PRED)
+            else:
+                a = IntraMode(sub[j - 2])
+            if j % 2 == 0:
+                l = (MI._neighbor_sub_mode(left_mi, j + 1)
+                     if left_mi is not None else IntraMode.DC_PRED)
+            else:
+                l = IntraMode(sub[j - 1])
+            m = IntraMode(T.read_token(
+                bd, "intra_mode_tree", kf_y[int(a)][int(l)]))
         else:
-            a = IntraMode(sub[i - 2])
-        if i % 2 == 0:
-            l = (MI._neighbor_sub_mode(left_mi, i + 1)
-                 if left_mi is not None else IntraMode.DC_PRED)
-        else:
-            l = IntraMode(sub[i - 1])
-        sub.append(IntraMode(T.read_token(
-            bd, "intra_mode_tree", kf_y[int(a)][int(l)])))
+            m = IntraMode(T.read_token(
+                bd, "intra_mode_tree", fc.if_y_probs[0]))
+            if st.counts is not None:
+                st.counts["y_mode"][0, int(m)] += 1
+        sub[j] = m
+        if num4h == 2:
+            sub[j + 2] = m
+        if num4w == 2:
+            sub[j + 1] = m
     y_mode = sub[3]
-    uv_mode = IntraMode(T.read_token(
-        bd, "intra_mode_tree", T.kf_uv_mode_probs()[int(y_mode)]))
-    mi = MI.ModeInfo(bsize=BlockSize.BLOCK_4X4, y_mode=y_mode,
+    if keyish:
+        uv_mode = IntraMode(T.read_token(
+            bd, "intra_mode_tree", T.kf_uv_mode_probs()[int(y_mode)]))
+    else:
+        uv_mode = IntraMode(T.read_token(
+            bd, "intra_mode_tree", fc.if_uv_probs[int(y_mode)]))
+        if st.counts is not None:
+            st.counts["uv_mode"][int(y_mode), int(uv_mode)] += 1
+    mi = MI.ModeInfo(bsize=bsize, y_mode=y_mode,
                      uv_mode=uv_mode, tx_size=TxSize.TX_4X4, skip=skip,
                      is_inter=False, sub_modes=tuple(sub))
-    st.mig.set_block(mi_row, mi_col, BlockSize.BLOCK_4X4, mi)
+    st.mig.set_block(mi_row, mi_col, bsize, mi)
 
     eff = BlockSize.BLOCK_8X8
     dc_q = T.dc_quant(h.base_qindex, h.y_dc_delta_q)
@@ -584,18 +625,15 @@ def _reset_skip_ctx(st: DecState, mi_row: int, mi_col: int,
         pc.left[by4 : by4 + h4] = 0
 
 
-def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
-                             mi_col: int, bsize: BlockSize, y_tx: TxSize,
-                             skip: bool, full_probs) -> None:
+def _read_ref_frames(st: DecState, bd: BoolDecoder, mi_row: int,
+                     mi_col: int):
+    """spec read_ref_frames; returns (ref_frames, compound)."""
     from tpu_vp9.bitstream.tables import RefFrame
     from tpu_vp9.codec import inter_frame as IF
-    from tpu_vp9.codec import mv as MV
-    from tpu_vp9.ops import inter as inter_ops
 
     h = st.h
     fc = st.fc
     sign_bias = (0,) + tuple(h.ref_sign_bias)
-    # reference frame selection (spec read_ref_frames)
     compound = False
     if h.reference_mode == 2:
         fixed_ref, _ = IF.compound_refs(sign_bias)
@@ -634,6 +672,143 @@ def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
     for r in ref_frames[:n_refs]:
         if st.refs.get(r) is None:
             raise ValueError(f"reference {r} unavailable")
+    return ref_frames, compound
+
+
+def _decode_sub8x8_inter(st: DecState, bd: BoolDecoder, mi_row: int,
+                         mi_col: int, bsize: BlockSize, skip: bool,
+                         full_probs) -> None:
+    """Sub-8x8 inter block (bmi MVs): per-sub-block inter modes and MVs
+    (vp9 read_inter_block_mode_info sub-8x8 branch /
+    vp9_bitstream.c:360 write_modes_b bmi loop), per-4x4 luma MC, one
+    4x4 chroma MC at the q4-averaged MV, 8x8 token geometry."""
+    from tpu_vp9.codec import mv as MV
+    from tpu_vp9.ops import inter as inter_ops
+
+    h = st.h
+    fc = st.fc
+    sign_bias = (0,) + tuple(h.ref_sign_bias)
+    ref_frames, compound = _read_ref_frames(st, bd, mi_row, mi_col)
+    n_refs = 2 if compound else 1
+    # block-level mv scan: mode_context + the NEWMV mvd reference
+    nearests, mode_context = [], 0
+    for i in range(n_refs):
+        mv_list, mctx = MV.find_mv_refs(
+            st.mig, mi_row, mi_col, bsize, ref_frames[i],
+            st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=st.prev_mvs,
+            sign_bias=sign_bias)
+        if i == 0:
+            mode_context = mctx
+        nst, _ = MV.find_best_ref_mvs(
+            mv_list, h.allow_high_precision_mv, mi_row, mi_col, bsize,
+            st.mig.mi_rows, st.mig.mi_cols)
+        nearests.append(nst)
+    num4w, num4h, js = _sub8x8_loop(bsize)
+    bmi = [[(0, 0), (0, 0)] for _ in range(4)]  # [sub][ref]
+    sub_modes = [0] * 4
+    for j in js:
+        b_mode = T.read_token(bd, "inter_mode_tree",
+                              fc.inter_mode_probs[mode_context])
+        if st.counts is not None:
+            st.counts["inter_mode"][mode_context, b_mode] += 1
+        for i in range(n_refs):
+            if b_mode in (0, 1):
+                nst, nr = MV.append_sub8x8_mvs(
+                    st.mig, mi_row, mi_col, bsize, ref_frames[i], j,
+                    [bmi[k][i] for k in range(4)],
+                    st.mig.tile_mi_start, st.mig.tile_mi_end,
+                    prev_mvs=st.prev_mvs, sign_bias=sign_bias)
+                mv = nst if b_mode == 0 else nr
+            elif b_mode == 2:
+                mv = (0, 0)
+            else:
+                mv = MV.read_mv(bd, nearests[i], fc.nmv,
+                                h.allow_high_precision_mv)
+                if st.counts is not None:
+                    from tpu_vp9.codec.adapt import inc_mv
+
+                    inc_mv(st.counts, (mv[0] - nearests[i][0],
+                                       mv[1] - nearests[i][1]))
+            bmi[j][i] = tuple(mv)
+        sub_modes[j] = b_mode
+        if num4h == 2:
+            bmi[j + 2] = list(bmi[j])
+            sub_modes[j + 2] = b_mode
+        if num4w == 2:
+            bmi[j + 1] = list(bmi[j])
+            sub_modes[j + 1] = b_mode
+    mi = MI.ModeInfo(bsize=bsize, tx_size=TxSize.TX_4X4, skip=skip,
+                     is_inter=True, ref_frame=ref_frames,
+                     mv=(tuple(bmi[3][0]), tuple(bmi[3][1])),
+                     inter_mode=sub_modes[3],
+                     sub_mvs=tuple((tuple(b[0]), tuple(b[1]))
+                                   for b in bmi),
+                     sub_modes=tuple(sub_modes))
+    st.mig.set_block(mi_row, mi_col, bsize, mi)
+
+    # --- reconstruction: per-4x4 luma MC, averaged-MV 4x4 chroma MC ---
+    dc_q = T.dc_quant(h.base_qindex, h.y_dc_delta_q)
+    ac_q = T.ac_quant(h.base_qindex)
+    dc_q_uv = T.dc_quant(h.base_qindex, h.uv_dc_delta_q)
+    ac_q_uv = T.ac_quant(h.base_qindex, h.uv_ac_delta_q)
+    eff = BlockSize.BLOCK_8X8
+    for pidx in range(3):
+        _, _, ss = st.plane_dims[pidx]
+        pred = np.zeros((8 >> ss, 8 >> ss), np.uint8)
+        if ss == 0:
+            for j in range(4):
+                x_off, y_off = (j % 2) * 4, (j // 2) * 4
+                for i in range(n_refs):
+                    p = inter_ops.predict_inter_block(
+                        st.refs[ref_frames[i]][pidx], mi_row, mi_col,
+                        x_off, y_off, 4, 4, bmi[j][i], 0,
+                        st.mig.mi_rows, st.mig.mi_cols, h.interp_filter)
+                    if i == 0:
+                        sub_pred = p
+                    else:
+                        sub_pred = ((sub_pred.astype(np.uint16)
+                                     + p.astype(np.uint16) + 1)
+                                    >> 1).astype(np.uint8)
+                pred[y_off : y_off + 4, x_off : x_off + 4] = sub_pred
+        else:
+            for i in range(n_refs):
+                mv_avg = MV.mi_mv_pred_q4([bmi[k][i] for k in range(4)])
+                p = inter_ops.predict_inter_block(
+                    st.refs[ref_frames[i]][pidx], mi_row, mi_col, 0, 0,
+                    4, 4, mv_avg, 1, st.mig.mi_rows, st.mig.mi_cols,
+                    h.interp_filter)
+                if i == 0:
+                    pred = p
+                else:
+                    pred = ((pred.astype(np.uint16)
+                             + p.astype(np.uint16) + 1) >> 1) \
+                        .astype(np.uint8)
+        px = (mi_col * 8) >> ss
+        py = (mi_row * 8) >> ss
+        bwp = 8 >> ss
+        if skip:
+            st.planes[pidx][py : py + bwp, px : px + bwp] = pred
+            continue
+        probs = full_probs[(TxSize.TX_4X4, pidx > 0, True)]
+        dq, aq = (dc_q, ac_q) if pidx == 0 else (dc_q_uv, ac_q_uv)
+        for x4, y4 in tx_blocks_of(eff, TxSize.TX_4X4, ss):
+            if not _visible(st, ss, mi_row, mi_col, x4, y4):
+                continue
+            _decode_tx_block_inter(st, bd, pidx, pred, mi_row, mi_col,
+                                   x4, y4, TxSize.TX_4X4, probs, dq, aq)
+
+
+def _decode_inter_block_body(st: DecState, bd: BoolDecoder, mi_row: int,
+                             mi_col: int, bsize: BlockSize, y_tx: TxSize,
+                             skip: bool, full_probs) -> None:
+    from tpu_vp9.codec import mv as MV
+    from tpu_vp9.ops import inter as inter_ops
+
+    h = st.h
+    fc = st.fc
+    sign_bias = (0,) + tuple(h.ref_sign_bias)
+    ref_frames, compound = _read_ref_frames(st, bd, mi_row, mi_col)
+    n_refs = 2 if compound else 1
     nearests, nears, mode_context = [], [], 0
     for i in range(n_refs):
         mv_list, mctx = MV.find_mv_refs(
@@ -727,6 +902,12 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
     sub = T.SUBSIZE[(part, bsize)]
     bw = 1 << MI.MI_WIDTH_LOG2[bsize]
     half = bw >> 1
+    if bsize == BlockSize.BLOCK_8X8 and part != Partition.NONE:
+        # every 8x8 partition maps to ONE sub-8x8 mi (4X8/8X4/4X4 with
+        # per-sub-block bmi entries), not two half blocks
+        _decode_intra_block(st, bd, mi_row, mi_col, sub, full_probs)
+        st.pctx.update(mi_row, mi_col, sub, bsize)
+        return
     if part == Partition.NONE:
         _decode_intra_block(st, bd, mi_row, mi_col, bsize, full_probs)
     elif part == Partition.HORZ:
@@ -738,16 +919,11 @@ def _decode_partition(st: DecState, bd: BoolDecoder, mi_row: int,
         if mi_col + half < mi_cols:
             _decode_intra_block(st, bd, mi_row, mi_col + half, sub, full_probs)
     else:
-        if bsize == BlockSize.BLOCK_8X8:
-            # SPLIT at 8x8: one BLOCK_4X4 block with 4 bmi sub-modes
-            _decode_intra_block(st, bd, mi_row, mi_col, sub, full_probs)
-            st.pctx.update(mi_row, mi_col, sub, bsize)
-            return
         _decode_partition(st, bd, mi_row, mi_col, sub, full_probs)
         _decode_partition(st, bd, mi_row, mi_col + half, sub, full_probs)
         _decode_partition(st, bd, mi_row + half, mi_col, sub, full_probs)
         _decode_partition(st, bd, mi_row + half, mi_col + half, sub, full_probs)
-    if part != Partition.SPLIT or bsize == BlockSize.BLOCK_8X8:
+    if part != Partition.SPLIT:
         st.pctx.update(mi_row, mi_col, sub, bsize)
 
 

@@ -135,6 +135,36 @@ def get_lib():
     lib.boolenc_put_many.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.fast_loop_decide.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64,          # src, src_stride
+        ctypes.POINTER(ctypes.c_void_p),          # ref_ptrs[9]
+        ctypes.POINTER(ctypes.c_int32),           # ref_dims[6]
+        ctypes.POINTER(ctypes.c_int32),           # ranges[3]
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),           # sign_bias[4]
+        ctypes.c_void_p, ctypes.c_void_p,         # prev_ref0/1
+        ctypes.c_void_p, ctypes.c_void_p,         # prev_mv0/1
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,         # field arrays
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # leaves, n
+        ctypes.c_void_p,                          # filters
+        ctypes.POINTER(ctypes.c_int32)]           # out
+    lib.optimize_coeffs_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.mc_predict_winners.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),          # ref_planes[9]
+        ctypes.POINTER(ctypes.c_int64),           # strides[9]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # jobs, n
+        ctypes.c_void_p,                          # filters
+        ctypes.c_void_p,                          # out
+        ctypes.POINTER(ctypes.c_int64)]           # offsets
     _register_tables(lib)
     _lib = lib
     return _lib
@@ -472,3 +502,151 @@ def native_sad_search(src_block, region, region_stride: int, r: int):
     lib.sad_full_search(sp, src_block.shape[0], rp, region_stride, r,
                         best.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return int(best[0]), int(best[1]), int(best[2])
+
+
+def native_fast_loop_decide(mi_rows: int, mi_cols: int, tile_mi_start: int,
+                            tile_mi_end: int, border: int, frame_w: int,
+                            frame_h: int, src_plane, ref_triples, ranges3,
+                            lam: int, do_subpel: bool, restrict: bool,
+                            sign_bias4, prev_mvs, fields, leaves):
+    """Run the whole fast-loop mode decision for one tile natively.
+
+    ref_triples: list of 3 entries (LAST/GOLDEN/ALTREF), each None or
+    (full_plane, half_or_None, quarter_or_None) uint8 C-contiguous.
+    ranges3: per-ref full-pel search range (<=0 marks an absent ref).
+    prev_mvs: None or (ref0 i8, ref1 i8, mv0 i32, mv1 i32) grids.
+    fields: the ModeInfoGrid flat arrays (f_inter, f_ref0, f_ref1,
+    f_mode, f_mv, f_mv1) — updated in place in decode order.
+    leaves: (n, 3) int32 array of (mi_row, mi_col, bsize).
+    Returns (n, 16) int32 decision rows (see vp9_native.cpp layout).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fast_loop_decide"):
+        return None
+    ref_ptrs = (ctypes.c_void_p * 9)()
+    ref_dims = np.zeros(6, np.int32)
+    keep = []
+    for r in range(3):
+        tri = ref_triples[r]
+        if tri is None:
+            continue
+        full, half, quarter = tri
+        keep.append(full)
+        ref_ptrs[r * 3] = full.ctypes.data
+        ref_dims[r * 2] = full.shape[0]
+        ref_dims[r * 2 + 1] = full.shape[1]
+        if half is not None:
+            keep.extend([half, quarter])
+            ref_ptrs[r * 3 + 1] = half.ctypes.data
+            ref_ptrs[r * 3 + 2] = quarter.ctypes.data
+    ranges = np.asarray(ranges3, np.int32)
+    sb = np.asarray(sign_bias4, np.int32)
+    if prev_mvs is not None:
+        p0, p1, m0, m1 = prev_mvs
+        pr0, pr1 = p0.ctypes.data, p1.ctypes.data
+        pm0, pm1 = m0.ctypes.data, m1.ctypes.data
+    else:
+        pr0 = pr1 = pm0 = pm1 = None
+    f_inter, f_ref0, f_ref1, f_mode, f_mv0, f_mv1 = fields
+    leaves = np.ascontiguousarray(leaves, np.int32)
+    n = leaves.shape[0]
+    out = np.zeros((n, 16), np.int32)
+    lib.fast_loop_decide(
+        mi_rows, mi_cols, tile_mi_start, tile_mi_end, border,
+        frame_w, frame_h,
+        src_plane.ctypes.data, src_plane.strides[0],
+        ref_ptrs, ref_dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(lam), int(do_subpel), int(restrict),
+        sb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pr0, pr1, pm0, pm1,
+        f_inter.ctypes.data, f_ref0.ctypes.data, f_ref1.ctypes.data,
+        f_mode.ctypes.data, f_mv0.ctypes.data, f_mv1.ctypes.data,
+        leaves.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        _filters_addr(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def native_mc_predict_winners(ref_plane_sets, border: int, mi_rows: int,
+                              mi_cols: int, jobs):
+    """Batched winner MC (Y/U/V, compound-averaged when ref1 > 0).
+
+    ref_plane_sets: dict {ref_id: (y, u, v) border-extended planes}.
+    jobs: (n, 9) int32 (mi_row, mi_col, bsize, ref0, ref1, mv0r, mv0c,
+    mv1r, mv1c).  Returns a list of (y, u, v) uint8 arrays per job, or
+    None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mc_predict_winners"):
+        return None
+    from tpu_vp9.bitstream.tables import BLOCK_WH, BlockSize
+
+    ptrs = (ctypes.c_void_p * 9)()
+    strides = np.zeros(9, np.int64)
+    for rid, planes in ref_plane_sets.items():
+        if planes is None:
+            continue
+        for p in range(3):
+            arr = planes[p]
+            ptrs[(rid - 1) * 3 + p] = arr.ctypes.data
+            strides[(rid - 1) * 3 + p] = arr.strides[0]
+    jobs = np.ascontiguousarray(jobs, np.int32)
+    n = jobs.shape[0]
+    sizes = np.empty(n, np.int64)
+    shapes = []
+    for i in range(n):
+        w, h = BLOCK_WH[BlockSize(int(jobs[i, 2]))]
+        shapes.append((w, h))
+        sizes[i] = w * h + 2 * ((w // 2) * (h // 2))
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    out = np.empty(int(sizes.sum()), np.uint8)
+    lib.mc_predict_winners(
+        ptrs, strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        border, mi_rows, mi_cols,
+        jobs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        _filters_addr(), out.ctypes.data,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    preds = []
+    for i in range(n):
+        w, h = shapes[i]
+        o = int(offsets[i])
+        y = out[o : o + w * h].reshape(h, w)
+        o += w * h
+        cw, ch = w // 2, h // 2
+        u = out[o : o + cw * ch].reshape(ch, cw)
+        o += cw * ch
+        v = out[o : o + cw * ch].reshape(ch, cw)
+        preds.append((y, u, v))
+    return preds
+
+
+def native_optimize_coeffs_batch(levels, coeffs, tx_size: int, tx_type: int,
+                                 probs_full, ctx0, lam: float, q_dc: int,
+                                 q_ac: int, q_shift: int):
+    """Trellis-optimize a batch of quantized level blocks in place.
+
+    levels: (B, n, n) int32 C-contiguous (modified); coeffs: (B, n, n)
+    float32 transform coefficients.  Returns (B,) new eobs or None when
+    the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "optimize_coeffs_batch"):
+        return None
+    levels = np.ascontiguousarray(levels, np.int32)
+    coeffs = np.ascontiguousarray(coeffs, np.float32)
+    b, n, _ = levels.shape
+    c0 = np.full(b, ctx0, np.int32) if np.isscalar(ctx0) \
+        else np.ascontiguousarray(ctx0, np.int32)
+    probs = np.ascontiguousarray(probs_full, np.uint8)
+    eobs = np.zeros(b, np.int32)
+    lib.optimize_coeffs_batch(
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b, n, int(tx_size), int(tx_type),
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        c0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        float(lam), int(q_dc), int(q_ac), int(q_shift),
+        eobs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return levels, eobs

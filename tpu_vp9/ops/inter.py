@@ -60,11 +60,16 @@ def clamp_mv_to_umv_border(mv_q3, mi_row: int, mi_col: int, bw: int, bh: int,
     scale = 1 << (1 - ss)
     row = mv_q3[0] * scale
     col = mv_q3[1] * scale
-    # mb edges in q3 luma units, scaled to plane q4
+    # mb edges in q3 luma units, scaled to plane q4.  Edges use the mi
+    # extent of the coding block (min 1 mi: a sub-8x8 block still spans
+    # one mi unit — clamp_mv_to_umv_border_sb uses xd->mb_to_* edges of
+    # the mi while spel margins use the prediction dims)
+    mi_w = max((bw << ss) // 8, 1)
+    mi_h = max((bh << ss) // 8, 1)
     mb_to_left = -((mi_col * 8) * 8)
-    mb_to_right = ((mi_cols - (bw << ss) // 8 - mi_col) * 8) * 8
+    mb_to_right = ((mi_cols - mi_w - mi_col) * 8) * 8
     mb_to_top = -((mi_row * 8) * 8)
-    mb_to_bottom = ((mi_rows - (bh << ss) // 8 - mi_row) * 8) * 8
+    mb_to_bottom = ((mi_rows - mi_h - mi_row) * 8) * 8
     row, col = clamp_mv(
         (row, col),
         mb_to_left * scale - spel_left,

@@ -49,14 +49,13 @@ def _encode_chunk(payload):
     return out
 
 
-def encode_gop_parallel(frames, cfg, workers: int = 2,
-                        qp_overrides=None):
-    """Encode ``frames`` with ``workers`` processes, one GOP per task.
+def plan_chunks(frames, cfg, qp_overrides=None):
+    """Independent-GOP chunk plan (shared by the process-pool and the
+    multi-host DCN dispatchers).
 
     Requires CQP and a non-negative intra period (the conditions under
-    which chunks are independent).  Returns a list of
-    (data, pts, dts, is_keyframe, qindex) tuples in presentation order,
-    byte-identical to the sequential encode.
+    which chunks are independent).  Each entry carries the SCD warmup
+    frames that reproduce the sequential detector state exactly.
     """
     from tpu_vp9.config import RateControlMode
 
@@ -82,6 +81,17 @@ def encode_gop_parallel(frames, cfg, workers: int = 2,
                if s <= i < s + gop}
         nxt = frames[s + gop] if s + gop < len(frames) else None
         chunks.append((cfg, frames[s : s + gop], warm, s, ovr, nxt))
+    return chunks
+
+
+def encode_gop_parallel(frames, cfg, workers: int = 2,
+                        qp_overrides=None):
+    """Encode ``frames`` with ``workers`` processes, one GOP per task.
+
+    Returns a list of (data, pts, dts, is_keyframe, qindex) tuples in
+    presentation order, byte-identical to the sequential encode.
+    """
+    chunks = plan_chunks(frames, cfg, qp_overrides)
     if workers <= 1 or len(chunks) <= 1:
         results = [_encode_chunk(c) for c in chunks]
     else:

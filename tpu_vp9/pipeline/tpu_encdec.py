@@ -376,8 +376,51 @@ _DIRS = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1),
                   (0, 1), (1, -1), (1, 0), (1, 1)], np.int32)
 
 # candidate rate proxies in lambda units (zero, new-base, new-per-log2mvd,
-# prev/temporal, spatial left/above); calibrated on the fuzz clips
+# prev/temporal, spatial left/above); calibrated on the fuzz clips.
+# Used only when no entropy-table rate upload is provided (RateTabs).
 CAND_RATE_PROXY = (2.0, 10.0, 2.0, 6.0, 4.0)
+
+
+def make_rate_tabs(fc, qindex: int):
+    """Per-frame entropy-table rate uploads for the device fast loop.
+
+    Device MD prices candidates with the frame's real entropy tables
+    (EbRateDistortionCost.c analogue) instead of hand-tuned proxies:
+    inter-mode tree costs (context-averaged — the normative mode_context
+    needs sequential neighbor state the batched loop doesn't track), the
+    nmv component cost LUTs for NEWMV mvd bits, the mv-joint tree, and
+    the single-ref signaling bits.  All costs in 1/256-bit units; the
+    step combines them as SSE + lam_bits * rate / 256.
+    Returns a dict of small numpy arrays to pass as traced step args.
+    """
+    from tpu_vp9.codec.rd_cost import (
+        MV_COST_MAX, PROB_COST, _mv_component_costs, tree_token_costs,
+    )
+
+    mode_cost = np.stack([
+        tree_token_costs("inter_mode_tree", fc.inter_mode_probs[c])
+        for c in range(7)]).mean(axis=0).astype(np.int32)  # (4,)
+    joint_cost = tree_token_costs("mv_joint_tree",
+                                  fc.nmv.joints).astype(np.int32)  # (4,)
+    nmv_row = _mv_component_costs(fc.nmv.comps[0]).astype(np.int32)
+    nmv_col = _mv_component_costs(fc.nmv.comps[1]).astype(np.int32)
+    # single-ref bits, context-averaged: LAST = p1-bit 0;
+    # GOLDEN = p1-bit 1 + p2-bit 0
+    p1 = fc.single_ref_probs[:, 0].astype(np.int32)
+    p2 = fc.single_ref_probs[:, 1].astype(np.int32)
+    last_c = int(PROB_COST[p1].mean())
+    gold_c = int(PROB_COST[256 - p1].mean() + PROB_COST[p2].mean())
+    ac_q = T.ac_quant(qindex)
+    lam_bits = max(1.0, 0.85 * (ac_q / 8.0) ** 2)
+    return {
+        "mode_cost": mode_cost,
+        "joint_cost": joint_cost,
+        "nmv_row": nmv_row,
+        "nmv_col": nmv_col,
+        "ref_cost": np.array([last_c, gold_c], np.int32),
+        "lam_bits": np.float32(lam_bits),
+        "mv_cost_max": MV_COST_MAX,
+    }
 
 
 def subpel_refine_batch(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c,
@@ -862,15 +905,19 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
 def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
                       sad_new, prev_mv, rows: int, cols: int, n: int,
                       geom: Geom, lam, filters, x_base=0,
-                      left_edge=None):
+                      left_edge=None, rates=None):
     """Pick the best MV among {ZERO, NEW, PREV, LEFT-new, ABOVE-new}.
 
-    Cost = exact-MC SAD + lam * rate proxy.  LEFT/ABOVE are the
-    neighbours' NEW (search) MVs from this same pass — a stand-in for
-    the normative NEAREST/NEAR the host classifies afterwards, biasing
-    the field toward coherent (cheap-to-code) choices.  left_edge:
-    (rows, 2) NEW MVs of the column left of this (column-sharded)
-    zone; None = frame edge (zeros).  Returns (mv_r, mv_c, sad_zero)."""
+    Cost = exact-MC SSE + rate.  Rate comes from the frame's real
+    entropy tables when `rates` (make_rate_tabs upload) is given —
+    mode-tree costs, mv-joint and nmv component LUTs for NEWMV's mvd
+    bits against the left predictor — else from the legacy proxies.
+    LEFT/ABOVE are the neighbours' NEW (search) MVs from this same
+    pass — a stand-in for the normative NEAREST/NEAR the host
+    classifies afterwards, biasing the field toward coherent
+    (cheap-to-code) choices.  left_edge: (rows, 2) NEW MVs of the
+    column left of this (column-sharded) zone; None = frame edge
+    (zeros).  Returns (mv_r, mv_c, sad_zero, best_cost_f32)."""
     g = geom
     zero = jnp.zeros_like(new_r)
     nr2 = new_r.reshape(rows, cols)
@@ -893,19 +940,34 @@ def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
         lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr, cc,
                                n, g.mi_rows, g.mi_cols, filters, x_base)
     )(cand_r, cand_c)  # (5, B)
-    # mvd-bit proxy for NEW vs the left predictor (nmv sign+class+bits)
-    mvd = (jnp.abs(new_r - left_r) + jnp.abs(new_c - left_c)).astype(
-        jnp.float32)
-    rz, rn0, rnb, rp, rs = CAND_RATE_PROXY
-    new_bits = rn0 + rnb * jnp.log2(1.0 + mvd)
-    rate = jnp.stack([rz * jnp.ones_like(mvd), new_bits,
-                      rp * jnp.ones_like(mvd),
-                      rs * jnp.ones_like(mvd),
-                      rs * jnp.ones_like(mvd)])  # (5, B)
-    costs = sads.astype(jnp.float32) + lam.astype(jnp.float32) * rate
+    if rates is not None:
+        mc, jc = rates["mode_cost"], rates["joint_cost"]
+        m = int(rates["mv_cost_max"])
+        dr = new_r - left_r
+        dc = new_c - left_c
+        j = 2 * (dr != 0).astype(jnp.int32) + (dc != 0).astype(jnp.int32)
+        mvd_bits = (jc[j]
+                    + rates["nmv_row"][jnp.clip(dr, -m, m) + m]
+                    + rates["nmv_col"][jnp.clip(dc, -m, m) + m])
+        ones = jnp.ones_like(mvd_bits)
+        rate = jnp.stack([mc[2] * ones, mc[3] + mvd_bits,
+                          mc[0] * ones, mc[0] * ones, mc[0] * ones])
+        costs = (sads.astype(jnp.float32)
+                 + rates["lam_bits"] * rate.astype(jnp.float32) / 256.0)
+    else:
+        # mvd-bit proxy for NEW vs the left predictor
+        mvd = (jnp.abs(new_r - left_r) + jnp.abs(new_c - left_c)).astype(
+            jnp.float32)
+        rz, rn0, rnb, rp, rs = CAND_RATE_PROXY
+        new_bits = rn0 + rnb * jnp.log2(1.0 + mvd)
+        rate = jnp.stack([rz * jnp.ones_like(mvd), new_bits,
+                          rp * jnp.ones_like(mvd),
+                          rs * jnp.ones_like(mvd),
+                          rs * jnp.ones_like(mvd)])  # (5, B)
+        costs = sads.astype(jnp.float32) + lam.astype(jnp.float32) * rate
     best = jnp.argmin(costs, axis=0)
     bidx = (best, jnp.arange(src_blocks.shape[0]))
-    return cand_r[bidx], cand_c[bidx], sads[0]
+    return cand_r[bidx], cand_c[bidx], sads[0], costs[bidx]
 
 
 # ---------------------------------------------------------------------------
@@ -947,12 +1009,16 @@ def _scatter_blocks(blocks, rows: int, cols: int, n: int):
 
 def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
                 geom: Geom, n: int, dc_q, ac_q, lam, filters,
-                full16: bool = False):
+                full16: bool = False, gold=None, rates=None):
     """MD + recon for one uniform zone (block size n).
 
     prev_mv: (B, 2) int32 q3 from the previous frame (search centers).
-    Returns dict with mv (B,2 int16), skip, eobs, levels, recon planes
-    for the zone, per-block dist/rate, and aggregate stats."""
+    gold: optional (y, u, v) GOLDEN reference planes in HBM — per-block
+    LAST-vs-GOLDEN selection (the long-term anchor of the reference's
+    RPS; EbModeDecision.c candidate injection runs per ref list).
+    rates: make_rate_tabs upload (entropy-table candidate costs).
+    Returns dict with mv (B,2 int16), ref (B, int8: 0=LAST 1=GOLDEN),
+    skip, eobs, levels, recon planes, per-block dist/rate, stats."""
     g = geom
     pos_y, pos_x, rows, cols = _zone_positions(g, n, full16)
     b = rows * cols
@@ -969,11 +1035,48 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     # candidate injection EbModeDecision.c:185-457): ZERO, NEW, the
     # temporal (prev-frame) MV, and the left/above blocks' NEW MVs.
     # Spatial/temporal candidates usually classify as NEAREST/NEAR at
-    # serialization (no mvd bits), so they carry lower rate proxies;
-    # NEW additionally pays ~log2 mvd bits against the left predictor.
-    mv_r, mv_c, sad_zero = _candidate_decide(
+    # serialization (no mvd bits), so they carry lower rate costs;
+    # NEW additionally pays its mvd bits against the left predictor.
+    mv_r, mv_c, sad_zero, cost_last = _candidate_decide(
         ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, None, prev_mv,
-        rows, cols, n, g, lam, filters)
+        rows, cols, n, g, lam, filters, rates=rates)
+
+    ref_sel = jnp.zeros((b,), jnp.int8)
+    if gold is not None:
+        # GOLDEN candidates: ZERO and the block's previous-frame MV —
+        # the anchor wins on static/occluded regions where LAST drifted
+        # (quantization-noise accumulation); a full second window search
+        # is not worth its MXU cost at this preset tier
+        zero = jnp.zeros_like(mv_r)
+        g_cands_r = jnp.stack([zero, prev_mv[:, 0]])
+        g_cands_c = jnp.stack([zero, prev_mv[:, 1]])
+        g_sses = jax.vmap(
+            lambda cr, cc: _mc_sad(gold[0], src_blocks, pos_y, pos_x,
+                                   cr, cc, n, g.mi_rows, g.mi_cols,
+                                   filters)
+        )(g_cands_r, g_cands_c)  # (2, B)
+        if rates is not None:
+            mc = rates["mode_cost"]
+            g_rate = jnp.stack([mc[2], mc[0]])[:, None]
+            lam_f = rates["lam_bits"]
+            g_costs = (g_sses.astype(jnp.float32)
+                       + lam_f * g_rate.astype(jnp.float32) / 256.0)
+            ref_extra = rates["ref_cost"].astype(jnp.float32) * lam_f / 256.0
+        else:
+            rz, _, _, rp, _ = CAND_RATE_PROXY
+            lam_f = lam.astype(jnp.float32)
+            g_costs = (g_sses.astype(jnp.float32)
+                       + lam_f * jnp.array([[rz], [rp]], jnp.float32))
+            ref_extra = jnp.array([0.0, 2.0], jnp.float32) * lam_f
+        g_best = jnp.argmin(g_costs, axis=0)
+        g_bidx = (g_best, jnp.arange(b))
+        g_cost = g_costs[g_bidx] + ref_extra[1]
+        g_mv_r = g_cands_r[g_bidx]
+        g_mv_c = g_cands_c[g_bidx]
+        use_gold = g_cost < (cost_last + ref_extra[0])
+        ref_sel = use_gold.astype(jnp.int8)
+        mv_r = jnp.where(use_gold, g_mv_r, mv_r)
+        mv_c = jnp.where(use_gold, g_mv_c, mv_c)
 
     # --- MC prediction (Y + chroma) and transform/recon ---
     pred_y = mc_predict_batch(ref_y, pos_y, pos_x, mv_r, mv_c, n, 0,
@@ -984,6 +1087,17 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
                               g.mi_rows, g.mi_cols, filters)
     pred_v = mc_predict_batch(ref_v, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
                               g.mi_rows, g.mi_cols, filters)
+    if gold is not None:
+        gp_y = mc_predict_batch(gold[0], pos_y, pos_x, mv_r, mv_c, n, 0,
+                                g.mi_rows, g.mi_cols, filters)
+        gp_u = mc_predict_batch(gold[1], pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                                g.mi_rows, g.mi_cols, filters)
+        gp_v = mc_predict_batch(gold[2], pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                                g.mi_rows, g.mi_cols, filters)
+        sel = (ref_sel > 0)[:, None, None]
+        pred_y = jnp.where(sel, gp_y, pred_y)
+        pred_u = jnp.where(sel, gp_u, pred_u)
+        pred_v = jnp.where(sel, gp_v, pred_v)
     lv_y, eob_y, rec_y = transform_recon(src_blocks, pred_y, dc_q, ac_q, n)
     y0c = y0 // 2
     src_ub = _extract_blocks(src_u, y0c, rows, cols, nc)
@@ -998,6 +1112,7 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
               + (lv_v != 0).sum(axis=(1, 2)))
     return {
         "mv": jnp.stack([mv_r, mv_c], axis=-1).astype(jnp.int16),
+        "ref": ref_sel,
         "skip": skip,
         "eob_y": eob_y, "eob_u": eob_u, "eob_v": eob_v,
         "lv_y": lv_y, "lv_u": lv_u, "lv_v": lv_v,
@@ -1022,7 +1137,8 @@ SPLIT_RATE_EXTRA = 4.0
 
 def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
                 prev_mv16, geom: Geom, dc_q, ac_q, lam, lf_lvl, lf_lim,
-                lf_mblim, filters, split16: bool = False):
+                lf_mblim, filters, split16: bool = False, gold=None,
+                rates=None):
     """One full device P-frame encode step (jit under a static geom).
 
     src planes: padded (pad_h, pad_w)/(pad_h/2, pad_w/2) uint8 device
@@ -1030,11 +1146,14 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     split16: per-32-block 32-vs-4x16 partition decision (RD compare of
     both zone encodes; EbEncDecProcess.c inter_depth_decision analogue);
     prev_mv16 then carries the full 16-grid's previous MVs.
+    gold: optional HBM GOLDEN reference planes (per-block ref choice).
+    rates: optional make_rate_tabs entropy-table candidate costs.
     Returns (outputs dict, new (ref_y, ref_u, ref_v)).
     """
     g = geom
     out32 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
-                        prev_mv32, g, 32, dc_q, ac_q, lam, filters)
+                        prev_mv32, g, 32, dc_q, ac_q, lam, filters,
+                        gold=gold, rates=rates)
     outs = {"m32": out32}
     rec_y = out32["rec_y"]
     rec_u = out32["rec_u"]
@@ -1045,7 +1164,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
             raise ValueError("split16 requires a strip-free geometry")
         out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                             prev_mv16, g, 16, dc_q, ac_q, lam, filters,
-                            full16=True)
+                            full16=True, gold=gold, rates=rates)
         outs["m16f"] = out16
         r32, c32 = g.rows32, g.cols32
         d16 = out16["dist_b"].reshape(r32, 2, c32, 2).sum(axis=(1, 3))
@@ -1070,7 +1189,8 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
         rec_v = jnp.where(m_c > 0, out16["rec_v"], rec_v)
     if g.strip:
         out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
-                            prev_mv16, g, 16, dc_q, ac_q, lam, filters)
+                            prev_mv16, g, 16, dc_q, ac_q, lam, filters,
+                            gold=gold, rates=rates)
         outs["m16"] = out16
         rec_y = jnp.concatenate([rec_y, out16["rec_y"]], axis=0)
         rec_u = jnp.concatenate([rec_u, out16["rec_u"]], axis=0)
@@ -1102,9 +1222,35 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     return outs, (new_ref_y, new_ref_u, new_ref_v)
 
 
-def make_pframe_step(geom: Geom, split16: bool = False):
-    """Jitted device step closed over the static geometry."""
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def make_pframe_step(geom: Geom, split16: bool = False,
+                     golden: bool = False):
+    """Jitted device step closed over the static geometry (memoized:
+    sessions sharing a geometry share the compiled executable).
+
+    golden=True adds the HBM GOLDEN reference args (gold_y/u/v) and the
+    per-frame entropy rate-table args (make_rate_tabs order)."""
     filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
+
+    if golden:
+        def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, gold_y, gold_u,
+                 gold_v, prev_mv32, prev_mv16, dc_q, ac_q, lam, lf_lvl,
+                 lf_lim, lf_mblim, mode_cost, joint_cost, nmv_row, nmv_col,
+                 ref_cost, lam_bits):
+            rates = {"mode_cost": mode_cost, "joint_cost": joint_cost,
+                     "nmv_row": nmv_row, "nmv_col": nmv_col,
+                     "ref_cost": ref_cost, "lam_bits": lam_bits,
+                     "mv_cost_max": 1023}
+            return pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v,
+                               prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
+                               lf_lvl, lf_lim, lf_mblim, filters,
+                               split16=split16,
+                               gold=(gold_y, gold_u, gold_v), rates=rates)
+
+        return jax.jit(step, donate_argnums=(3, 4, 5))
 
     def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
              prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
@@ -1114,3 +1260,161 @@ def make_pframe_step(geom: Geom, split16: bool = False):
                            split16=split16)
 
     return jax.jit(step, donate_argnums=(3, 4, 5))
+
+
+# ---------------------------------------------------------------------------
+# Device keyframe encode: anti-diagonal wavefront intra MD + recon
+# ---------------------------------------------------------------------------
+
+
+def kframe_step(src_y, src_u, src_v, geom: Geom, dc_q, ac_q, lam,
+                lf_lvl, lf_lim, lf_mblim):
+    """Closed-loop intra keyframe encode for the uniform 32 grid, fully
+    on device.
+
+    The reference encodes intra in the same EncDec loop as inter
+    (EbEncDecProcess.c:3627 encode_pass_sb; intra reference samples
+    :1128) under the wavefront segment scheduler.  Here each
+    anti-diagonal of 32x32 blocks is one batched step inside a
+    lax.scan: exact reference-sample construction from the
+    reconstructed neighbours (vp9_reconintra build_intra_predictors
+    availability/clamp rules), all 10 intra modes predicted at once,
+    SSE+prior mode decision, fDCT32/quant/iDCT recon.  Chroma rides the
+    same wave at 16x16 (TX16, mode = the block's y mode, matching the
+    host wavefront encoder).  Returns (outs, border-extended refs) like
+    pframe_step; the DPB never leaves HBM and the 1.8 s/1080p host
+    keyframe stall disappears.
+
+    Requires a strip-free geometry (the 16-strip keyframe falls back to
+    the host path).
+    """
+    from tpu_vp9.ops import intra as intra_ops
+
+    g = geom
+    if g.strip:
+        raise ValueError("device keyframe requires a strip-free geometry")
+    rows, cols = g.rows32, g.cols32
+    w_lanes = min(rows, cols)
+    b = rows * cols
+    # mode prior (DC/V/H/TM cheaper in the kf trees), in lambda units
+    mode_bias = jnp.array([0, 1, 1, 3, 3, 3, 3, 3, 3, 1], jnp.int32)
+
+    def plane_dims(ss):
+        return ((g.height + (1 << ss) - 1) >> ss if ss else g.height,
+                (g.width >> ss) if ss else g.width)
+
+    def wave_plane(rec, src, r, c, valid, modes_in, bn, ss, frame_h):
+        """One diagonal for one plane.  modes_in: (W,) chosen y modes
+        (or None to decide here).  Returns (modes, levels, eobs, rec)."""
+        W = r.shape[0]
+        py = r * bn
+        px = c * bn
+        ha = r > 0
+        hl = c > 0
+        pyc = jnp.clip(py, 0, rec.shape[0] - bn)
+        pxc = jnp.clip(px, 0, rec.shape[1] - bn)
+
+        def slice_row(y, x):
+            return jax.lax.dynamic_slice(rec, (y, x), (1, bn))[0]
+
+        above = jax.vmap(slice_row)(jnp.clip(py - 1, 0, rec.shape[0] - 1),
+                                    pxc).astype(jnp.int32)
+        above = jnp.where(ha[:, None], above, 127)
+        above_ext = jnp.concatenate(
+            [above, jnp.repeat(above[:, bn - 1 : bn], bn, axis=1)], axis=1)
+        # left column with the bottom-crop clamp (build_ref_samples)
+        lrow = jnp.clip(py[:, None] + jnp.arange(bn)[None, :], 0,
+                        frame_h - 1)
+        lcol = jnp.clip(px - 1, 0, rec.shape[1] - 1)
+        left = rec[lrow, lcol[:, None]].astype(jnp.int32)
+        left = jnp.where(hl[:, None], left, 129)
+        al = rec[jnp.clip(py - 1, 0, rec.shape[0] - 1),
+                 jnp.clip(px - 1, 0, rec.shape[1] - 1)].astype(jnp.int32)
+        al = jnp.where(ha, jnp.where(hl, al, 129), 127)
+
+        def slice_blk(y, x):
+            return jax.lax.dynamic_slice(src, (y, x), (bn, bn))
+
+        src_blk = jax.vmap(slice_blk)(pyc, pxc)
+        preds = intra_ops.predict_all_modes(above_ext, al, left, ha, hl,
+                                            bn, jnp)  # (W, 10, bn, bn)
+        if modes_in is None:
+            sse = ((preds - src_blk[:, None].astype(jnp.int32)) ** 2) \
+                .sum(axis=(-1, -2))
+            cost = sse + mode_bias[None, :] * lam
+            modes = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        else:
+            modes = modes_in
+        pred = jnp.take_along_axis(
+            preds, modes[:, None, None, None], axis=1)[:, 0]
+        lv, eob, rec_blk = transform_recon(src_blk, pred, dc_q, ac_q, bn)
+        # scatter recon (invalid lanes get OOB rows -> dropped)
+        rset = jnp.where(valid, py, rec.shape[0])
+        rows2 = rset[:, None, None] + jnp.arange(bn)[None, :, None]
+        cols2 = pxc[:, None, None] + jnp.arange(bn)[None, None, :]
+        rec = rec.at[rows2, cols2].set(rec_blk, mode="drop")
+        return modes, lv, eob, rec
+
+    def body(carry, d):
+        rec_y, rec_u, rec_v, lv_y, eob_y, lv_u, eob_u, lv_v, eob_v, \
+            modes_all = carry
+        r0 = jnp.maximum(0, d - (cols - 1))
+        i = jnp.arange(w_lanes)
+        r = r0 + i
+        c = d - r
+        valid = (r < rows) & (c >= 0) & (c < cols)
+        bi = jnp.where(valid, r * cols + c, b)
+        modes, ly, ey, rec_y = wave_plane(rec_y, src_y, r, c, valid, None,
+                                          32, 0, g.height)
+        _, lu, eu, rec_u = wave_plane(rec_u, src_u, r, c, valid, modes,
+                                      16, 1, (g.height + 1) >> 1)
+        _, lv2, ev, rec_v = wave_plane(rec_v, src_v, r, c, valid, modes,
+                                       16, 1, (g.height + 1) >> 1)
+        lv_y = lv_y.at[bi].set(ly, mode="drop")
+        eob_y = eob_y.at[bi].set(ey, mode="drop")
+        lv_u = lv_u.at[bi].set(lu, mode="drop")
+        eob_u = eob_u.at[bi].set(eu, mode="drop")
+        lv_v = lv_v.at[bi].set(lv2, mode="drop")
+        eob_v = eob_v.at[bi].set(ev, mode="drop")
+        modes_all = modes_all.at[bi].set(modes, mode="drop")
+        return (rec_y, rec_u, rec_v, lv_y, eob_y, lv_u, eob_u, lv_v,
+                eob_v, modes_all), None
+
+    init = (src_y * 0, src_u * 0, src_v * 0,
+            jnp.zeros((b, 32, 32), jnp.int16), jnp.zeros(b, jnp.int32),
+            jnp.zeros((b, 16, 16), jnp.int16), jnp.zeros(b, jnp.int32),
+            jnp.zeros((b, 16, 16), jnp.int16), jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.int32))
+    (rec_y, rec_u, rec_v, lv_y, eob_y, lv_u, eob_u, lv_v, eob_v,
+     modes_all), _ = jax.lax.scan(body, init,
+                                  jnp.arange(rows + cols - 1))
+    skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
+    rec_y, rec_u, rec_v = loop_filter_device(rec_y, rec_u, rec_v, g,
+                                             lf_lvl, lf_lim, lf_mblim)
+    outs = {
+        "m32": {
+            "mode": modes_all, "skip": skip,
+            "eob_y": eob_y, "eob_u": eob_u, "eob_v": eob_v,
+            "lv_y": lv_y, "lv_u": lv_u, "lv_v": lv_v,
+        },
+        "rec_y": rec_y, "rec_u": rec_u, "rec_v": rec_v,
+    }
+    new_refs = (extend_borders_device(rec_y, g.width, g.height),
+                extend_borders_device(rec_u, (g.width + 1) >> 1,
+                                      (g.height + 1) >> 1),
+                extend_borders_device(rec_v, (g.width + 1) >> 1,
+                                      (g.height + 1) >> 1))
+    return outs, new_refs
+
+
+@functools.lru_cache(maxsize=16)
+def make_kframe_step(geom: Geom):
+    """Jitted device keyframe step closed over the static geometry
+    (memoized across sessions)."""
+
+    def step(src_y, src_u, src_v, dc_q, ac_q, lam, lf_lvl, lf_lim,
+             lf_mblim):
+        return kframe_step(src_y, src_u, src_v, geom, dc_q, ac_q, lam,
+                           lf_lvl, lf_lim, lf_mblim)
+
+    return jax.jit(step)

@@ -32,23 +32,28 @@ from tpu_vp9.bitstream import tables as T
 from tpu_vp9.pipeline.tpu_encdec import (
     BORDER, WIN_R, Geom, _candidate_decide, _extract_search_windows,
     _full_search_sse_mxu, _scatter_blocks, _subpel_exhaustive,
-    loop_filter_device, mc_predict_batch, transform_recon,
+    extend_borders_device, loop_filter_device, mc_predict_batch,
+    transform_recon,
 )
 
 
-def _shard_positions(geom: Geom, n_tiles: int, tile_idx):
-    """Global (pos_y, pos_x) of one column shard's 32-blocks."""
+def _shard_positions(geom: Geom, n_tiles: int, tile_idx, n: int = 32,
+                     rows: int = None, y_base: int = 0):
+    """Global (pos_y, pos_x) of one column shard's n-blocks."""
     import jax.numpy as jnp
 
     g = geom
-    cols_loc = g.cols32 // n_tiles
-    ys = (np.arange(g.rows32)[:, None] * 32
+    if rows is None:
+        rows = g.rows32
+    n_cols = (g.cols32 if n == 32 else g.cols16)
+    cols_loc = n_cols // n_tiles
+    ys = (y_base + np.arange(rows)[:, None] * n
           + np.zeros((1, cols_loc), np.int32)).reshape(-1)
-    xs_loc = (np.zeros((g.rows32, 1), np.int32)
-              + np.arange(cols_loc)[None, :] * 32).reshape(-1)
-    x0 = tile_idx * (cols_loc * 32)
+    xs_loc = (np.zeros((rows, 1), np.int32)
+              + np.arange(cols_loc)[None, :] * n).reshape(-1)
+    x0 = tile_idx * (cols_loc * n)
     return (jnp.asarray(ys, jnp.int32),
-            x0 + jnp.asarray(xs_loc, jnp.int32), g.rows32, cols_loc, x0)
+            x0 + jnp.asarray(xs_loc, jnp.int32), rows, cols_loc, x0)
 
 
 def _halo_exchange(ref_loc, axis_name: str, halo: int, n_shards: int):
@@ -87,20 +92,23 @@ def _halo_exchange(ref_loc, axis_name: str, halo: int, n_shards: int):
 
 def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
                        prev_mv, geom: Geom, n_tiles: int, tile_idx,
-                       x_base_y, x_base_c, dc_q, ac_q, lam, filters):
-    """Shard-local encode_zone (32-grid) against halo-extended refs.
+                       x_base_y, x_base_c, dc_q, ac_q, lam, filters,
+                       n: int = 32, zone_rows: int = None, y_base: int = 0):
+    """Shard-local encode_zone against halo-extended refs.
 
-    ref_*_h: halo-extended local ref planes; x_base_y/x_base_c make
-    mc_predict_batch's global-coordinate slices land on local columns
-    (x_base = global_start - (BORDER - halo)).  Identical math to
+    n/zone_rows/y_base select the zone (the uniform 32 grid or the
+    16-strip bottom row of 720p/4K geometries).  ref_*_h: halo-extended
+    local ref planes; x_base_y/x_base_c make mc_predict_batch's
+    global-coordinate slices land on local columns (x_base =
+    global_start - (BORDER - halo)).  Identical math to
     tpu_encdec.encode_zone with x_base threaded through."""
     import jax
     import jax.numpy as jnp
 
     g = geom
-    pos_y, pos_x, rows, cols_loc, _ = _shard_positions(g, n_tiles, tile_idx)
-    n = 32
-    src_blocks = src_y[: rows * n] \
+    pos_y, pos_x, rows, cols_loc, _ = _shard_positions(
+        g, n_tiles, tile_idx, n=n, rows=zone_rows, y_base=y_base)
+    src_blocks = src_y[y_base : y_base + rows * n] \
         .reshape(rows, n, cols_loc, n).transpose(0, 2, 1, 3) \
         .reshape(-1, n, n)
 
@@ -109,7 +117,7 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
     # the single-chip border-extended windows, so MVs are shard-count
     # invariant
     wins = _extract_search_windows(
-        ref_y_h, n, rows, cols_loc, 0,
+        ref_y_h, n, rows, cols_loc, y_base,
         np.arange(cols_loc, dtype=np.int64) * n)
     dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
     mv_r, mv_c = _subpel_exhaustive(wins, src_blocks, dy, dx, n, filters)
@@ -126,7 +134,7 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
         edge = jnp.where(tile_idx == 0, jnp.zeros_like(edge), edge)
     else:
         edge = jnp.zeros_like(new2[:, -1])
-    mv_r, mv_c, sad_zero = _candidate_decide(
+    mv_r, mv_c, sad_zero, _ = _candidate_decide(
         ref_y_h, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_new, prev_mv,
         rows, cols_loc, n, g, lam, filters, x_base=x_base_y,
         left_edge=edge)
@@ -143,10 +151,11 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
                               g.mi_rows, g.mi_cols, filters,
                               x_base=x_base_c)
     lv_y, eob_y, rec_y = transform_recon(src_blocks, pred_y, dc_q, ac_q, n)
-    src_ub = src_u[: rows * nc] \
+    y0c = y_base // 2
+    src_ub = src_u[y0c : y0c + rows * nc] \
         .reshape(rows, nc, cols_loc, nc).transpose(0, 2, 1, 3) \
         .reshape(-1, nc, nc)
-    src_vb = src_v[: rows * nc] \
+    src_vb = src_v[y0c : y0c + rows * nc] \
         .reshape(rows, nc, cols_loc, nc).transpose(0, 2, 1, 3) \
         .reshape(-1, nc, nc)
     lv_u, eob_u, rec_u = transform_recon(src_ub, pred_u, dc_q, ac_q, nc)
@@ -176,19 +185,19 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
                    halo ring-exchange happens inside)
       prev_mv      (F, n_blocks32, 2) sharded P('frame', 'tile')
     Returns (outs, new refs) where outs' per-block arrays are sharded
-    P('frame', 'tile') in raster order *within each shard*.
+    P('frame', 'tile') in raster order *within each shard* (strip
+    geometries add m16_* arrays for the bottom 16-strip).
     new refs are the loop-filtered recon planes (not border-extended:
     the halo exchange re-derives borders each step).
 
-    Requires geom.strip == False and geom.cols32 % n_tiles == 0.
+    Requires geom.cols32 % n_tiles == 0 (and cols16 % n_tiles == 0 for
+    strip geometries — implied by the 32-grid constraint).
     """
     import jax
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if geom.strip:
-        raise ValueError("sharded step requires mi_rows % 4 != 2")
     if geom.cols32 % n_tiles:
         raise ValueError("cols32 must divide n_tiles")
     if geom.pad_w != geom.width:
@@ -197,7 +206,7 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
     filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
 
     def one_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
-                  dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+                  prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
         from jax import lax
 
         tile_idx = lax.axis_index("tile")
@@ -217,10 +226,28 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
                                  prev_mv, g, n_tiles, tile_idx,
                                  x_base_y, x_base_c,
                                  dc_q, ac_q, lam, filters)
+        dist = out.pop("dist")
+        rate = out.pop("rate")
+        if g.strip:
+            out16 = _encode_zone_shard(
+                src_y, src_u, src_v, ry, ru, rv, prev_mv16, g, n_tiles,
+                tile_idx, x_base_y, x_base_c, dc_q, ac_q, lam, filters,
+                n=16, zone_rows=1, y_base=g.strip_y)
+            dist = dist + out16.pop("dist")
+            rate = rate + out16.pop("rate")
+            for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                      "lv_y", "lv_u", "lv_v"):
+                out[f"m16_{k}"] = out16[k]
+            out["rec_y"] = jnp.concatenate(
+                [out["rec_y"], out16["rec_y"]], axis=0)
+            out["rec_u"] = jnp.concatenate(
+                [out["rec_u"], out16["rec_u"]], axis=0)
+            out["rec_v"] = jnp.concatenate(
+                [out["rec_v"], out16["rec_v"]], axis=0)
         # per-frame RC stats ride the mesh collectives (the reference's
         # rate_control_tasks fan-in, EbEncHandle.c:315-318)
-        dist = lax.psum(out.pop("dist"), "tile")
-        rate = lax.psum(out.pop("rate"), "tile")
+        dist = lax.psum(dist, "tile")
+        rate = lax.psum(rate, "tile")
         # full-frame loop filter on gathered recon (LF crosses tiles)
         rec_y = lax.all_gather(out["rec_y"], "tile", axis=1, tiled=True)
         rec_u = lax.all_gather(out["rec_u"], "tile", axis=1, tiled=True)
@@ -253,14 +280,15 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
         return out, (new_ry, new_ru, new_rv)
 
     def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
-             dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+             prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
         # the frame mesh axis shards the leading dim; each frame shard
         # loops its local frames with lax.map
-        def body(sy, su, sv, ry, ru, rv, pm, *scal):
+        def body(sy, su, sv, ry, ru, rv, pm, pm16, *scal):
             def per_frame(args):
                 return one_frame(*args, *scal)
 
-            return jax.lax.map(per_frame, (sy, su, sv, ry, ru, rv, pm))
+            return jax.lax.map(per_frame,
+                               (sy, su, sv, ry, ru, rv, pm, pm16))
 
         shp = P("frame", None, "tile")
         shc = P("frame", None, "tile")
@@ -269,6 +297,9 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
         out_block = {k: shb for k in
                      ("mv", "skip", "eob_y", "eob_u", "eob_v",
                       "lv_y", "lv_u", "lv_v")}
+        if g.strip:
+            for k in list(out_block):
+                out_block[f"m16_{k}"] = shb
         out_block["rec_y"] = shp
         out_block["rec_u"] = shc
         out_block["rec_v"] = shc
@@ -276,10 +307,90 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
         out_block["rate"] = P("frame")
         return shard_map(
             body, mesh=mesh,
-            in_specs=(shp, shc, shc, shp, shc, shc, shb,
+            in_specs=(shp, shc, shc, shp, shc, shc, shb, shb,
                       rep, rep, rep, rep, rep, rep),
             out_specs=(out_block, (shp, shc, shc)),
-        )(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
+        )(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv, prev_mv16,
           dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim)
+
+    return jax.jit(step, donate_argnums=(3, 4, 5))
+
+
+def make_rt_step_sharded(geom: Geom, mesh_shape, split16: bool = False):
+    """Product adapter: the multi-chip tile-column step behind RtSession.
+
+    Presents the same call signature as ``make_pframe_step`` (single
+    frame, border-extended refs in/out, raster-ordered block arrays) so
+    the realtime session and serializer are shard-agnostic, while the
+    compute runs shard_map'ed over a (1, n_tiles) device mesh — tile
+    columns over ICI with BORDER-halo ring exchange (SURVEY §2.7 TP row).
+
+    Requires: width % 64 == 0, cols32 % n_tiles == 0, n_tiles local
+    devices.  Strip geometries (720p/4K) shard the bottom 16-strip along
+    the same tile axis.  split16 is not yet sharded; sessions request
+    the uniform 32 grid when a mesh is set.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    if split16:
+        raise ValueError("split16 is not supported on the sharded step")
+    n_tiles = 1
+    for d in tuple(mesh_shape):
+        n_tiles *= int(d)
+    devs = jax.devices()
+    if len(devs) < n_tiles:
+        raise ValueError(
+            f"mesh requests {n_tiles} devices, {len(devs)} available")
+    mesh = Mesh(np.asarray(devs[:n_tiles]).reshape(1, n_tiles),
+                ("frame", "tile"))
+    base = make_pframe_step_sharded(geom, mesh, n_tiles)
+    g = geom
+    B = BORDER
+    rows, cols = g.rows32, g.cols32
+    cols_loc = cols // n_tiles
+
+    def to_shard_major(pm):
+        return pm.reshape(rows, n_tiles, cols_loc, 2) \
+                 .transpose(1, 0, 2, 3).reshape(-1, 2)
+
+    def to_raster(arr):
+        lead = arr.shape[1:] if arr.ndim > 1 else ()
+        return arr.reshape(n_tiles, rows, cols_loc, *lead) \
+                  .transpose(1, 0, 2, *range(3, 3 + len(lead))) \
+                  .reshape(rows * n_tiles * cols_loc, *lead)
+
+    def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
+             prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+        if g.strip:
+            pm16 = prev_mv16[None]  # strip row: raster == shard-major
+        else:
+            import jax.numpy as jnp
+
+            pm16 = jnp.zeros((1, n_tiles, 2), prev_mv32.dtype)
+        outs, (nry, nru, nrv) = base(
+            src_y[None], src_u[None], src_v[None],
+            ref_y[B:-B, B:-B][None], ref_u[B:-B, B:-B][None],
+            ref_v[B:-B, B:-B][None], to_shard_major(prev_mv32)[None],
+            pm16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim)
+        m32 = {k: to_raster(outs[k][0]) for k in
+               ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                "lv_y", "lv_u", "lv_v")}
+        m32["dist"] = outs["dist"][0]
+        m32["rate"] = outs["rate"][0]
+        rec_y, rec_u, rec_v = nry[0], nru[0], nrv[0]
+        out = {"m32": m32, "rec_y": rec_y, "rec_u": rec_u, "rec_v": rec_v}
+        if g.strip:
+            out["m16"] = {k: outs[f"m16_{k}"][0] for k in
+                          ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                           "lv_y", "lv_u", "lv_v")}
+        new_refs = (
+            extend_borders_device(rec_y, g.width, g.height),
+            extend_borders_device(rec_u, (g.width + 1) >> 1,
+                                  (g.height + 1) >> 1),
+            extend_borders_device(rec_v, (g.width + 1) >> 1,
+                                  (g.height + 1) >> 1))
+        return out, new_refs
 
     return jax.jit(step, donate_argnums=(3, 4, 5))

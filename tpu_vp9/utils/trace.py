@@ -13,11 +13,27 @@ CLI with ``-trace`` or fetched via ``Vp9Encoder.get_trace_summary()``.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from contextlib import contextmanager
 
 _enabled = os.environ.get("TPU_VP9_TRACE", "") not in ("", "0")
 _acc: dict[str, list] = {}
+_notices: list[str] = []
+
+
+def notice(msg: str) -> None:
+    """Record a capability downgrade (RT→host, TPU→CPU ME, native→Python
+    serializer, …).  Always printed to stderr once per process — the
+    reference surfaces such conditions through its error-packet callback
+    (EbEncHandle.c:437-452); silent fallbacks are forbidden here."""
+    if msg not in _notices:
+        _notices.append(msg)
+        print(f"tpu_vp9: WARNING: {msg}", file=sys.stderr, flush=True)
+
+
+def notices() -> list[str]:
+    return list(_notices)
 
 
 def enable(on: bool = True) -> None:
@@ -48,7 +64,7 @@ def span(name: str):
 
 
 def summary() -> dict:
-    return {
+    out: dict = {
         name: {
             "count": c,
             "total_s": round(t, 4),
@@ -57,3 +73,6 @@ def summary() -> dict:
         for name, (c, t) in sorted(_acc.items(),
                                    key=lambda kv: -kv[1][1])
     }
+    if _notices:
+        out["notices"] = list(_notices)
+    return out
