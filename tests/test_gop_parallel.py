@@ -91,3 +91,20 @@ def test_gop_parallel_rejects_non_cqp():
                         target_bit_rate=200_000, intra_period=7).derive()
     with pytest.raises(ValueError):
         encode_gop_parallel(_make_frames(4), cfg, workers=2)
+
+
+def test_gop_parallel_low_delay_bit_identical():
+    """LD chunks must reproduce the sequential adaptive-kf staticness
+    state at chunk boundaries (the _ld_prev_y warmup)."""
+    from tpu_vp9.api import Vp9Encoder
+    from tpu_vp9.config import EncoderConfig, PredStructure
+    from tpu_vp9.pipeline.gop_parallel import encode_gop_parallel
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    frames = list(synthetic_frames(128, 96, 12, seed=8, motion=True))
+    cfg = EncoderConfig(source_width=128, source_height=96, frame_rate=30,
+                        qp=52, enc_mode=8, intra_period=3, tpu_realtime=0,
+                        pred_structure=PredStructure.LOW_DELAY_P)
+    seq = encode_gop_parallel(frames, cfg, workers=1)
+    par = encode_gop_parallel(frames, cfg, workers=2)
+    assert [p[0] for p in seq] == [p[0] for p in par]

@@ -86,7 +86,7 @@ def _encode_m4(frames, trellis: bool):
     try:
         enc = Vp9Encoder()
         enc.set_parameter(EncoderConfig(
-            source_width=176, source_height=144, frame_rate=30, qp=45,
+            source_width=176, source_height=144, frame_rate=30, qp=38,
             enc_mode=4, intra_period=-1, tpu_realtime=0))
         enc.init()
         for fr in frames:

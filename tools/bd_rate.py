@@ -158,6 +158,13 @@ def bd_rate(r_ref, p_ref, r_test, p_test) -> float:
 
 
 def main():
+    # the axon sitecustomize ignores JAX_PLATFORMS; honor it here so the
+    # --rt sweep can run hermetically on CPU jax (the device path's
+    # decisions are backend-exact, so CPU-measured BD-rate is valid)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--enc-mode", type=int, default=8)
     ap.add_argument("--frames", type=int, default=60)
@@ -192,10 +199,15 @@ def main():
             points = ([("vbr", t) for t in tbrs] if tbrs
                       else [("qp", q) for q in qps])
             for kind, val in points:
+                # the reference REQUIRES pred-struct 2 (verify_settings:
+                # "Pred Structure must be [2]"), so the --rt comparison
+                # pits our low-delay device path against the reference's
+                # only shipping mode — a structural handicap for the RT
+                # side (no pyramids), reported as-is
                 ivf = encode_ref(
                     yuv, w, h, len(frs), 50 if kind == "vbr" else val,
                     args.enc_mode, os.path.join(td, f"{name}_{val}.ivf"),
-                    pred_struct=0 if args.rt else 2,
+                    pred_struct=2,
                     rc=1 if kind == "vbr" else 0,
                     tbr=val if kind == "vbr" else 0)
                 r_ref.append(len(ivf))

@@ -284,10 +284,14 @@ class Vp9Encoder:
 
                 qindex = qp_to_qindex(self._qp_overrides[idx])
             else:
-                qindex = rc.frame_qindex(is_key)
+                qindex = rc.frame_qindex(
+                    is_key,
+                    staticness=self._ld_kf_staticness(frame)
+                    if is_key else None)
             for ef in self._rt.send(frame, qindex=qindex,
                                     force_keyframe=is_key):
                 self._emit_rt(ef)
+            self._ld_prev_y = frame.y
             if self._sc is not None:
                 self._speed_report(1, _time.perf_counter() - _sc_t0)
             return
@@ -311,7 +315,10 @@ class Vp9Encoder:
 
             qindex = qp_to_qindex(self._qp_overrides[idx])
         else:
-            qindex = rc.frame_qindex(is_key)
+            qindex = rc.frame_qindex(
+                is_key,
+                staticness=self._ld_kf_staticness(frame)
+                if is_key else None)
             # hierarchical qp-scaling (EbRateControlProcess.c:44 analogue):
             # referenced base frames get finer quantization, disposable
             # enhancement frames coarser
@@ -319,6 +326,7 @@ class Vp9Encoder:
                 qindex = min(qindex + 20, 255)
             elif hierarchical and not is_key:
                 qindex = max(qindex - 12, 0)
+        self._ld_prev_y = frame.y
         from tpu_vp9.bitstream import tables as _T
 
         if self._fc_state is None:
@@ -367,6 +375,7 @@ class Vp9Encoder:
                 frame, self._refs, qindex, sig.block_size,
                 sig.search_range, qbias=sig.qbias, do_subpel=sig.do_subpel,
                 adaptive_partition=sig.adaptive_partition,
+                adp_budget=sig.adp_budget,
                 golden_refs=self._golden_refs, tx_select=sig.tx_select,
                 use_tpu_me=sig.use_tpu_me, fc_base=fc_base,
                 restrict_mv_modes=restrict,
@@ -428,6 +437,23 @@ class Vp9Encoder:
                           is_keyframe=is_key, qindex=qindex))
         if self._sc is not None:
             self._speed_report(1, _time.perf_counter() - _sc_t0)
+
+    def _ld_kf_staticness(self, frame):
+        """Keyframe staticness for the low-delay paths: the reference
+        measures the NEXT picture's zz-SAD (lookahead >= 1 always); at
+        1-frame latency the PREVIOUS picture is the stand-in, and the
+        very first keyframe uses a moderate prior — without it the
+        plain CQP curve lets high-qp anchors fall off the all-zero
+        quantization cliff and every P frame pays for the weak
+        reference (QP_SCALING_MODE_1, EbRateControlProcess.c:4592)."""
+        prev = getattr(self, "_ld_prev_y", None)
+        if prev is None or prev.shape != frame.y.shape:
+            return (10, 50)
+        from tpu_vp9.pipeline.rc_curves import zz_staticness
+
+        return zz_staticness(frame.y, prev,
+                             self._cfg.source_width,
+                             self._cfg.source_height)
 
     def _emit(self, pkt: Packet) -> None:
         """Stamp decode-order DTS and queue the packet

@@ -310,23 +310,52 @@ def probe_inter_cost(st: FrameState, refs, mi_row: int, mi_col: int,
     return out
 
 
+def derive_sb_probe_budget(costs: dict, budget_frac: float):
+    """Per-SB compute-budget derivation (the ADP budget of
+    ``eb_vp9_derive_optimal_budget_per_sb``,
+    EbModeDecisionConfigurationProcess.c:1199, re-expressed as a mask):
+    rank the parent-block probe costs and grant the expensive split
+    probes only to the costliest ``budget_frac`` of blocks — cheap
+    (well-predicted) blocks keep the parent size without paying child
+    searches.  Returns the set of granted (mi_row, mi_col)."""
+    if budget_frac >= 1.0 or not costs:
+        return set(costs)
+    vals = np.asarray(sorted(costs.values()))
+    k = max(1, int(round(len(vals) * budget_frac)))
+    thr = vals[len(vals) - k]
+    return {key for key, v in costs.items() if v >= thr}
+
+
 def decide_partition_map(st: FrameState, refs, events, qindex: int,
-                         search_range: int = 16):
+                         search_range: int = 16, budget_frac: float = 1.0):
     """Refine the fixed-size event list: split 32x32 nodes into 16x16
     where the children's total SAD (plus an overhead penalty) wins.
 
-    Open-loop: probes use full-pel ME only.  Returns a new event list.
+    Open-loop: probes use full-pel ME only.  budget_frac < 1 engages the
+    per-SB ADP budget: only the costliest fraction of parents pay the
+    child probes.  Returns a new event list.
     """
     # ~40 bits of extra syntax per split, at sad-per-bit ~ ac_q/16
     # (libvpx sad_per_bit16lut scale)
     split_bias = max(8, (40 * T.ac_quant(qindex)) >> 4)
+    granted = None
+    if budget_frac < 1.0:
+        parent_costs = {}
+        for ev in events:
+            if (ev[0] == "part" and ev[3] == BlockSize.BLOCK_32X32
+                    and ev[4] == Partition.NONE):
+                _, r, c, bs, _ = ev
+                s, _ = probe_inter_cost(st, refs, r, c, bs, search_range)
+                parent_costs[(r, c)] = s
+        granted = derive_sb_probe_budget(parent_costs, budget_frac)
     out = []
     i = 0
     while i < len(events):
         ev = events[i]
         if (ev[0] == "part" and ev[3] == BlockSize.BLOCK_32X32
                 and ev[4] == Partition.NONE
-                and i + 1 < len(events) and events[i + 1][0] == "leaf"):
+                and i + 1 < len(events) and events[i + 1][0] == "leaf"
+                and (granted is None or (ev[1], ev[2]) in granted)):
             _, mi_row, mi_col, bsize, _ = ev
             sad32, mv32 = probe_inter_cost(st, refs, mi_row, mi_col, bsize,
                                            search_range)
@@ -388,6 +417,11 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
         forced_split = not (has_rows and has_cols)
         can_none = not forced_split and int(bsize) <= int(max_bs)
         can_split = int(bsize) > int(min_bs)
+        if bsize == BlockSize.BLOCK_8X8 and can_split:
+            import os as _os
+
+            if _os.environ.get("TPU_VP9_NO_SUB8X8") == "1":
+                can_split = False
         if bsize == BlockSize.BLOCK_8X8 and can_split:
             # 8x8 -> ONE sub-8x8 mi (4X4 / 4X8 / 8X4) with bmi MVs:
             # compare the 8x8 probe against per-sub-block searches
@@ -1091,6 +1125,16 @@ def decide_tx_sizes(st: FrameState, pending, qindex: int,
             mi.tx_size = TxSize(int(max_tx) - 1) if pick_small[i] else max_tx
 
 
+# Calibrated on the BD-rate harness (pan_text M4 sweep): the DP prices
+# context changes against the original cache, so the break-even lambda
+# sits far below the mode-decision lambda; larger scales over-zero.
+TRELLIS_LAMBDA_SCALE = 0.1
+# High-q frames lose more PSNR than the bits they save (few, large
+# coefficients — truncation is all-or-nothing); the reference's
+# speed features likewise disable trellis first at high q.
+TRELLIS_MAX_QINDEX = 170
+
+
 def _optimize_levels(fcst, levels, coeffs, txs, items, dc_q, ac_q):
     """Trellis-optimize a batch of quantized tx blocks with the frame's
     exact token-cost tables.  items carry the plane index (chroma and
@@ -1104,7 +1148,13 @@ def _optimize_levels(fcst, levels, coeffs, txs, items, dc_q, ac_q):
         return levels
     n = TX_PX[txs]
     gain = 16.0 if n == 32 else 64.0
-    lam = fcst.lambda_bits * gain / 256.0
+    # TRELLIS_LAMBDA_SCALE < 1: the token-cost model prices each change
+    # against the CURRENT contexts, but zeroing a coefficient also
+    # cheapens every later context (un-modeled savings), so the
+    # break-even lambda for the DP sits below the mode-decision lambda
+    # (calibrated on the BD-rate harness)
+    lam = (fcst.lambda_bits * gain / 256.0 * TRELLIS_LAMBDA_SCALE
+           * float(os.environ.get("TPU_VP9_TRELLIS_SCALE", "1.0")))
     q_shift = 1 if n == 32 else 0
     out = np.ascontiguousarray(levels, np.int32)
     by_plane = {}
@@ -1164,7 +1214,7 @@ def batch_encode_inter_blocks(st: FrameState, pending, qindex: int,
         resid = srcs - preds
         coeffs = txfm.fwd_txfm2d(resid, txs, TxType.DCT_DCT)
         levels = txfm.quantize_block(coeffs, dc_q, ac_q, txs, bias=qbias)
-        if fcst is not None:
+        if fcst is not None and qindex <= TRELLIS_MAX_QINDEX:
             # trellis RDOQ on the final coded levels (vp9_optimize_b
             # analogue, EbEncDecProcess.c:426; M0-M4 full-loop presets)
             levels = _optimize_levels(fcst, levels, coeffs, txs, items,
@@ -1622,7 +1672,7 @@ def encode_pframe(frame, refs, qindex: int,
                   fc_base=None, restrict_mv_modes: bool = False,
                   prev_mvs=None, part_depths=None, altref_refs=None,
                   ref_ranges=None, sign_bias=(0, 0, 0), lambda_map=None,
-                  full_loop: bool = False):
+                  full_loop: bool = False, adp_budget: float = 1.0):
     """Encode one P frame against border-extended refs [y, u, v].
 
     golden_refs: optional second (long-term) reference planes; blocks then
@@ -1678,7 +1728,8 @@ def encode_pframe(frame, refs, qindex: int,
                                           log2_tile_cols)
             if adaptive_partition and block_size == BlockSize.BLOCK_32X32:
                 events = decide_partition_map(st, refs, events, qindex,
-                                              search_range)
+                                              search_range,
+                                              budget_frac=adp_budget)
     # phase 1: decisions (decode order; mvrefs see final neighbor choices)
     pending = []
     intra_leaves = []

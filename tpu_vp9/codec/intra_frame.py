@@ -769,10 +769,12 @@ def encode_keyframe_wavefront(st: FrameState, events, qindex: int,
                 ha[i], hl[i] = py > 0, px > 0
                 srcs[i] = pl.source[py : py + bn, px : px + bn]
                 modes[i] = int(y_hints[min(r, hr - 1), min(c, hc - 1)])
-            preds_all = intra_ops.predict_all_modes(
-                above, al, left, ha, hl, bn, np)
-            preds = np.take_along_axis(
-                preds_all, modes[:, None, None, None], axis=1)[:, 0]
+            preds = np.empty((b, bn, bn), np.int32)
+            for m in set(modes.tolist()):
+                sel = np.nonzero(modes == m)[0]
+                preds[sel] = intra_ops.predict_mode_batch(
+                    IntraMode(int(m)), above[sel], al[sel], left[sel],
+                    ha[sel], hl[sel], bn)
             resid = srcs - preds
             tt_all = [MI.y_tx_type(IntraMode(int(m)), False, False, txs)
                       if pidx == 0 else TxType.DCT_DCT for m in modes]

@@ -260,6 +260,24 @@ def predict_all_modes(above_ext, above_left, left, have_above, have_left,
     return xp.concatenate(parts, axis=-3)
 
 
+def predict_mode_batch(mode: IntraMode, above_ext, above_left, left,
+                       have_above, have_left, bs: int):
+    """(B, bs, bs) int32 predictions of ONE mode for a lane batch —
+    the wavefront recon path knows each block's mode, so computing all
+    10 (predict_all_modes) wastes 9/10ths of the gathers."""
+    mode = IntraMode(mode)
+    if mode == IntraMode.DC_PRED:
+        dc = predict_dc(above_ext, left, have_above, have_left, bs)
+        return np.broadcast_to(dc[:, None, None],
+                               (dc.shape[0], bs, bs)).copy()
+    if mode == IntraMode.TM_PRED:
+        return predict_tm(above_ext, above_left, left, bs)
+    ref = build_ref_vector(above_ext, above_left, left)  # (B, 3bs+1)
+    idx, w = dir_maps(bs)[mode]  # (3, bs, bs) each
+    g = ref[:, idx]  # (B, 3, bs, bs)
+    return (g * w[None]).sum(axis=1) + 2 >> 2
+
+
 @functools.cache
 def all_modes_matrix(bs: int):
     """(10, bs*bs, 3*bs+1) float32 M with pred[m] ~= M[m] @ ref.

@@ -174,6 +174,7 @@ def encode_video(frames, cfg):
                 frame, refs, qindex, sig.block_size, sig.search_range,
                 qbias=sig.qbias, do_subpel=sig.do_subpel,
                 adaptive_partition=sig.adaptive_partition,
+                adp_budget=sig.adp_budget,
                 full_loop=getattr(sig, "full_loop", False))
             hdr = FrameHeader(
                 width=w, height=h, is_keyframe=False, error_resilient=True,

@@ -372,6 +372,7 @@ class RaEncoder:
             frame, refs, qindex, sig.block_size, sig.search_range,
             qbias=sig.qbias, do_subpel=sig.do_subpel,
             adaptive_partition=sig.adaptive_partition,
+            adp_budget=sig.adp_budget,
             golden_refs=golden, altref_refs=alt, ref_ranges=ranges,
             tx_select=sig.tx_select, use_tpu_me=sig.use_tpu_me,
             fc_base=fc_base, restrict_mv_modes=False, prev_mvs=prev_mvs,

@@ -32,6 +32,10 @@ def _encode_chunk(payload):
     enc.init()
     for y in warmup_y:
         enc._scd.is_scene_change(y)
+    if warmup_y:
+        # low-delay adaptive-kf staticness reads the previous picture;
+        # reproduce the sequential state at the chunk boundary
+        enc._ld_prev_y = warmup_y[-1]
     for idx, qp in qp_overrides.items():
         enc.set_frame_qp(idx - start_idx, qp)
     for i, fr in enumerate(frames):

@@ -29,6 +29,10 @@ class PresetSignals:
     qpm: bool = False  # QPM/BEA analogue: per-SB lambda from analysis maps
     denoise: bool = False  # pre-encode weak denoise when noise detected
     full_loop: bool = False  # MD full loop: true RD with entropy-table rates
+    # per-SB ADP probe budget (eb_vp9_derive_optimal_budget_per_sb
+    # analogue): fraction of 32-blocks granted child split probes in the
+    # adaptive_partition path; 1.0 = probe everything
+    adp_budget: float = 1.0
 
 
 _LADDER = {
@@ -48,9 +52,9 @@ _LADDER = {
                      True, part_depths=(BlockSize.BLOCK_16X16,
                                         BlockSize.BLOCK_64X64)),
     5: PresetSignals(BlockSize.BLOCK_32X32, 20, True, 0.38, False, True,
-                     True),
+                     True, adp_budget=0.5),
     6: PresetSignals(BlockSize.BLOCK_32X32, 16, True, 0.38, False, True,
-                     False),
+                     False, adp_budget=0.25),
     7: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.38, False, False,
                      False, True),
     8: PresetSignals(BlockSize.BLOCK_32X32, 12, True, 0.36, True, False,

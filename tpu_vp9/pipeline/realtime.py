@@ -581,6 +581,55 @@ class RtSession:
             self._pending = None
         return out
 
+    def measure_step_fps(self, frame, iters: int = 20,
+                         qindex: int = 160) -> float:
+        """Raw device-step throughput (recon/DPB chain on device, no
+        host serialization).  Uses the session's own step/reference/rate
+        state so it always matches the compiled signature.  Must be
+        called on a session that already encoded at least one keyframe
+        (self._refs present)."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_vp9.ops.loopfilter import pick_filter_level
+
+        assert self._refs is not None, "send a keyframe first"
+        g = self.g
+        src_y = jnp.asarray(pad_plane(np.asarray(frame.y), g.pad_h,
+                                      g.pad_w))
+        src_u = jnp.asarray(pad_plane(np.asarray(frame.u), g.pad_h // 2,
+                                      g.pad_w // 2))
+        src_v = jnp.asarray(pad_plane(np.asarray(frame.v), g.pad_h // 2,
+                                      g.pad_w // 2))
+        lf_lvl = pick_filter_level(qindex, False) if self.loop_filter else 0
+        dc_q = jnp.asarray(T.dc_quant(qindex), jnp.int32)
+        ac_q = jnp.asarray(T.ac_quant(qindex), jnp.int32)
+        lam = jnp.asarray(max(1, (T.ac_quant(qindex) ** 2) >> 6), jnp.int32)
+        lf_args = (jnp.asarray(lf_lvl, jnp.int32),
+                   jnp.asarray(int(self._lim_tbl[lf_lvl]), jnp.int32),
+                   jnp.asarray(int(self._mblim_tbl[lf_lvl]), jnp.int32))
+        refs = tuple(jnp.copy(p) for p in self._refs)
+        pm32 = jnp.zeros_like(self._prev_mv32)
+        pm16 = jnp.zeros_like(self._prev_mv16)
+
+        def one(refs_in):
+            if self.golden:
+                return self._step(src_y, src_u, src_v, *refs_in,
+                                  *self._gold, pm32, pm16, dc_q, ac_q,
+                                  lam, *lf_args, *self._rate_args(qindex))
+            return self._step(src_y, src_u, src_v, *refs_in, pm32, pm16,
+                              dc_q, ac_q, lam, *lf_args)
+
+        outs, refs = one(refs)
+        jax.block_until_ready(refs)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            outs, refs = one(refs)
+        jax.block_until_ready(refs)
+        return iters / (time.perf_counter() - t0)
+
 
 def encode_stream_rt(frames, qindex: int = 100, intra_period: int = -1,
                      want_recon: bool = True, rc=None,
