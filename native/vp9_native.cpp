@@ -10,6 +10,7 @@
 // Python at load time — the numbers live in vp9_tables.npz only.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
@@ -1890,6 +1891,671 @@ void optimize_coeffs_batch(int32_t* levels, const float* coeffs, int nb,
                                   coeffs + (int64_t)i * n * n, tx_size,
                                   tx_type, probs_full, ctx0[i], lam, q_dc,
                                   q_ac, q_shift);
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Native realtime-path P-frame serializer.
+//
+// The device EncDec step returns per-block MVs/refs/levels; turning them
+// into a bitstream previously cost ~0.4-1.2 s/frame of Python at 1080p
+// (mv-ref classification, mode syntax, token contexts) — the host-side
+// wall of the flagship path.  This writes the WHOLE tile natively for the
+// RT feature set (single tile, all-inter, uniform 32 grid + optional
+// split16 mask + optional 16-strip, LAST/GOLDEN single-ref, implied tx,
+// NEAREST/NEAR/ZERO/NEW), fusing the normative classification
+// (fastloop::find_mv_refs) with serialization, and accumulates every
+// symbol count the backward adaptation needs.
+// Byte-identical to the Python serializer (tests/test_native_rt_ser.py).
+// ===========================================================================
+
+namespace rtser {
+
+static FILE* g_trace = nullptr;
+static inline void pb(BoolEnc* e, int bit, int prob) {
+    if (g_trace) fprintf(g_trace, "%d %d\n", bit, prob);
+    put_bit(e, bit, prob);
+}
+
+using fastloop::MiGrid;
+using fastloop::MvRefs;
+using fastloop::best_ref_mvs;
+using fastloop::find_mv_refs;
+
+// trees (spec constants; leaves are <= 0 with token = -entry)
+static const int PARTITION_TREE[6] = {0, 2, -1, 4, -2, -3};
+static const int INTER_MODE_TREE[6] = {-2, 2, 0, 4, -1, -3};
+static const int MV_JOINT_TREE[6] = {0, 2, -1, 4, -2, -3};
+static const int MV_CLASS_TREE[20] = {0, 2,  -1, 4,  6,  8,  -2, -3, 10, 12,
+                                      -4, -5, -6, 14, 16, 18, -7, -8, -9, -10};
+static const int MV_FP_TREE[6] = {0, 2, -1, 4, -2, -3};
+
+static bool tree_contains(const int* tree, int i, int token) {
+    for (int bit = 0; bit < 2; ++bit) {
+        int node = tree[i + bit];
+        if (node <= 0) {
+            if (-node == token) return true;
+        } else if (tree_contains(tree, node, token)) {
+            return true;
+        }
+    }
+    return false;
+}
+
+static void write_tree(BoolEnc* e, const int* tree, const uint8_t* probs,
+                       int token) {
+    // walk from the root following the branch whose subtree holds token
+    // (mirrors tables.write_token's precomputed paths)
+    int i = 0;
+    while (true) {
+        int b = 1;
+        int n0 = tree[i];
+        if (n0 <= 0 ? -n0 == token : tree_contains(tree, n0, token)) b = 0;
+        pb(e, b, probs[i >> 1]);
+        int node = tree[i + b];
+        if (node <= 0) return;
+        i = node;
+    }
+}
+
+struct MvCounts {
+    int64_t* joints;     // (4,)
+    int64_t* sign;       // (2,2)
+    int64_t* classes;    // (2,11)
+    int64_t* class0;     // (2,2)
+    int64_t* bits;       // (2,10,2)
+    int64_t* class0_fp;  // (2,2,4)
+    int64_t* fp;         // (2,4)
+};
+
+struct NmvProbs {
+    const uint8_t* joints;  // (3,)
+    // per component: sign(1) classes(10) class0(1) bits(10)
+    // class0_fp(2*3) fp(3) class0_hp(1) hp(1)
+    const uint8_t* comp[2];
+};
+
+static void write_mv_component(BoolEnc* e, int comp_v, const uint8_t* c,
+                               MvCounts* mc, int ci) {
+    const uint8_t* sign_p = c;
+    const uint8_t* classes_p = c + 1;
+    const uint8_t* class0_p = c + 11;
+    const uint8_t* bits_p = c + 12;
+    const uint8_t* class0_fp_p = c + 22;  // 2*3
+    const uint8_t* fp_p = c + 28;
+    int sign = comp_v < 0 ? 1 : 0;
+    int mag = sign ? -comp_v : comp_v;
+    int z = mag - 1;
+    int cls = 0;
+    if (z >= 2 * 4096) {
+        cls = 10;
+    } else {
+        int n = z >> 3;  // bit_length(n) - 1, 0 for n == 0
+        while ((n >> (cls + 1)) != 0) ++cls;
+    }
+    int base = cls == 0 ? 0 : (2 << (cls + 2));
+    int offset = z - base;
+    int d = offset >> 3;
+    int fr = (offset >> 1) & 3;
+    pb(e, sign, sign_p[0]);
+    write_tree(e, MV_CLASS_TREE, classes_p, cls);
+    if (cls == 0) {
+        pb(e, d, class0_p[0]);
+    } else {
+        int n = cls;
+        for (int i = 0; i < n; ++i) pb(e, (d >> i) & 1, bits_p[i]);
+    }
+    const uint8_t* fp_probs = cls == 0 ? class0_fp_p + d * 3 : fp_p;
+    write_tree(e, MV_FP_TREE, fp_probs, fr);
+    // no hp bit (allow_hp off)
+    if (mc) {
+        mc->sign[ci * 2 + sign] += 1;
+        mc->classes[ci * 11 + cls] += 1;
+        if (cls == 0) {
+            mc->class0[ci * 2 + d] += 1;
+            mc->class0_fp[(ci * 2 + d) * 4 + fr] += 1;
+        } else {
+            for (int b = 0; b < cls; ++b)
+                mc->bits[(ci * 10 + b) * 2 + ((d >> b) & 1)] += 1;
+            mc->fp[ci * 4 + fr] += 1;
+        }
+    }
+}
+
+static void write_mv(BoolEnc* e, int mvr, int mvc, int refr, int refc,
+                     const NmvProbs& nm, MvCounts* mc) {
+    int dr = mvr - refr, dc = mvc - refc;
+    int joint = (dc ? 1 : 0) | (dr ? 2 : 0);
+    write_tree(e, MV_JOINT_TREE, nm.joints, joint);
+    if (mc) mc->joints[joint] += 1;
+    if (dr) write_mv_component(e, dr, nm.comp[0], mc, 0);
+    if (dc) write_mv_component(e, dc, nm.comp[1], mc, 1);
+}
+
+// PARTITION_CTX_LOOKUP for the subsizes this path writes
+static inline int part_ctx_mask(int bsize_px) {
+    switch (bsize_px) {
+        case 64: return 0;
+        case 32: return 8;
+        case 16: return 12;
+        default: return 14;  // 8
+    }
+}
+static inline int mi_width_log2(int bsize_px) {
+    switch (bsize_px) {
+        case 64: return 3;
+        case 32: return 2;
+        case 16: return 1;
+        default: return 0;
+    }
+}
+
+struct Ser {
+    BoolEnc* e;
+    MiGrid g;
+    uint8_t* f_skip;
+    int tile_start, tile_end;
+    // probs
+    const uint8_t* partition_probs;   // (16,3)
+    const uint8_t* skip_probs;        // (3,)
+    const uint8_t* intra_inter_probs; // (4,)
+    const uint8_t* single_ref_probs;  // (5,2)
+    const uint8_t* inter_mode_probs;  // (7,3)
+    NmvProbs nmv;
+    const uint8_t* coef_probs_y;      // (6,6,11) for y tx
+    const uint8_t* coef_probs_uv;
+    // counts (nullable)
+    int64_t* cnt_partition;   // (16,4)
+    int64_t* cnt_skip;        // (3,2)
+    int64_t* cnt_intra_inter; // (4,2)
+    int64_t* cnt_single_ref;  // (5,2,2)
+    int64_t* cnt_inter_mode;  // (7,4)
+    MvCounts mv_counts;
+    bool have_mv_counts;
+    int64_t* cnt_coef_y;      // (6,6,12)
+    int64_t* cnt_eob_y;       // (6,6)
+    int64_t* cnt_coef_uv;
+    int64_t* cnt_eob_uv;
+    // partition ctx bitmasks
+    std::vector<int32_t> pabove, pleft;
+    // plane token contexts (per 4px)
+    std::vector<int8_t> tok_above[3], tok_left[3];
+    // prev-frame mvs
+    const int8_t* prev_ref0;
+    const int8_t* prev_ref1;
+    const int32_t* prev_mv0;
+    const int32_t* prev_mv1;
+};
+
+static inline int part_ctx(Ser& s, int mi_row, int mi_col, int bsize_px) {
+    int bsl = mi_width_log2(bsize_px);
+    int a = (s.pabove[mi_col] >> bsl) & 1;
+    int l = (s.pleft[mi_row] >> bsl) & 1;
+    return (l * 2 + a) + bsl * 4;
+}
+
+static void part_update(Ser& s, int mi_row, int mi_col, int sub_px,
+                        int bsize_px) {
+    int bw = 1 << mi_width_log2(bsize_px);
+    int m = part_ctx_mask(sub_px);
+    for (int i = 0; i < bw; ++i) {
+        s.pabove[mi_col + i] = m;
+        s.pleft[mi_row + i] = m;
+    }
+}
+
+static void write_partition(Ser& s, int mi_row, int mi_col, int bsize_px,
+                            int part, bool has_rows, bool has_cols) {
+    int ctx = part_ctx(s, mi_row, mi_col, bsize_px);
+    const uint8_t* p = s.partition_probs + ctx * 3;
+    if (has_rows && has_cols) {
+        write_tree(s.e, PARTITION_TREE, p, part);
+    } else if (has_cols) {
+        pb(s.e, part == 3 ? 1 : 0, p[1]);
+    } else if (has_rows) {
+        pb(s.e, part == 3 ? 1 : 0, p[2]);
+    }
+    if (s.cnt_partition) s.cnt_partition[ctx * 4 + part] += 1;
+}
+
+static inline int skip_ctx_of(Ser& s, int mi_row, int mi_col) {
+    int c = 0;
+    if (mi_row > 0) c += s.f_skip[(int64_t)(mi_row - 1) * s.g.mi_cols + mi_col];
+    if (mi_col > s.tile_start)
+        c += s.f_skip[(int64_t)mi_row * s.g.mi_cols + mi_col - 1];
+    return c;
+}
+
+static inline int intra_inter_ctx_of(Ser& s, int mi_row, int mi_col) {
+    bool ha = mi_row > 0, hl = mi_col > s.tile_start;
+    const MiGrid& g = s.g;
+    if (ha && hl) {
+        bool ai = !g.inter[(int64_t)(mi_row - 1) * g.mi_cols + mi_col];
+        bool li = !g.inter[(int64_t)mi_row * g.mi_cols + mi_col - 1];
+        return (ai && li) ? 3 : (int)(ai || li);
+    }
+    if (ha || hl) {
+        int64_t cell = ha ? (int64_t)(mi_row - 1) * g.mi_cols + mi_col
+                          : (int64_t)mi_row * g.mi_cols + mi_col - 1;
+        return 2 * (int)(!g.inter[cell]);
+    }
+    return 0;
+}
+
+// single_ref_p1/p2 contexts (vp9_pred_common.c:158/224), no-compound grid
+struct NInfo { bool present, is_inter; int ref0, ref1; };
+
+static NInfo ninfo(Ser& s, int mi_row, int mi_col, bool above) {
+    NInfo n{false, false, 0, -1};
+    int r = above ? mi_row - 1 : mi_row;
+    int c = above ? mi_col : mi_col - 1;
+    if (r < 0 || (!above && c < s.tile_start)) return n;
+    int64_t cell = (int64_t)r * s.g.mi_cols + c;
+    n.present = true;
+    n.is_inter = s.g.inter[cell];
+    n.ref0 = s.g.ref0[cell];
+    n.ref1 = s.g.ref1[cell];
+    return n;
+}
+
+static inline bool has2(const NInfo& n) { return n.is_inter && n.ref1 > 0; }
+
+static int single_ref_p1_ctx_of(Ser& s, int mi_row, int mi_col) {
+    const int LAST = 1;
+    NInfo a = ninfo(s, mi_row, mi_col, true);
+    NInfo l = ninfo(s, mi_row, mi_col, false);
+    if (a.present && l.present) {
+        bool ai = !a.is_inter, li = !l.is_inter;
+        if (ai && li) return 2;
+        if (ai || li) {
+            const NInfo& edge = ai ? l : a;
+            if (!has2(edge)) return 4 * (edge.ref0 == LAST);
+            return 1 + (edge.ref0 == LAST || edge.ref1 == LAST);
+        }
+        bool a2 = has2(a), l2 = has2(l);
+        if (a2 && l2)
+            return 1 + (a.ref0 == LAST || a.ref1 == LAST ||
+                        l.ref0 == LAST || l.ref1 == LAST);
+        if (a2 || l2) {
+            int rfs = !a2 ? a.ref0 : l.ref0;
+            int crf1 = a2 ? a.ref0 : l.ref0;
+            int crf2 = a2 ? a.ref1 : l.ref1;
+            if (rfs == LAST) return 3 + (crf1 == LAST || crf2 == LAST);
+            return (int)(crf1 == LAST || crf2 == LAST);
+        }
+        return 2 * (a.ref0 == LAST) + 2 * (l.ref0 == LAST);
+    }
+    if (a.present || l.present) {
+        const NInfo& edge = a.present ? a : l;
+        if (!edge.is_inter) return 2;
+        if (!has2(edge)) return 4 * (edge.ref0 == LAST);
+        return 1 + (edge.ref0 == LAST || edge.ref1 == LAST);
+    }
+    return 2;
+}
+
+static int single_ref_p2_ctx_of(Ser& s, int mi_row, int mi_col) {
+    const int LAST = 1, GOLDEN = 2, ALT = 3;
+    NInfo a = ninfo(s, mi_row, mi_col, true);
+    NInfo l = ninfo(s, mi_row, mi_col, false);
+    if (a.present && l.present) {
+        bool ai = !a.is_inter, li = !l.is_inter;
+        if (ai && li) return 2;
+        if (ai || li) {
+            const NInfo& edge = ai ? l : a;
+            if (!has2(edge)) {
+                if (edge.ref0 == LAST) return 3;
+                return 4 * (edge.ref0 == GOLDEN);
+            }
+            return 1 + 2 * (edge.ref0 == GOLDEN || edge.ref1 == GOLDEN);
+        }
+        bool a2 = has2(a), l2 = has2(l);
+        if (a2 && l2) {
+            if (a.ref0 == l.ref0 && a.ref1 == l.ref1)
+                return 3 * (a.ref0 == GOLDEN || a.ref1 == GOLDEN ||
+                            l.ref0 == GOLDEN || l.ref1 == GOLDEN);
+            return 2;
+        }
+        if (a2 || l2) {
+            int rfs = !a2 ? a.ref0 : l.ref0;
+            int crf1 = a2 ? a.ref0 : l.ref0;
+            int crf2 = a2 ? a.ref1 : l.ref1;
+            if (rfs == GOLDEN) return 3 + (crf1 == GOLDEN || crf2 == GOLDEN);
+            if (rfs == ALT) return (int)(crf1 == GOLDEN || crf2 == GOLDEN);
+            return 1 + 2 * (crf1 == GOLDEN || crf2 == GOLDEN);
+        }
+        if (a.ref0 == LAST && l.ref0 == LAST) return 3;
+        if (a.ref0 == LAST || l.ref0 == LAST) {
+            int edge0 = a.ref0 == LAST ? l.ref0 : a.ref0;
+            return 4 * (edge0 == GOLDEN);
+        }
+        return 2 * (a.ref0 == GOLDEN) + 2 * (l.ref0 == GOLDEN);
+    }
+    if (a.present || l.present) {
+        const NInfo& edge = a.present ? a : l;
+        if (!edge.is_inter || (edge.ref0 == LAST && !has2(edge))) return 2;
+        if (!has2(edge)) return 4 * (edge.ref0 == GOLDEN);
+        return 3 * (edge.ref0 == GOLDEN || edge.ref1 == GOLDEN);
+    }
+    return 2;
+}
+
+// plane token context helpers
+static inline int tok_get_ctx(Ser& s, int plane, int x4, int y4, int txs) {
+    int n4 = 1 << txs;
+    int a = 0, l = 0;
+    for (int i = 0; i < n4; ++i) {
+        a |= s.tok_above[plane][x4 + i];
+        l |= s.tok_left[plane][y4 + i];
+    }
+    return a + l;
+}
+
+static inline void tok_set_ctx(Ser& s, int plane, int x4, int y4, int txs,
+                               bool has_eob, int max_x4, int max_y4) {
+    int n4 = 1 << txs;
+    int va = has_eob ? std::min(n4, std::max(0, max_x4 - x4)) : 0;
+    int vl = has_eob ? std::min(n4, std::max(0, max_y4 - y4)) : 0;
+    for (int i = 0; i < n4; ++i) {
+        s.tok_above[plane][x4 + i] = i < va ? 1 : 0;
+        s.tok_left[plane][y4 + i] = i < vl ? 1 : 0;
+    }
+}
+
+}  // namespace rtser
+
+extern "C" {
+
+// Serialize one RT P-frame tile natively; returns tile size (bytes
+// written into out, capacity out_cap) or -1 on overflow.
+//
+// Zones (device outputs, raster order within each zone):
+//   m32: B32 = rows32*cols32 blocks; when split32 != NULL, blocks with
+//        split32[b] == 1 are replaced by their four m16f children
+//        (full 16-grid raster, B16 = rows32*2 * cols32*2).
+//   strip: when strip16 != 0, one extra row of 16-blocks (cols16).
+// Per-zone arrays: mv (B,2 int32 q3), ref (B int8: 1=LAST 2=GOLDEN),
+// skip (B u8), lv_y/lv_u/lv_v (int16 blocks), eob_* unused (recomputed
+// by the coeff writer).
+// fc probs/counters as documented in rtser::Ser.
+// Grid field arrays are OUTPUTS (caller allocates zeroed); they carry
+// the motion field for the next frame's temporal candidates.
+// out_modes: per-leaf (decode order) [mode, mode_ctx, nearest_r,
+// nearest_c] int32 rows for the host (n_leaves_cap rows).
+int64_t rt_serialize(
+    int mi_rows, int mi_cols, int rows32, int cols32, int strip16,
+    const int32_t* split32,
+    // m32 zone
+    const int32_t* mv32, const int8_t* ref32, const uint8_t* skip32,
+    const int16_t* lv32_y, const int16_t* lv32_u, const int16_t* lv32_v,
+    // m16f zone (nullable)
+    const int32_t* mv16, const int8_t* ref16, const uint8_t* skip16,
+    const int16_t* lv16_y, const int16_t* lv16_u, const int16_t* lv16_v,
+    // strip zone (nullable)
+    const int32_t* mvs16, const int8_t* refs16, const uint8_t* skips16,
+    const int16_t* lvs_y, const int16_t* lvs_u, const int16_t* lvs_v,
+    // prev-frame motion field (nullable)
+    const int8_t* prev_ref0, const int8_t* prev_ref1,
+    const int32_t* prev_mv0, const int32_t* prev_mv1,
+    // probabilities
+    const uint8_t* partition_probs, const uint8_t* skip_probs,
+    const uint8_t* intra_inter_probs, const uint8_t* single_ref_probs,
+    const uint8_t* inter_mode_probs, const uint8_t* nmv_joints,
+    const uint8_t* nmv_comp0, const uint8_t* nmv_comp1,
+    const uint8_t* coef_y32, const uint8_t* coef_uv16,
+    const uint8_t* coef_y16, const uint8_t* coef_uv8,
+    // counts (all nullable as a group: pass counts_on = 0)
+    int counts_on,
+    int64_t* cnt_partition, int64_t* cnt_skip, int64_t* cnt_intra_inter,
+    int64_t* cnt_single_ref, int64_t* cnt_inter_mode,
+    int64_t* mvc_joints, int64_t* mvc_sign, int64_t* mvc_classes,
+    int64_t* mvc_class0, int64_t* mvc_bits, int64_t* mvc_class0_fp,
+    int64_t* mvc_fp,
+    int64_t* cnt_coef_y32, int64_t* cnt_eob_y32,
+    int64_t* cnt_coef_uv16, int64_t* cnt_eob_uv16,
+    int64_t* cnt_coef_y16, int64_t* cnt_eob_y16,
+    int64_t* cnt_coef_uv8, int64_t* cnt_eob_uv8,
+    // grid outputs
+    uint8_t* f_inter, int8_t* f_ref0, int8_t* f_ref1, int8_t* f_mode,
+    int32_t* f_mv0, int32_t* f_mv1, uint8_t* f_skip,
+    int32_t* out_modes,
+    uint8_t* out, int64_t out_cap) {
+    using namespace rtser;
+    BoolEnc enc;
+    const char* tr = getenv("TPU_VP9_RTSER_TRACE");
+    rtser::g_trace = tr ? fopen(tr, "w") : nullptr;
+    rtser::pb(&enc, 0, 128);  // boolenc_start clear bit
+    Ser s;
+    s.e = &enc;
+    s.g = {mi_rows, mi_cols, f_inter, f_ref0, f_ref1, f_mode, f_mv0, f_mv1};
+    s.f_skip = f_skip;
+    s.tile_start = 0;
+    s.tile_end = mi_cols;
+    s.partition_probs = partition_probs;
+    s.skip_probs = skip_probs;
+    s.intra_inter_probs = intra_inter_probs;
+    s.single_ref_probs = single_ref_probs;
+    s.inter_mode_probs = inter_mode_probs;
+    s.nmv.joints = nmv_joints;
+    s.nmv.comp[0] = nmv_comp0;
+    s.nmv.comp[1] = nmv_comp1;
+    s.cnt_partition = counts_on ? cnt_partition : nullptr;
+    s.cnt_skip = counts_on ? cnt_skip : nullptr;
+    s.cnt_intra_inter = counts_on ? cnt_intra_inter : nullptr;
+    s.cnt_single_ref = counts_on ? cnt_single_ref : nullptr;
+    s.cnt_inter_mode = counts_on ? cnt_inter_mode : nullptr;
+    s.have_mv_counts = counts_on != 0;
+    s.mv_counts = {mvc_joints, mvc_sign, mvc_classes, mvc_class0,
+                   mvc_bits, mvc_class0_fp, mvc_fp};
+    s.prev_ref0 = prev_ref0;
+    s.prev_ref1 = prev_ref1;
+    s.prev_mv0 = prev_mv0;
+    s.prev_mv1 = prev_mv1;
+    s.pabove.assign(mi_cols + 8, 0);
+    s.pleft.assign(mi_rows + 8, 0);
+    for (int p = 0; p < 3; ++p) {
+        int ssx = p == 0 ? 0 : 1;
+        s.tok_above[p].assign(((mi_cols * 2) >> ssx) + 16, 0);
+        s.tok_left[p].assign(((mi_rows * 2) >> ssx) + 16, 0);
+    }
+    // a fastloop::Ctx view for find_mv_refs
+    static const int32_t SIGN_BIAS0[4] = {0, 0, 0, 0};
+    fastloop::Ctx fctx;
+    fctx.g = s.g;
+    fctx.tile_mi_start = 0;
+    fctx.tile_mi_end = mi_cols;
+    fctx.sign_bias = SIGN_BIAS0;
+    fctx.prev_ref0 = prev_ref0;
+    fctx.prev_ref1 = prev_ref1;
+    fctx.prev_mv0 = prev_mv0;
+    fctx.prev_mv1 = prev_mv1;
+
+    int32_t lvbuf[1024];
+    int leaf_i = 0;
+
+    auto write_leaf = [&](int mi_row, int mi_col, int bsize_px, int zone,
+                          int bi) {
+        // zone arrays
+        const int32_t* mv = zone == 0 ? mv32 : zone == 1 ? mv16 : mvs16;
+        const int8_t* rf = zone == 0 ? ref32 : zone == 1 ? ref16 : refs16;
+        const uint8_t* sk = zone == 0 ? skip32 : zone == 1 ? skip16
+                                               : skips16;
+        const int16_t* ly = zone == 0 ? lv32_y : zone == 1 ? lv16_y : lvs_y;
+        const int16_t* lu = zone == 0 ? lv32_u : zone == 1 ? lv16_u : lvs_u;
+        const int16_t* lv = zone == 0 ? lv32_v : zone == 1 ? lv16_v : lvs_v;
+        const int n = bsize_px;          // luma block px
+        const int nc = n >> 1;
+        const int mvr = mv[bi * 2], mvc = mv[bi * 2 + 1];
+        const int ref_id = rf ? rf[bi] : 1;
+        const bool skip = sk[bi] != 0;
+        // classification: normative mv-ref scan against final neighbors
+        const int bsize_enum = n == 32 ? 9 : 6;  // BLOCK_32X32 / 16X16
+        MvRefs refs_out;
+        find_mv_refs(fctx, mi_row, mi_col, bsize_enum, ref_id, &refs_out);
+        int nearest[2], nearv[2];
+        best_ref_mvs(refs_out, mi_row, mi_col, bsize_enum, mi_rows, mi_cols,
+                     nearest, nearv);
+        int mode;
+        if (mvr == nearest[0] && mvc == nearest[1]) mode = 0;
+        else if (mvr == nearv[0] && mvc == nearv[1]) mode = 1;
+        else if (mvr == 0 && mvc == 0) mode = 2;
+        else mode = 3;
+        // ---- syntax ----
+        int sctx = skip_ctx_of(s, mi_row, mi_col);
+        rtser::pb(&enc, skip ? 1 : 0, s.skip_probs[sctx]);
+        if (s.cnt_skip) s.cnt_skip[sctx * 2 + (skip ? 1 : 0)] += 1;
+        int iictx = intra_inter_ctx_of(s, mi_row, mi_col);
+        rtser::pb(&enc, 1, s.intra_inter_probs[iictx]);
+        if (s.cnt_intra_inter) s.cnt_intra_inter[iictx * 2 + 1] += 1;
+        // single-ref selection
+        int rctx = single_ref_p1_ctx_of(s, mi_row, mi_col);
+        int not_last = ref_id != 1;
+        rtser::pb(&enc, not_last, s.single_ref_probs[rctx * 2 + 0]);
+        if (s.cnt_single_ref)
+            s.cnt_single_ref[(rctx * 2 + 0) * 2 + not_last] += 1;
+        if (not_last) {
+            int rctx2 = single_ref_p2_ctx_of(s, mi_row, mi_col);
+            rtser::pb(&enc, 0, s.single_ref_probs[rctx2 * 2 + 1]);  // GOLDEN
+            if (s.cnt_single_ref)
+                s.cnt_single_ref[(rctx2 * 2 + 1) * 2 + 0] += 1;
+        }
+        write_tree(&enc, INTER_MODE_TREE,
+                   s.inter_mode_probs + refs_out.mode_ctx * 3, mode);
+        if (s.cnt_inter_mode)
+            s.cnt_inter_mode[refs_out.mode_ctx * 4 + mode] += 1;
+        if (mode == 3)
+            write_mv(&enc, mvr, mvc, nearest[0], nearest[1], s.nmv,
+                     s.have_mv_counts ? &s.mv_counts : nullptr);
+        // ---- grid update (before tokens is fine: token ctx is separate)
+        const int bw_mi = n / 8, bh_mi = n / 8;
+        const int r1 = std::min(mi_row + bh_mi, mi_rows);
+        const int c1 = std::min(mi_col + bw_mi, mi_cols);
+        for (int rr = mi_row; rr < r1; ++rr)
+            for (int cc = mi_col; cc < c1; ++cc) {
+                int64_t cell = (int64_t)rr * mi_cols + cc;
+                f_inter[cell] = 1;
+                f_ref0[cell] = (int8_t)ref_id;
+                f_ref1[cell] = -1;
+                f_mode[cell] = (int8_t)(10 + mode);
+                f_mv0[cell * 2] = mvr;
+                f_mv0[cell * 2 + 1] = mvc;
+                f_mv1[cell * 2] = 0;
+                f_mv1[cell * 2 + 1] = 0;
+                f_skip[cell] = skip ? 1 : 0;
+            }
+        if (out_modes) {
+            int32_t* om = out_modes + (int64_t)leaf_i * 4;
+            om[0] = mode;
+            om[1] = refs_out.mode_ctx;
+            om[2] = nearest[0];
+            om[3] = nearest[1];
+        }
+        leaf_i += 1;
+        // ---- tokens ----
+        const int y_txs = n == 32 ? 3 : 2;   // TX_32X32 / TX_16X16
+        const int uv_txs = y_txs - 1;
+        const int w4 = n / 4, h4 = n / 4;
+        const int w4c = nc / 4, h4c = nc / 4;
+        if (skip) {
+            for (int p = 0; p < 3; ++p) {
+                int ssx = p == 0 ? 0 : 1;
+                int bx4 = (mi_col * 2) >> ssx, by4 = (mi_row * 2) >> ssx;
+                int pw4 = p == 0 ? w4 : w4c, ph4 = p == 0 ? h4 : h4c;
+                for (int i = 0; i < pw4; ++i) s.tok_above[p][bx4 + i] = 0;
+                for (int i = 0; i < ph4; ++i) s.tok_left[p][by4 + i] = 0;
+            }
+            return;
+        }
+        const uint8_t* py_probs = n == 32 ? coef_y32 : coef_y16;
+        const uint8_t* puv_probs = n == 32 ? coef_uv16 : coef_uv8;
+        int64_t* ccy = n == 32 ? cnt_coef_y32 : cnt_coef_y16;
+        int64_t* cey = n == 32 ? cnt_eob_y32 : cnt_eob_y16;
+        int64_t* ccu = n == 32 ? cnt_coef_uv16 : cnt_coef_uv8;
+        int64_t* ceu = n == 32 ? cnt_eob_uv16 : cnt_eob_uv8;
+        // y block
+        {
+            int x4 = mi_col * 2, y4 = mi_row * 2;
+            int ctx0 = tok_get_ctx(s, 0, x4, y4, y_txs);
+            for (int i = 0; i < n * n; ++i)
+                lvbuf[i] = ly[(int64_t)bi * n * n + i];
+            if (rtser::g_trace) fprintf(rtser::g_trace, "COEF %d\n", y_txs);
+            int eob = boolenc_write_coeffs(
+                &enc, lvbuf, y_txs, 0, py_probs, ctx0,
+                counts_on ? ccy : nullptr, counts_on ? cey : nullptr);
+            tok_set_ctx(s, 0, x4, y4, y_txs, eob > 0, mi_cols * 2,
+                        mi_rows * 2);
+        }
+        for (int p = 1; p < 3; ++p) {
+            const int16_t* lp = p == 1 ? lu : lv;
+            int x4 = mi_col, y4 = mi_row;
+            int ctx0 = tok_get_ctx(s, p, x4, y4, uv_txs);
+            for (int i = 0; i < nc * nc; ++i)
+                lvbuf[i] = lp[(int64_t)bi * nc * nc + i];
+            if (rtser::g_trace) fprintf(rtser::g_trace, "COEF %d\n", uv_txs);
+            int eob = boolenc_write_coeffs(
+                &enc, lvbuf, uv_txs, 0, puv_probs, ctx0,
+                counts_on ? ccu : nullptr, counts_on ? ceu : nullptr);
+            tok_set_ctx(s, p, x4, y4, uv_txs, eob > 0, mi_cols,
+                        mi_rows);
+        }
+    };
+
+    // walk: SB raster; 64 -> 32 (NONE or SPLIT by split32) -> 16
+    for (int sb_r = 0; sb_r < mi_rows; sb_r += 8) {
+        for (int sb_c = 0; sb_c < mi_cols; sb_c += 8) {
+            // node 64
+            bool hr64 = sb_r + 4 < mi_rows, hc64 = sb_c + 4 < mi_cols;
+            write_partition(s, sb_r, sb_c, 64, 3, hr64, hc64);
+            for (int dr = 0; dr < 8; dr += 4) {
+                for (int dc = 0; dc < 8; dc += 4) {
+                    int r = sb_r + dr, c = sb_c + dc;
+                    if (r >= mi_rows || c >= mi_cols) continue;
+                    bool hr = r + 2 < mi_rows, hc = c + 2 < mi_cols;
+                    if (hr && hc) {
+                        // 32-block (main zone or split into 16s)
+                        int b32 = (r / 4) * cols32 + (c / 4);
+                        int do_split = split32 ? split32[b32] : 0;
+                        write_partition(s, r, c, 32, do_split ? 3 : 0,
+                                        true, true);
+                        if (!do_split) {
+                            write_leaf(r, c, 32, 0, b32);
+                            part_update(s, r, c, 32, 32);
+                        } else {
+                            for (int i = 0; i < 2; ++i)
+                                for (int j = 0; j < 2; ++j) {
+                                    int rr = r + 2 * i, cc = c + 2 * j;
+                                    int b16 = (rr / 2) * (cols32 * 2)
+                                              + (cc / 2);
+                                    write_partition(s, rr, cc, 16, 0,
+                                                    true, true);
+                                    write_leaf(rr, cc, 16, 1, b16);
+                                    part_update(s, rr, cc, 16, 16);
+                                }
+                        }
+                    } else {
+                        // forced descent: the 16-strip row
+                        write_partition(s, r, c, 32, 3, hr, hc);
+                        for (int i = 0; i < 2; ++i)
+                            for (int j = 0; j < 2; ++j) {
+                                int rr = r + 2 * i, cc = c + 2 * j;
+                                if (rr >= mi_rows || cc >= mi_cols)
+                                    continue;
+                                bool hr16 = rr + 1 < mi_rows;
+                                bool hc16 = cc + 1 < mi_cols;
+                                write_partition(s, rr, cc, 16, 0, hr16,
+                                                hc16);
+                                int bi = cc / 2;  // strip: single row
+                                write_leaf(rr, cc, 16, 2, bi);
+                                part_update(s, rr, cc, 16, 16);
+                            }
+                    }
+                }
+            }
+        }
+    }
+    if (rtser::g_trace) { fclose(rtser::g_trace); rtser::g_trace = nullptr; }
+    return boolenc_finalize(&enc, out, out_cap);
 }
 
 }  // extern "C"

@@ -157,6 +157,19 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32)]
+    _P, _I = ctypes.c_void_p, ctypes.c_int
+    lib.rt_serialize.argtypes = (
+        [_I] * 5 + [_P]            # geometry + split32
+        + [_P] * 18                # three zones x 6 arrays
+        + [_P] * 4                 # prev-frame motion field
+        + [_P] * 12                # probability tables
+        + [_I]                     # counts_on
+        + [_P] * 12                # scalar + mv counts
+        + [_P] * 8                 # coef/eob counts
+        + [_P] * 7                 # grid field outputs
+        + [_P]                     # out_modes
+        + [_P, ctypes.c_int64])    # out, cap
+    lib.rt_serialize.restype = ctypes.c_int64
     lib.mc_predict_winners.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),          # ref_planes[9]
         ctypes.POINTER(ctypes.c_int64),           # strides[9]
@@ -650,3 +663,153 @@ def native_optimize_coeffs_batch(levels, coeffs, tx_size: int, tx_type: int,
         float(lam), int(q_dc), int(q_ac), int(q_shift),
         eobs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return levels, eobs
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
+                        counts_on: bool):
+    """Serialize one RT P-frame tile natively (classification fused).
+
+    geom: tpu_encdec.Geom.  m32/m16f/strip: per-zone dicts with keys
+    mv (B,2 int), ref (B int8 or None), skip (B bool/u8), lv_y/lv_u/lv_v
+    (int16 blocks); m16f/strip may be None.  prev_mvs: snapshot tuple or
+    None.  Returns (tile_bytes, counts_dict_or_None, grid_fields,
+    out_modes) where grid_fields = (f_inter, f_ref0, f_ref1, f_mode,
+    f_mv0, f_mv1, f_skip) and out_modes rows are (mode, mode_ctx,
+    nearest_r, nearest_c) in decode order.  None if unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rt_serialize"):
+        return None
+    from tpu_vp9.bitstream.tokenize import full_probs_for
+    from tpu_vp9.bitstream.tables import TxSize
+
+    g = geom
+    mi_rows, mi_cols = g.mi_rows, g.mi_cols
+
+    def zone_args(z, n):
+        if z is None:
+            return (None, None, None, None, None, None)
+        mv = np.ascontiguousarray(z["mv"], np.int32)
+        # device zones carry a 0/1 LAST/GOLDEN selector; the serializer
+        # wants RefFrame ids (1=LAST, 2=GOLDEN)
+        ref = (np.where(np.asarray(z["ref"]) != 0, 2, 1).astype(np.int8)
+               if z.get("ref") is not None else None)
+        skip = np.ascontiguousarray(z["skip"], np.uint8)
+        ly = np.ascontiguousarray(z["lv_y"], np.int16)
+        lu = np.ascontiguousarray(z["lv_u"], np.int16)
+        lv = np.ascontiguousarray(z["lv_v"], np.int16)
+        return (mv, ref, skip, ly, lu, lv)
+
+    a32 = zone_args(m32, 32)
+    a16 = zone_args(m16f, 16)
+    ast = zone_args(strip, 16)
+    split_arr = (np.ascontiguousarray(split32, np.int32)
+                 if split32 is not None else None)
+    if prev_mvs is not None:
+        p0 = np.ascontiguousarray(prev_mvs[0], np.int8)
+        p1 = np.ascontiguousarray(prev_mvs[1], np.int8)
+        pm0 = np.ascontiguousarray(prev_mvs[2], np.int32)
+        pm1 = np.ascontiguousarray(prev_mvs[3], np.int32)
+    else:
+        p0 = p1 = pm0 = pm1 = None
+
+    def comp_pack(c):
+        out = np.zeros(33, np.uint8)
+        out[0] = int(c.sign)
+        out[1:11] = np.asarray(c.classes, np.uint8)
+        out[11] = int(np.asarray(c.class0).reshape(-1)[0])
+        out[12:22] = np.asarray(c.bits, np.uint8)
+        out[22:28] = np.asarray(c.class0_fp, np.uint8).reshape(-1)
+        out[28:31] = np.asarray(c.fp, np.uint8)
+        out[31] = int(c.class0_hp)
+        out[32] = int(c.hp)
+        return out
+
+    part_p = np.ascontiguousarray(fc.partition_probs, np.uint8)
+    skip_p = np.ascontiguousarray(fc.skip_probs, np.uint8)
+    ii_p = np.ascontiguousarray(fc.intra_inter_probs, np.uint8)
+    sr_p = np.ascontiguousarray(fc.single_ref_probs, np.uint8)
+    im_p = np.ascontiguousarray(fc.inter_mode_probs, np.uint8)
+    nj_p = np.ascontiguousarray(fc.nmv.joints, np.uint8)
+    c0_p = comp_pack(fc.nmv.comps[0])
+    c1_p = comp_pack(fc.nmv.comps[1])
+    cy32 = np.ascontiguousarray(
+        full_probs_for(fc, TxSize.TX_32X32, False, True), np.uint8)
+    cuv16 = np.ascontiguousarray(
+        full_probs_for(fc, TxSize.TX_16X16, True, True), np.uint8)
+    cy16 = np.ascontiguousarray(
+        full_probs_for(fc, TxSize.TX_16X16, False, True), np.uint8)
+    cuv8 = np.ascontiguousarray(
+        full_probs_for(fc, TxSize.TX_8X8, True, True), np.uint8)
+
+    counts = None
+    if counts_on:
+        from tpu_vp9.codec.adapt import new_mode_counts
+        from tpu_vp9.codec.intra_frame import new_counts_sink
+
+        counts = {**new_counts_sink(), **new_mode_counts()}
+
+    def cnt(key):
+        return _i64p(counts[key]) if counts is not None else None
+
+    def coefc(ts, uv):
+        if counts is None:
+            return None, None
+        c = counts[("coef", ts)][1 if uv else 0, 1]
+        e = counts[("eob", ts)][1 if uv else 0, 1]
+        assert c.flags["C_CONTIGUOUS"] and e.flags["C_CONTIGUOUS"]
+        return _i64p(c), _i64p(e)
+
+    ccy32, cey32 = coefc(TxSize.TX_32X32, False)
+    ccuv16, ceuv16 = coefc(TxSize.TX_16X16, True)
+    ccy16, cey16 = coefc(TxSize.TX_16X16, False)
+    ccuv8, ceuv8 = coefc(TxSize.TX_8X8, True)
+
+    shape = (mi_rows, mi_cols)
+    f_inter = np.zeros(shape, np.uint8)
+    f_ref0 = np.zeros(shape, np.int8)
+    f_ref1 = np.full(shape, -1, np.int8)
+    f_mode = np.zeros(shape, np.int8)
+    f_mv0 = np.zeros(shape + (2,), np.int32)
+    f_mv1 = np.zeros(shape + (2,), np.int32)
+    f_skip = np.zeros(shape, np.uint8)
+    n_leaves_cap = g.rows32 * g.cols32 * 4 + (g.cols16 if g.strip else 0) + 64
+    out_modes = np.zeros((n_leaves_cap, 4), np.int32)
+    cap = max(1 << 16, g.width * g.height)
+    out = np.zeros(cap, np.uint8)
+
+    def p_or_none(a):
+        return a.ctypes.data if a is not None else None
+
+    n = lib.rt_serialize(
+        mi_rows, mi_cols, g.rows32, g.cols32, 1 if strip is not None else 0,
+        p_or_none(split_arr),
+        *(p_or_none(x) for x in a32),
+        *(p_or_none(x) for x in a16),
+        *(p_or_none(x) for x in ast),
+        p_or_none(p0), p_or_none(p1), p_or_none(pm0), p_or_none(pm1),
+        part_p.ctypes.data, skip_p.ctypes.data, ii_p.ctypes.data,
+        sr_p.ctypes.data, im_p.ctypes.data, nj_p.ctypes.data,
+        c0_p.ctypes.data, c1_p.ctypes.data,
+        cy32.ctypes.data, cuv16.ctypes.data, cy16.ctypes.data,
+        cuv8.ctypes.data,
+        1 if counts_on else 0,
+        cnt("partition"), cnt("skip"), cnt("intra_inter"),
+        cnt("single_ref"), cnt("inter_mode"),
+        cnt("mv_joints"), cnt("mv_sign"), cnt("mv_classes"),
+        cnt("mv_class0"), cnt("mv_bits"), cnt("mv_class0_fp"),
+        cnt("mv_fp"),
+        ccy32, cey32, ccuv16, ceuv16, ccy16, cey16, ccuv8, ceuv8,
+        f_inter.ctypes.data, f_ref0.ctypes.data, f_ref1.ctypes.data,
+        f_mode.ctypes.data, f_mv0.ctypes.data, f_mv1.ctypes.data,
+        f_skip.ctypes.data,
+        out_modes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n <= 0:
+        return None
+    fields = (f_inter, f_ref0, f_ref1, f_mode, f_mv0, f_mv1, f_skip)
+    return bytes(out[:n].tobytes()), counts, fields, out_modes

@@ -316,6 +316,93 @@ class RtSession:
                     final_fc=getattr(st, "fc_final", None))
         self._last_was_inter = not is_key
 
+    def _finish_native(self, frame, idx, hdr, host, qidx, prev_mvs):
+        """Whole-tile native serialization (rt_serialize: fused
+        classification + mode syntax + tokens + counts in C++) — the
+        host-side wall of the 1080p flagship path.  Returns an
+        EncodedFrame or None when the native library can't take this
+        configuration."""
+        import os
+
+        from tpu_vp9 import native as nat
+        from tpu_vp9.bitstream.prob_update import (
+            optimize_binary_probs, optimize_coef_probs,
+        )
+        from tpu_vp9.bitstream.tables import TxSize
+
+        if os.environ.get("TPU_VP9_NO_NATIVE_SER") == "1":
+            return None
+        lib = nat.get_lib()
+        if lib is None or not hasattr(lib, "rt_serialize"):
+            return None
+        g = self.g
+        m32 = dict(host["m32"])
+        m32.setdefault("ref", None)
+        m16f = None
+        split32 = host.get("split32")
+        if split32 is not None:
+            m16f = dict(host["m16f"])
+            m16f.setdefault("ref", None)
+        strip = None
+        if g.strip:
+            strip = dict(host["m16"])
+            strip.setdefault("ref", None)
+        fc0 = (T.default_frame_context() if self.er
+               else self._fc[0].copy())
+        r1 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
+                                     prev_mvs, fc0, counts_on=not self.er)
+        if r1 is None:
+            return None
+        tile1, counts, fields, _ = r1
+        if self.er:
+            tile, updates, fc_final = tile1, None, None
+        else:
+            coefc = {ts: counts[("coef", ts)] for ts in TxSize}
+            eobc = {ts: counts[("eob", ts)] for ts in TxSize}
+            new_coef, flags = optimize_coef_probs(fc0, coefc, eobc)
+            new_skip = optimize_binary_probs(
+                fc0.skip_probs, counts["skip"][:, 0], counts["skip"][:, 1])
+            fc1 = fc0.copy()
+            updates = {"coef": {}, "skip": (fc0.skip_probs.copy(),
+                                            new_skip)}
+            for ts in TxSize:
+                updates["coef"][ts] = (fc0.coef_probs[ts].copy(),
+                                       new_coef[ts], flags[ts])
+                fc1.coef_probs[ts] = new_coef[ts]
+            fc1.skip_probs = new_skip
+            r2 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
+                                         prev_mvs, fc1, counts_on=False)
+            if r2 is None:
+                return None
+            tile, _, fields, _ = r2
+            fc_final = fc1
+        payload = assemble_frame(hdr, tile, updates)
+        # light state: planes for recon consumers + the motion field for
+        # the next frame's temporal candidates (no per-block objects)
+        st = make_frame_state(frame, g.mi_rows, g.mi_cols)
+        mig = st.mig
+        (mig.f_inter[:], mig.f_ref0[:], mig.f_ref1[:], mig.f_mode[:],
+         mig.f_mv[:], mig.f_mv1[:], mig.f_skip[:]) = (
+            fields[0].astype(bool), fields[1], fields[2], fields[3],
+            fields[4], fields[5], fields[6].astype(bool))
+        st.counts = counts
+        st.fc_final = fc_final
+        if not self.er:
+            self._fc_update(st, hdr, False, fc0)
+            self._prev_snap = mig.snapshot_mvs()
+        else:
+            self._last_was_inter = True
+        if self.rc is not None:
+            self.rc.update(len(payload) * 8, False)
+        if self.want_recon:
+            mi_h, mi_w = g.h_mi, g.w_mi
+            for pidx in range(3):
+                ss = 0 if pidx == 0 else 1
+                st.planes[pidx].recon[: mi_h >> ss, : mi_w >> ss] = \
+                    host["rec"][pidx][: mi_h >> ss, : mi_w >> ss]
+        return EncodedFrame(payload=payload, is_keyframe=False,
+                            qindex=qidx, state=st, pts=idx)
+
     def _finish(self, frame, idx, hdr, outs, qidx):
         import functools
 
@@ -326,6 +413,9 @@ class RtSession:
         host = _device_out_to_host(outs, g, self.want_recon)
         prev_mvs = (self._prev_snap
                     if (not self.er and self._last_was_inter) else None)
+        ef = self._finish_native(frame, idx, hdr, host, qidx, prev_mvs)
+        if ef is not None:
+            return ef
         st, events = classify_and_fill_state(frame, g, host, qidx,
                                              prev_mvs=prev_mvs)
         if self.er:

@@ -266,8 +266,8 @@ def _extract_search_windows(ref_padded, n: int, rows: int, cols: int,
     return wins.transpose(0, 2, 1, 3).reshape(rows * cols, sw, sw)
 
 
-def _full_search_sse_mxu(src_blocks, wins, n: int):
-    """Exhaustive +-WIN_R full-pel SSE search, cross-term on the MXU.
+def _full_search_sse_mxu(src_blocks, wins, n: int, r: int = WIN_R):
+    """Exhaustive +-r full-pel SSE search, cross-term on the MXU.
 
     SSE(dy,dx) = sum(reg^2) - 2*corr(dy,dx) (+ sum(src^2), constant per
     block, dropped).  corr is a scanned batched matmul: for each dy,
@@ -275,10 +275,9 @@ def _full_search_sse_mxu(src_blocks, wins, n: int):
     exact: products <= 255^2, 32-term sums < 2^24), then the diagonal
     j-accumulation runs in int32.  SSE replaces SAD as the full-pel
     metric (libvpx itself refines subpel on variance/SSE).
-    Returns (dy, dx) int32 in [-WIN_R, WIN_R].
+    Returns (dy, dx) int32 in [-r, r].
     """
     b = src_blocks.shape[0]
-    r = WIN_R
     d = 2 * r + 1
     w = n + 2 * r
     area = wins[:, 4 : 4 + w, 4 : 4 + w].astype(jnp.int32)
@@ -308,7 +307,8 @@ def _full_search_sse_mxu(src_blocks, wins, n: int):
 _Q3_OFFS = np.arange(-6, 7, 2, dtype=np.int32)  # diamond reach, q3
 
 
-def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters):
+def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters,
+                       r: int = WIN_R):
     """Exhaustive quarter-pel refinement around the full-pel winner.
 
     Evaluates all 7x7 quarter-pel offsets in +-6/8 pel from 16
@@ -322,7 +322,7 @@ def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters):
     def slice_one(wn, y0, x0):
         return jax.lax.dynamic_slice(wn, (y0, x0), (ln, ln))
 
-    loc = jax.vmap(slice_one)(wins, dy + WIN_R, dx + WIN_R).astype(jnp.int32)
+    loc = jax.vmap(slice_one)(wins, dy + r, dx + r).astype(jnp.int32)
     f = np.asarray(filters, np.int32)  # (16, 8)
     phases = (0, 4, 8, 12)
     src_i = src_blocks.astype(jnp.int32)
@@ -370,6 +370,53 @@ def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters):
     mv_r = dy * 8 + best_oy
     mv_c = dx * 8 + best_ox
     return mv_r.astype(jnp.int32), mv_c.astype(jnp.int32)
+
+
+CHILD_R = 8  # 16-block refinement radius around the 32-parent's winner
+
+
+def _extract_child_windows(wins32, dy32, dx32, geom: Geom):
+    """16-child search windows sliced from the PARENT 32-blocks' static
+    windows — the reference's HME refinement shape (children refine the
+    parent's vector, EbMotionEstimation.c hme_level2) instead of a
+    second exhaustive gather+search at 4x the block count.
+
+    Returns (child_wins (B16, 16+2*CHILD_R+8, ...) in the full-16-grid
+    raster order, base_y (B16,), base_x (B16,)): base is the full-pel
+    displacement of each child window's search centre (the parent's
+    winner, clamped so the slice stays inside the parent window).
+    """
+    g = geom
+    r = CHILD_R
+    cw = 16 + 2 * r + 8
+    sw = wins32.shape[-1]
+
+    def one(parent_win, dy, dx):
+        subs = []
+        bys = []
+        bxs = []
+        for i in (0, 1):
+            for j in (0, 1):
+                y0 = jnp.clip(WIN_R + 4 + 16 * i + dy - r - 4, 0, sw - cw)
+                x0 = jnp.clip(WIN_R + 4 + 16 * j + dx - r - 4, 0, sw - cw)
+                subs.append(jax.lax.dynamic_slice(
+                    parent_win, (y0, x0), (cw, cw)))
+                # actual full-pel displacement of the slice centre
+                bys.append(y0 - (WIN_R + 16 * i) + r)
+                bxs.append(x0 - (WIN_R + 16 * j) + r)
+        return (jnp.stack(subs), jnp.stack(bys).astype(jnp.int32),
+                jnp.stack(bxs).astype(jnp.int32))
+
+    ch, by, bx = jax.vmap(one)(wins32, dy32, dx32)  # (B32, 4, ...)
+    r32, c32 = g.rows32, g.cols32
+
+    def to_raster(a):
+        lead = a.shape[2:]
+        return a.reshape(r32, c32, 2, 2, *lead) \
+                .transpose(0, 2, 1, 3, *range(4, 4 + len(lead))) \
+                .reshape(r32 * 2 * c32 * 2, *lead)
+
+    return to_raster(ch), to_raster(by), to_raster(bx)
 
 
 _DIRS = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1),
@@ -1009,7 +1056,8 @@ def _scatter_blocks(blocks, rows: int, cols: int, n: int):
 
 def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
                 geom: Geom, n: int, dc_q, ac_q, lam, filters,
-                full16: bool = False, gold=None, rates=None):
+                full16: bool = False, gold=None, rates=None,
+                return_me: bool = False, parent_me=None):
     """MD + recon for one uniform zone (block size n).
 
     prev_mv: (B, 2) int32 q3 from the previous frame (search centers).
@@ -1017,6 +1065,11 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     LAST-vs-GOLDEN selection (the long-term anchor of the reference's
     RPS; EbModeDecision.c candidate injection runs per ref list).
     rates: make_rate_tabs upload (entropy-table candidate costs).
+    return_me: include the ME intermediates (wins/dy/dx) in the output
+    for child-zone refinement.  parent_me: (wins32, dy32, dx32) — the
+    full16 zone then refines +-CHILD_R around each 32-parent's winner
+    from slices of the parent windows instead of running its own
+    exhaustive search (the HME-refinement shape; ~10x cheaper).
     Returns dict with mv (B,2 int16), ref (B, int8: 0=LAST 1=GOLDEN),
     skip, eobs, levels, recon planes, per-block dist/rate, stats."""
     g = geom
@@ -1025,12 +1078,27 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     y0 = 0 if (n == 32 or full16) else g.strip_y
     src_blocks = _extract_blocks(src_y, y0, rows, cols, n)
 
-    # --- exhaustive +-WIN_R full-pel SSE search (MXU) + exhaustive
-    # quarter-pel, both from one statically-gathered window per block ---
-    wins = _extract_search_windows(ref_y, n, rows, cols, y0,
-                                   np.arange(cols, dtype=np.int64) * n)
-    dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
-    mv_r, mv_c = _subpel_exhaustive(wins, src_blocks, dy, dx, n, filters)
+    # --- exhaustive full-pel SSE search (MXU) + exhaustive quarter-pel,
+    # from one statically-gathered window per block (or, for the full16
+    # child zone, from slices of the parent windows) ---
+    me_out = {}
+    if parent_me is not None:
+        assert full16 and n == 16
+        wins, base_y, base_x = _extract_child_windows(
+            parent_me[0], parent_me[1], parent_me[2], g)
+        ddy, ddx = _full_search_sse_mxu(src_blocks, wins, n, r=CHILD_R)
+        rel_r, rel_c = _subpel_exhaustive(wins, src_blocks, ddy, ddx, n,
+                                          filters, r=CHILD_R)
+        mv_r = base_y * 8 + rel_r
+        mv_c = base_x * 8 + rel_c
+    else:
+        wins = _extract_search_windows(ref_y, n, rows, cols, y0,
+                                       np.arange(cols, dtype=np.int64) * n)
+        dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
+        mv_r, mv_c = _subpel_exhaustive(wins, src_blocks, dy, dx, n,
+                                        filters)
+        if return_me:
+            me_out = {"wins": wins, "dy": dy, "dx": dx}
     # --- candidate decision (fast-loop cost, EbEncDecProcess.c:180;
     # candidate injection EbModeDecision.c:185-457): ZERO, NEW, the
     # temporal (prev-frame) MV, and the left/above blocks' NEW MVs.
@@ -1122,6 +1190,7 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         "dist_b": dist_b, "rate_b": rate_b,
         "dist": dist_b.sum(), "rate": rate_b.sum(),
         "sad_zero": sad_zero,
+        **me_out,
     }
 
 
@@ -1153,7 +1222,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     g = geom
     out32 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                         prev_mv32, g, 32, dc_q, ac_q, lam, filters,
-                        gold=gold, rates=rates)
+                        gold=gold, rates=rates, return_me=split16)
     outs = {"m32": out32}
     rec_y = out32["rec_y"]
     rec_u = out32["rec_u"]
@@ -1162,9 +1231,11 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     if split16:
         if g.strip:
             raise ValueError("split16 requires a strip-free geometry")
+        parent_me = (out32.pop("wins"), out32.pop("dy"), out32.pop("dx"))
         out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                             prev_mv16, g, 16, dc_q, ac_q, lam, filters,
-                            full16=True, gold=gold, rates=rates)
+                            full16=True, gold=gold, rates=rates,
+                            parent_me=parent_me)
         outs["m16f"] = out16
         r32, c32 = g.rows32, g.cols32
         d16 = out16["dist_b"].reshape(r32, 2, c32, 2).sum(axis=(1, 3))
@@ -1348,46 +1419,54 @@ def kframe_step(src_y, src_u, src_v, geom: Geom, dc_q, ac_q, lam,
         pred = jnp.take_along_axis(
             preds, modes[:, None, None, None], axis=1)[:, 0]
         lv, eob, rec_blk = transform_recon(src_blk, pred, dc_q, ac_q, bn)
-        # scatter recon (invalid lanes get OOB rows -> dropped)
-        rset = jnp.where(valid, py, rec.shape[0])
-        rows2 = rset[:, None, None] + jnp.arange(bn)[None, :, None]
-        cols2 = pxc[:, None, None] + jnp.arange(bn)[None, None, :]
-        rec = rec.at[rows2, cols2].set(rec_blk, mode="drop")
+
+        # recon writeback per lane: dynamic_update_slice (TPU-fast)
+        # instead of an advanced-index scatter; invalid lanes rewrite
+        # their own (clamped) source slice unchanged
+        def wb(k, rc):
+            blk = jnp.where(valid[k], rec_blk[k],
+                            jax.lax.dynamic_slice(rc, (pyc[k], pxc[k]),
+                                                  (bn, bn)))
+            return jax.lax.dynamic_update_slice(rc, blk, (pyc[k], pxc[k]))
+
+        rec = jax.lax.fori_loop(0, W, wb, rec)
         return modes, lv, eob, rec
 
     def body(carry, d):
-        rec_y, rec_u, rec_v, lv_y, eob_y, lv_u, eob_u, lv_v, eob_v, \
-            modes_all = carry
+        rec_y, rec_u, rec_v = carry
         r0 = jnp.maximum(0, d - (cols - 1))
         i = jnp.arange(w_lanes)
         r = r0 + i
         c = d - r
         valid = (r < rows) & (c >= 0) & (c < cols)
-        bi = jnp.where(valid, r * cols + c, b)
         modes, ly, ey, rec_y = wave_plane(rec_y, src_y, r, c, valid, None,
                                           32, 0, g.height)
         _, lu, eu, rec_u = wave_plane(rec_u, src_u, r, c, valid, modes,
                                       16, 1, (g.height + 1) >> 1)
         _, lv2, ev, rec_v = wave_plane(rec_v, src_v, r, c, valid, modes,
                                        16, 1, (g.height + 1) >> 1)
-        lv_y = lv_y.at[bi].set(ly, mode="drop")
-        eob_y = eob_y.at[bi].set(ey, mode="drop")
-        lv_u = lv_u.at[bi].set(lu, mode="drop")
-        eob_u = eob_u.at[bi].set(eu, mode="drop")
-        lv_v = lv_v.at[bi].set(lv2, mode="drop")
-        eob_v = eob_v.at[bi].set(ev, mode="drop")
-        modes_all = modes_all.at[bi].set(modes, mode="drop")
-        return (rec_y, rec_u, rec_v, lv_y, eob_y, lv_u, eob_u, lv_v,
-                eob_v, modes_all), None
+        # per-block results leave through the scan's stacked outputs
+        # (no scatters; a single static gather reorders at the end)
+        return (rec_y, rec_u, rec_v), (modes, ly, ey, lu, eu, lv2, ev)
 
-    init = (src_y * 0, src_u * 0, src_v * 0,
-            jnp.zeros((b, 32, 32), jnp.int16), jnp.zeros(b, jnp.int32),
-            jnp.zeros((b, 16, 16), jnp.int16), jnp.zeros(b, jnp.int32),
-            jnp.zeros((b, 16, 16), jnp.int16), jnp.zeros(b, jnp.int32),
-            jnp.zeros(b, jnp.int32))
-    (rec_y, rec_u, rec_v, lv_y, eob_y, lv_u, eob_u, lv_v, eob_v,
-     modes_all), _ = jax.lax.scan(body, init,
-                                  jnp.arange(rows + cols - 1))
+    init = (src_y * 0, src_u * 0, src_v * 0)
+    (rec_y, rec_u, rec_v), ys = jax.lax.scan(
+        body, init, jnp.arange(rows + cols - 1))
+    # static (diagonal, lane) -> raster block index permutation
+    perm = np.empty(b, np.int64)
+    for blk_r in range(rows):
+        for blk_c in range(cols):
+            d = blk_r + blk_c
+            lane = blk_r - max(0, d - (cols - 1))
+            perm[blk_r * cols + blk_c] = d * w_lanes + lane
+    perm_j = jnp.asarray(perm)
+    modes_all = ys[0].reshape(-1)[perm_j]
+    lv_y = ys[1].reshape(-1, 32, 32)[perm_j]
+    eob_y = ys[2].reshape(-1)[perm_j]
+    lv_u = ys[3].reshape(-1, 16, 16)[perm_j]
+    eob_u = ys[4].reshape(-1)[perm_j]
+    lv_v = ys[5].reshape(-1, 16, 16)[perm_j]
+    eob_v = ys[6].reshape(-1)[perm_j]
     skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
     rec_y, rec_u, rec_v = loop_filter_device(rec_y, rec_u, rec_v, g,
                                              lf_lvl, lf_lim, lf_mblim)
