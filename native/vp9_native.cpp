@@ -234,6 +234,71 @@ int boolenc_write_coeffs(BoolEnc* e, const int32_t* levels2d, int tx_size,
     return eob;
 }
 
+// Scan-ordered variant: levels arrive already in scan order (a k-long
+// prefix; positions >= k are zero).  Used by the RT serializer so the
+// device only ships short int8 prefixes over the slow tunnel.
+int boolenc_write_coeffs_pre(BoolEnc* e, const int16_t* lv_scan, int k,
+                             int tx_size, int tx_type,
+                             const uint8_t* probs_full, int ctx0,
+                             int64_t* counts, int64_t* eob_counts) {
+    const TxTables& t = g_tx[tx_size][tx_type];
+    const int n2 = t.n2;
+    int eob = 0;
+    for (int i = (k < n2 ? k : n2) - 1; i >= 0; --i) {
+        if (lv_scan[i]) { eob = i + 1; break; }
+    }
+    int32_t cache[1024];
+    std::memset(cache, 0, sizeof(int32_t) * n2);
+    bool skip_eob = false;
+    for (int c = 0; c <= eob && c < n2; ++c) {
+        int pt = (c == 0)
+            ? ctx0
+            : (1 + cache[t.nbrs[2 * c]] + cache[t.nbrs[2 * c + 1]]) >> 1;
+        int b = t.band[c];
+        const uint8_t* p = probs_full + (b * 6 + pt) * 11;
+        bool is_eob = (c == eob);
+        if (!skip_eob) {
+            if (eob_counts) eob_counts[b * 6 + pt] += 1;
+            put_bit(e, is_eob ? 0 : 1, p[0]);
+        }
+        if (is_eob) {
+            if (counts && !skip_eob) counts[(b * 6 + pt) * 12 + 11] += 1;
+            break;
+        }
+        int level = c < k ? lv_scan[c] : 0;
+        int mag = level < 0 ? -level : level;
+        int tokv = token_from_mag(mag);
+        if (counts) counts[(b * 6 + pt) * 12 + tokv] += 1;
+        if (mag == 0) {
+            put_bit(e, 0, p[1]);
+            cache[t.scan[c]] = 0;
+            skip_eob = true;
+            continue;
+        }
+        put_bit(e, 1, p[1]);
+        skip_eob = false;
+        cache[t.scan[c]] = g_energy[tokv];
+        if (mag == 1) {
+            put_bit(e, 0, p[2]);
+        } else {
+            put_bit(e, 1, p[2]);
+            const Path& path = g_con_paths[tokv];
+            for (int kk = 0; kk < path.len; ++kk)
+                put_bit(e, path.bit[kk], p[3 + path.idx[kk]]);
+            if (tokv >= 5) {
+                int cat = tokv - 5;
+                int extra = mag - g_cat_base[cat];
+                int nbits = g_cat_bits[cat];
+                for (int kk = 0; kk < nbits; ++kk)
+                    put_bit(e, (extra >> (nbits - 1 - kk)) & 1,
+                            g_cat_probs[cat][kk]);
+            }
+        }
+        put_bit(e, level < 0 ? 1 : 0, 128);
+    }
+    return eob;
+}
+
 // ---------------------------------------------------------------------
 // Coefficient token RATE (RD full-loop cost model).  Walks the exact
 // token path of boolenc_write_coeffs but accumulates bool-coder bit
@@ -2286,6 +2351,9 @@ extern "C" {
 int64_t rt_serialize(
     int mi_rows, int mi_cols, int rows32, int cols32, int strip16,
     const int32_t* split32,
+    // scan-prefix lengths per tx (0 = full 2-D level planes): the
+    // level pointers then hold (B, K) int16 scan-ordered prefixes
+    int k32, int k16, int kuv16, int kuv8,
     // m32 zone
     const int32_t* mv32, const int8_t* ref32, const uint8_t* skip32,
     const int16_t* lv32_y, const int16_t* lv32_u, const int16_t* lv32_v,
@@ -2477,12 +2545,21 @@ int64_t rt_serialize(
         {
             int x4 = mi_col * 2, y4 = mi_row * 2;
             int ctx0 = tok_get_ctx(s, 0, x4, y4, y_txs);
-            for (int i = 0; i < n * n; ++i)
-                lvbuf[i] = ly[(int64_t)bi * n * n + i];
             if (rtser::g_trace) fprintf(rtser::g_trace, "COEF %d\n", y_txs);
-            int eob = boolenc_write_coeffs(
-                &enc, lvbuf, y_txs, 0, py_probs, ctx0,
-                counts_on ? ccy : nullptr, counts_on ? cey : nullptr);
+            int eob;
+            const int ky = n == 32 ? k32 : k16;
+            if (ky > 0) {
+                eob = boolenc_write_coeffs_pre(
+                    &enc, ly + (int64_t)bi * ky, ky, y_txs, 0, py_probs,
+                    ctx0, counts_on ? ccy : nullptr,
+                    counts_on ? cey : nullptr);
+            } else {
+                for (int i = 0; i < n * n; ++i)
+                    lvbuf[i] = ly[(int64_t)bi * n * n + i];
+                eob = boolenc_write_coeffs(
+                    &enc, lvbuf, y_txs, 0, py_probs, ctx0,
+                    counts_on ? ccy : nullptr, counts_on ? cey : nullptr);
+            }
             tok_set_ctx(s, 0, x4, y4, y_txs, eob > 0, mi_cols * 2,
                         mi_rows * 2);
         }
@@ -2490,12 +2567,21 @@ int64_t rt_serialize(
             const int16_t* lp = p == 1 ? lu : lv;
             int x4 = mi_col, y4 = mi_row;
             int ctx0 = tok_get_ctx(s, p, x4, y4, uv_txs);
-            for (int i = 0; i < nc * nc; ++i)
-                lvbuf[i] = lp[(int64_t)bi * nc * nc + i];
             if (rtser::g_trace) fprintf(rtser::g_trace, "COEF %d\n", uv_txs);
-            int eob = boolenc_write_coeffs(
-                &enc, lvbuf, uv_txs, 0, puv_probs, ctx0,
-                counts_on ? ccu : nullptr, counts_on ? ceu : nullptr);
+            int eob;
+            const int kuv = n == 32 ? kuv16 : kuv8;
+            if (kuv > 0) {
+                eob = boolenc_write_coeffs_pre(
+                    &enc, lp + (int64_t)bi * kuv, kuv, uv_txs, 0,
+                    puv_probs, ctx0, counts_on ? ccu : nullptr,
+                    counts_on ? ceu : nullptr);
+            } else {
+                for (int i = 0; i < nc * nc; ++i)
+                    lvbuf[i] = lp[(int64_t)bi * nc * nc + i];
+                eob = boolenc_write_coeffs(
+                    &enc, lvbuf, uv_txs, 0, puv_probs, ctx0,
+                    counts_on ? ccu : nullptr, counts_on ? ceu : nullptr);
+            }
             tok_set_ctx(s, p, x4, y4, uv_txs, eob > 0, mi_cols,
                         mi_rows);
         }

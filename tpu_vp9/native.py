@@ -160,6 +160,7 @@ def get_lib():
     _P, _I = ctypes.c_void_p, ctypes.c_int
     lib.rt_serialize.argtypes = (
         [_I] * 5 + [_P]            # geometry + split32
+        + [_I] * 4                 # scan-prefix lengths (0 = 2-D)
         + [_P] * 18                # three zones x 6 arrays
         + [_P] * 4                 # prev-frame motion field
         + [_P] * 12                # probability tables
@@ -670,7 +671,7 @@ def _i64p(a):
 
 
 def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
-                        counts_on: bool):
+                        counts_on: bool, scan_ks=(0, 0, 0, 0)):
     """Serialize one RT P-frame tile natively (classification fused).
 
     geom: tpu_encdec.Geom.  m32/m16f/strip: per-zone dicts with keys
@@ -690,6 +691,8 @@ def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
     g = geom
     mi_rows, mi_cols = g.mi_rows, g.mi_cols
 
+    scan = any(int(k) > 0 for k in scan_ks)
+
     def zone_args(z, n):
         if z is None:
             return (None, None, None, None, None, None)
@@ -699,9 +702,15 @@ def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
         ref = (np.where(np.asarray(z["ref"]) != 0, 2, 1).astype(np.int8)
                if z.get("ref") is not None else None)
         skip = np.ascontiguousarray(z["skip"], np.uint8)
-        ly = np.ascontiguousarray(z["lv_y"], np.int16)
-        lu = np.ascontiguousarray(z["lv_u"], np.int16)
-        lv = np.ascontiguousarray(z["lv_v"], np.int16)
+        if scan:
+            # int8 scan-ordered prefixes from the device (K per block)
+            ly = np.ascontiguousarray(z["lvs_y"], np.int16)
+            lu = np.ascontiguousarray(z["lvs_u"], np.int16)
+            lv = np.ascontiguousarray(z["lvs_v"], np.int16)
+        else:
+            ly = np.ascontiguousarray(z["lv_y"], np.int16)
+            lu = np.ascontiguousarray(z["lv_u"], np.int16)
+            lv = np.ascontiguousarray(z["lv_v"], np.int16)
         return (mv, ref, skip, ly, lu, lv)
 
     a32 = zone_args(m32, 32)
@@ -788,6 +797,7 @@ def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
     n = lib.rt_serialize(
         mi_rows, mi_cols, g.rows32, g.cols32, 1 if strip is not None else 0,
         p_or_none(split_arr),
+        int(scan_ks[0]), int(scan_ks[1]), int(scan_ks[2]), int(scan_ks[3]),
         *(p_or_none(x) for x in a32),
         *(p_or_none(x) for x in a16),
         *(p_or_none(x) for x in ast),

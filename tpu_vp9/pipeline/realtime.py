@@ -175,8 +175,25 @@ def _upload_refs(recon_planes, geom: Geom):
                                   (g.height + 1) >> 1))
 
 
+def _scan_prefix_on(outs, zones) -> bool:
+    """True when every zone shipped int8 scan prefixes — the compressed
+    device->host transfer mode (the axon tunnel moves ~23 MB/s; full
+    1080p level planes cost ~590 ms/frame, the prefixes ~25 ms).
+    Blocks whose coefficients don't fit the prefix (eob past K or
+    |level| > 127) are flagged in a per-block mask and their full 2-D
+    planes fetched individually."""
+    import os
+
+    if os.environ.get("TPU_VP9_NO_SCAN_PREFIX") == "1":
+        return False
+    # e.g. mesh-sharded zones ship 2-D planes only
+    return all("lvs_y" in outs[z] for z in zones)
+
+
 def _device_out_to_host(outs, geom: Geom, want_recon: bool):
     """Materialize the per-frame device outputs needed by the host."""
+    from tpu_vp9.pipeline.tpu_encdec import SCAN_PREFIX_K
+
     host = {}
     zones = ["m32"]
     if geom.strip:
@@ -184,18 +201,67 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
     if "m16f" in outs:
         zones.append("m16f")
         host["split32"] = np.asarray(outs["split32"])
+    scan = _scan_prefix_on(outs, zones)
+    clean = True
     for zone in zones:
         z = outs[zone]
-        keys = ["mv", "skip", "eob_y", "eob_u", "eob_v",
-                "lv_y", "lv_u", "lv_v"]
+        keys = ["mv", "skip", "eob_y", "eob_u", "eob_v"]
+        keys += (["lvs_y", "lvs_u", "lvs_v"] if scan
+                 else ["lv_y", "lv_u", "lv_v"])
         if "ref" in z:
             keys.append("ref")
-        host[zone] = {k: np.asarray(z[k]) for k in keys}
+        hz = {k: np.asarray(z[k]) for k in keys}
+        if scan:
+            of_idx = np.nonzero(np.asarray(z["lv_overflow"]))[0]
+            if of_idx.size:
+                clean = False
+                # fetch the full planes for just the overflowing blocks
+                # (device-side gather; tiny transfer).  The index is
+                # padded to a power of two so XLA compiles O(log B)
+                # gather variants, not one per distinct overflow count.
+                hz["of_idx"] = of_idx
+                m = 1
+                while m < of_idx.size:
+                    m <<= 1
+                pad = np.pad(of_idx, (0, m - of_idx.size), mode="edge")
+                for k in ("lv_y", "lv_u", "lv_v"):
+                    hz["of_" + k] = np.asarray(z[k][pad])[: of_idx.size]
+        host[zone] = hz
+    host["scan_ks"] = ((SCAN_PREFIX_K[32], SCAN_PREFIX_K[16],
+                        SCAN_PREFIX_K[16], SCAN_PREFIX_K[8])
+                       if scan and clean else (0, 0, 0, 0))
+    if scan and not clean:
+        _reconstruct_levels(host, geom)
     if want_recon:
         host["rec"] = [np.asarray(outs["rec_y"]), np.asarray(outs["rec_u"]),
                        np.asarray(outs["rec_v"])]
     host["stats"] = (float(outs["m32"]["dist"]), int(outs["m32"]["rate"]))
     return host
+
+
+def _reconstruct_levels(host, geom: Geom):
+    """Expand int8 scan prefixes back to full 2-D level planes (for the
+    Python fallback serializer, and whenever some blocks overflowed the
+    prefix — their individually-fetched full planes are patched in)."""
+    from tpu_vp9.bitstream.tables import TxSize, TxType
+
+    _ts = {32: TxSize.TX_32X32, 16: TxSize.TX_16X16, 8: TxSize.TX_8X8}
+    for zone, n in (("m32", 32), ("m16f", 16), ("m16", 16)):
+        z = host.get(zone)
+        if z is None or "lv_y" in z:
+            continue
+        for pk, sk, nn in (("lv_y", "lvs_y", n), ("lv_u", "lvs_u", n // 2),
+                           ("lv_v", "lvs_v", n // 2)):
+            pre = np.asarray(z[sk], np.int16)
+            nb, kk = pre.shape
+            scan = np.asarray(
+                T.scan_order(_ts[nn], TxType.DCT_DCT)[0])[:kk]
+            full = np.zeros((nb, nn * nn), np.int16)
+            full[:, scan] = pre
+            full = full.reshape(nb, nn, nn)
+            if "of_idx" in z:
+                full[z["of_idx"]] = z["of_" + pk]
+            z[pk] = full
 
 
 class RtSession:
@@ -349,8 +415,10 @@ class RtSession:
             strip.setdefault("ref", None)
         fc0 = (T.default_frame_context() if self.er
                else self._fc[0].copy())
+        scan_ks = host.get("scan_ks", (0, 0, 0, 0))
         r1 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
-                                     prev_mvs, fc0, counts_on=not self.er)
+                                     prev_mvs, fc0, counts_on=not self.er,
+                                     scan_ks=scan_ks)
         if r1 is None:
             return None
         tile1, counts, fields, _ = r1
@@ -371,7 +439,8 @@ class RtSession:
                 fc1.coef_probs[ts] = new_coef[ts]
             fc1.skip_probs = new_skip
             r2 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
-                                         prev_mvs, fc1, counts_on=False)
+                                         prev_mvs, fc1, counts_on=False,
+                                         scan_ks=scan_ks)
             if r2 is None:
                 return None
             tile, _, fields, _ = r2
@@ -408,14 +477,19 @@ class RtSession:
 
         from tpu_vp9.codec.fwd_update import serialize_with_updates
         from tpu_vp9.codec.inter_frame import serialize_pframe
+        from tpu_vp9.utils.trace import span
 
         g = self.g
-        host = _device_out_to_host(outs, g, self.want_recon)
+        with span("rt_d2h_transfer"):
+            host = _device_out_to_host(outs, g, self.want_recon)
         prev_mvs = (self._prev_snap
                     if (not self.er and self._last_was_inter) else None)
-        ef = self._finish_native(frame, idx, hdr, host, qidx, prev_mvs)
+        with span("rt_serialize_native"):
+            ef = self._finish_native(frame, idx, hdr, host, qidx, prev_mvs)
         if ef is not None:
             return ef
+        if any(host.get("scan_ks", ())):
+            _reconstruct_levels(host, g)
         st, events = classify_and_fill_state(frame, g, host, qidx,
                                              prev_mvs=prev_mvs)
         if self.er:
@@ -631,9 +705,14 @@ class RtSession:
             zones.append("m16f")
             if hasattr(outs["split32"], "copy_to_host_async"):
                 outs["split32"].copy_to_host_async()
+        import os
+        scan_pref = (os.environ.get("TPU_VP9_NO_SCAN_PREFIX") != "1"
+                     and all("lvs_y" in outs[z] for z in zones))
+        lv_keys = (("lvs_y", "lvs_u", "lvs_v", "lv_overflow") if scan_pref
+                   else ("lv_y", "lv_u", "lv_v"))
         for zone in zones:
             for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
-                      "lv_y", "lv_u", "lv_v", "ref"):
+                      "ref") + lv_keys:
                 arr = outs[zone].get(k)
                 if arr is not None and hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()

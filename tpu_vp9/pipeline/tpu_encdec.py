@@ -374,6 +374,10 @@ def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters,
 
 CHILD_R = 8  # 16-block refinement radius around the 32-parent's winner
 
+# scan-prefix lengths per tx size for the device->host level transfer
+# (covers typical realtime-qp eobs; overflow falls back to full planes)
+SCAN_PREFIX_K = {32: 96, 16: 64, 8: 32}
+
 
 def _extract_child_windows(wins32, dy32, dx32, geom: Geom):
     """16-child search windows sliced from the PARENT 32-blocks' static
@@ -520,10 +524,15 @@ _TS = {4: TxSize.TX_4X4, 8: TxSize.TX_8X8, 16: TxSize.TX_16X16,
        32: TxSize.TX_32X32}
 
 
-def transform_recon(src_blocks, pred_blocks, dc_q, ac_q, n: int):
+def transform_recon(src_blocks, pred_blocks, dc_q, ac_q, n: int,
+                    want_scan: bool = False):
     """fDCT + quant + dequant + exact integer iDCT add for (B, n, n).
 
-    Returns (levels int16, eob int32, recon uint8)."""
+    Returns (levels int16, eob int32, recon uint8[, lv_scan int16]).
+    want_scan additionally returns the scan-ordered levels — the
+    device->host transfer ships a short int8 prefix of these instead of
+    the full 2-D planes (the axon tunnel moves ~23 MB/s; full level
+    planes at 1080p cost ~590 ms/frame)."""
     ts = _TS[n]
     resid = (src_blocks.astype(jnp.int32)
              - pred_blocks.astype(jnp.int32)).astype(jnp.float32)
@@ -537,6 +546,9 @@ def transform_recon(src_blocks, pred_blocks, dc_q, ac_q, n: int):
     nz = lv != 0
     eob = jnp.where(nz.any(axis=1),
                     n * n - jnp.argmax(nz[:, ::-1], axis=1), 0)
+    if want_scan:
+        return (levels.astype(jnp.int16), eob.astype(jnp.int32),
+                recon.astype(jnp.uint8), lv.astype(jnp.int16))
     return levels.astype(jnp.int16), eob.astype(jnp.int32), \
         recon.astype(jnp.uint8)
 
@@ -1091,7 +1103,58 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
                                           filters, r=CHILD_R)
         mv_r = base_y * 8 + rel_r
         mv_c = base_x * 8 + rel_c
+        # slim candidate set for the child zone: {ZERO, NEW, PARENT}
+        # (the parent's subpel winner doubles as the coherence
+        # candidate) — the full 5-candidate exact-MC pass at 4x the
+        # block count was the next on-chip hot spot after its search
+        par_r = jnp.repeat(jnp.repeat(
+            parent_me[1].reshape(g.rows32, g.cols32), 2, 0), 2, 1) \
+            .reshape(-1) * 8
+        par_c = jnp.repeat(jnp.repeat(
+            parent_me[2].reshape(g.rows32, g.cols32), 2, 0), 2, 1) \
+            .reshape(-1) * 8
+        zero = jnp.zeros_like(mv_r)
+        cand_r = jnp.stack([zero, mv_r, par_r])
+        cand_c = jnp.stack([zero, mv_c, par_c])
+        sads = jax.vmap(
+            lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr,
+                                   cc, n, g.mi_rows, g.mi_cols, filters)
+        )(cand_r, cand_c)
+        if rates is not None:
+            mc = rates["mode_cost"]
+            m = int(rates["mv_cost_max"])
+            dr = mv_r - par_r
+            dc = mv_c - par_c
+            j = 2 * (dr != 0).astype(jnp.int32) + (dc != 0).astype(
+                jnp.int32)
+            mvd_bits = (rates["joint_cost"][j]
+                        + rates["nmv_row"][jnp.clip(dr, -m, m) + m]
+                        + rates["nmv_col"][jnp.clip(dc, -m, m) + m])
+            ones = jnp.ones_like(mvd_bits)
+            rate = jnp.stack([mc[2] * ones, mc[3] + mvd_bits,
+                              mc[0] * ones])
+            costs = (sads.astype(jnp.float32)
+                     + rates["lam_bits"] * rate.astype(jnp.float32)
+                     / 256.0)
+        else:
+            rz, rn0, rnb, _, rs = CAND_RATE_PROXY
+            mvd = (jnp.abs(mv_r - par_r)
+                   + jnp.abs(mv_c - par_c)).astype(jnp.float32)
+            new_bits = rn0 + rnb * jnp.log2(1.0 + mvd)
+            rate = jnp.stack([rz * jnp.ones_like(mvd), new_bits,
+                              rs * jnp.ones_like(mvd)])
+            costs = sads.astype(jnp.float32) + lam.astype(
+                jnp.float32) * rate
+        best = jnp.argmin(costs, axis=0)
+        bidx = (best, jnp.arange(b))
+        mv_r = cand_r[bidx]
+        mv_c = cand_c[bidx]
+        sad_zero = sads[0]
+        cost_last = costs[bidx]
+        skip_candidates = True
     else:
+        skip_candidates = False
+    if parent_me is None:
         wins = _extract_search_windows(ref_y, n, rows, cols, y0,
                                        np.arange(cols, dtype=np.int64) * n)
         dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
@@ -1105,9 +1168,10 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     # Spatial/temporal candidates usually classify as NEAREST/NEAR at
     # serialization (no mvd bits), so they carry lower rate costs;
     # NEW additionally pays its mvd bits against the left predictor.
-    mv_r, mv_c, sad_zero, cost_last = _candidate_decide(
-        ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, None, prev_mv,
-        rows, cols, n, g, lam, filters, rates=rates)
+    if not skip_candidates:
+        mv_r, mv_c, sad_zero, cost_last = _candidate_decide(
+            ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, None, prev_mv,
+            rows, cols, n, g, lam, filters, rates=rates)
 
     ref_sel = jnp.zeros((b,), jnp.int8)
     if gold is not None:
@@ -1166,13 +1230,26 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         pred_y = jnp.where(sel, gp_y, pred_y)
         pred_u = jnp.where(sel, gp_u, pred_u)
         pred_v = jnp.where(sel, gp_v, pred_v)
-    lv_y, eob_y, rec_y = transform_recon(src_blocks, pred_y, dc_q, ac_q, n)
+    lv_y, eob_y, rec_y, sc_y = transform_recon(src_blocks, pred_y, dc_q,
+                                               ac_q, n, want_scan=True)
     y0c = y0 // 2
     src_ub = _extract_blocks(src_u, y0c, rows, cols, nc)
     src_vb = _extract_blocks(src_v, y0c, rows, cols, nc)
-    lv_u, eob_u, rec_u = transform_recon(src_ub, pred_u, dc_q, ac_q, nc)
-    lv_v, eob_v, rec_v = transform_recon(src_vb, pred_v, dc_q, ac_q, nc)
+    lv_u, eob_u, rec_u, sc_u = transform_recon(src_ub, pred_u, dc_q, ac_q,
+                                               nc, want_scan=True)
+    lv_v, eob_v, rec_v, sc_v = transform_recon(src_vb, pred_v, dc_q, ac_q,
+                                               nc, want_scan=True)
     skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
+
+    # int8 scan prefixes for the device->host hop; a per-block overflow
+    # mask (eob past the prefix or |level| > 127) lets the host fetch
+    # full planes for just those blocks
+    ky = SCAN_PREFIX_K[n]
+    kuv = SCAN_PREFIX_K[nc]
+    of = ((eob_y > ky) | (eob_u > kuv) | (eob_v > kuv)
+          | (jnp.abs(sc_y[:, :ky]) > 127).any(axis=1)
+          | (jnp.abs(sc_u[:, :kuv]) > 127).any(axis=1)
+          | (jnp.abs(sc_v[:, :kuv]) > 127).any(axis=1))
 
     dist_b = ((rec_y.astype(jnp.int32)
                - src_blocks.astype(jnp.int32)) ** 2).sum(axis=(1, 2))
@@ -1184,6 +1261,10 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         "skip": skip,
         "eob_y": eob_y, "eob_u": eob_u, "eob_v": eob_v,
         "lv_y": lv_y, "lv_u": lv_u, "lv_v": lv_v,
+        "lvs_y": sc_y[:, :ky].astype(jnp.int8),
+        "lvs_u": sc_u[:, :kuv].astype(jnp.int8),
+        "lvs_v": sc_v[:, :kuv].astype(jnp.int8),
+        "lv_overflow": of,
         "rec_y": _scatter_blocks(rec_y, rows, cols, n),
         "rec_u": _scatter_blocks(rec_u, rows, cols, nc),
         "rec_v": _scatter_blocks(rec_v, rows, cols, nc),
