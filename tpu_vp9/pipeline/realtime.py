@@ -184,15 +184,20 @@ def _scan_prefix_on(outs, zones) -> bool:
     planes fetched individually."""
     import os
 
-    if os.environ.get("TPU_VP9_NO_SCAN_PREFIX") == "1":
+    if "hostblob" not in outs \
+            and os.environ.get("TPU_VP9_NO_SCAN_PREFIX") == "1":
         return False
     # e.g. mesh-sharded zones ship 2-D planes only
     return all("lvs_y" in outs[z] for z in zones)
 
 
 def _device_out_to_host(outs, geom: Geom, want_recon: bool):
-    """Materialize the per-frame device outputs needed by the host."""
-    from tpu_vp9.pipeline.tpu_encdec import SCAN_PREFIX_K
+    """Materialize the per-frame device outputs needed by the host.
+
+    When the step packed a single "hostblob" (one d2h copy on the slow
+    tunnel), everything is sliced out of it; otherwise (mesh-sharded
+    steps) each array is fetched individually."""
+    from tpu_vp9.pipeline.tpu_encdec import SCAN_PREFIX_K, unpack_host_blob
 
     host = {}
     zones = ["m32"]
@@ -200,42 +205,63 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
         zones.append("m16")
     if "m16f" in outs:
         zones.append("m16f")
-        host["split32"] = np.asarray(outs["split32"])
-    scan = _scan_prefix_on(outs, zones)
+    if "hostblob" in outs:
+        blob = np.asarray(outs["hostblob"])
+        host = unpack_host_blob(blob, outs, want_recon)
+        scan = _scan_prefix_on(outs, zones)
+    else:
+        scan = _scan_prefix_on(outs, zones)
+        if "m16f" in outs:
+            host["split32"] = np.asarray(outs["split32"])
+        for zone in zones:
+            z = outs[zone]
+            keys = ["mv", "skip", "eob_y", "eob_u", "eob_v"]
+            keys += (["lvs_y", "lvs_u", "lvs_v", "of_cnt", "of_idx",
+                      "of_lv_y", "of_lv_u", "of_lv_v"] if scan
+                     else ["lv_y", "lv_u", "lv_v"])
+            if "ref" in z:
+                keys.append("ref")
+            host[zone] = {k: np.asarray(z[k]) for k in keys}
+        host["m32"]["dist"] = np.asarray(outs["m32"]["dist"])
+        host["m32"]["rate"] = np.asarray(outs["m32"]["rate"])
+        if want_recon:
+            host["rec"] = [np.asarray(outs["rec_y"]),
+                           np.asarray(outs["rec_u"]),
+                           np.asarray(outs["rec_v"])]
     clean = True
-    for zone in zones:
-        z = outs[zone]
-        keys = ["mv", "skip", "eob_y", "eob_u", "eob_v"]
-        keys += (["lvs_y", "lvs_u", "lvs_v"] if scan
-                 else ["lv_y", "lv_u", "lv_v"])
-        if "ref" in z:
-            keys.append("ref")
-        hz = {k: np.asarray(z[k]) for k in keys}
-        if scan:
-            of_idx = np.nonzero(np.asarray(z["lv_overflow"]))[0]
-            if of_idx.size:
-                clean = False
-                # fetch the full planes for just the overflowing blocks
-                # (device-side gather; tiny transfer).  The index is
-                # padded to a power of two so XLA compiles O(log B)
-                # gather variants, not one per distinct overflow count.
-                hz["of_idx"] = of_idx
-                m = 1
-                while m < of_idx.size:
-                    m <<= 1
-                pad = np.pad(of_idx, (0, m - of_idx.size), mode="edge")
+    if scan:
+        for zone in zones:
+            hz = host[zone]
+            of_cnt = int(hz["of_cnt"])
+            if not of_cnt:
+                continue
+            from tpu_vp9.utils.trace import notice
+
+            clean = False
+            idx = hz["of_idx"]
+            sel = idx >= 0
+            if of_cnt > sel.sum():
+                # more overflow than the buffer holds (rare):
+                # whole-plane fallback for this zone (extra transfer)
+                notice("rt scan-prefix overflow buffer exceeded "
+                       f"({of_cnt} blocks); full-plane fetch")
                 for k in ("lv_y", "lv_u", "lv_v"):
-                    hz["of_" + k] = np.asarray(z[k][pad])[: of_idx.size]
-        host[zone] = hz
+                    hz[k] = np.asarray(outs[zone][k])
+                for k in ("lvs_y", "lvs_u", "lvs_v"):
+                    hz.pop(k, None)
+            else:
+                hz["of_idx"] = idx[sel]
+                for k in ("lv_y", "lv_u", "lv_v"):
+                    hz["of_" + k] = hz["of_" + k][sel]
     host["scan_ks"] = ((SCAN_PREFIX_K[32], SCAN_PREFIX_K[16],
                         SCAN_PREFIX_K[16], SCAN_PREFIX_K[8])
                        if scan and clean else (0, 0, 0, 0))
     if scan and not clean:
         _reconstruct_levels(host, geom)
-    if want_recon:
-        host["rec"] = [np.asarray(outs["rec_y"]), np.asarray(outs["rec_u"]),
-                       np.asarray(outs["rec_v"])]
-    host["stats"] = (float(outs["m32"]["dist"]), int(outs["m32"]["rate"]))
+    if want_recon and "rec" not in host:
+        host["rec"] = [host.pop("rec_y"), host.pop("rec_u"),
+                       host.pop("rec_v")]
+    host["stats"] = (float(host["m32"]["dist"]), int(host["m32"]["rate"]))
     return host
 
 
@@ -318,8 +344,14 @@ class RtSession:
 
             self._step = make_rt_step_sharded(self.g, mesh_shape)
         else:
+            import os
+
+            # TPU_VP9_NO_SCAN_PREFIX=1 keeps the legacy per-array
+            # full-plane transfer (A/B baseline for the blob path)
+            blob = (None if os.environ.get("TPU_VP9_NO_SCAN_PREFIX") == "1"
+                    else self.want_recon)
             self._step = make_pframe_step(self.g, split16=self.split16,
-                                          golden=golden)
+                                          golden=golden, blob_recon=blob)
         # device keyframe wavefront (strip geometries fall back to host;
         # mesh sessions run it replicated — keyframes are rare and the
         # wavefront is latency-bound, so sharding it isn't worth ICI
@@ -473,6 +505,17 @@ class RtSession:
                             qindex=qidx, state=st, pts=idx)
 
     def _finish(self, frame, idx, hdr, outs, qidx):
+        from tpu_vp9.utils.trace import span
+
+        with span("rt_d2h_transfer"):
+            host = _device_out_to_host(outs, self.g, self.want_recon)
+        return self._finish_host(frame, idx, hdr, host, qidx)
+
+    def _finish_host(self, frame, idx, hdr, host, qidx):
+        """Serialize an already-materialized frame (host-only work: this
+        runs while the NEXT frame's device step is in flight — the
+        transfer itself must happen while the device is idle, or it
+        queues behind that step on the single tunnel stream)."""
         import functools
 
         from tpu_vp9.codec.fwd_update import serialize_with_updates
@@ -480,8 +523,6 @@ class RtSession:
         from tpu_vp9.utils.trace import span
 
         g = self.g
-        with span("rt_d2h_transfer"):
-            host = _device_out_to_host(outs, g, self.want_recon)
         prev_mvs = (self._prev_snap
                     if (not self.er and self._last_was_inter) else None)
         with span("rt_serialize_native"):
@@ -706,20 +747,26 @@ class RtSession:
             if hasattr(outs["split32"], "copy_to_host_async"):
                 outs["split32"].copy_to_host_async()
         import os
-        scan_pref = (os.environ.get("TPU_VP9_NO_SCAN_PREFIX") != "1"
-                     and all("lvs_y" in outs[z] for z in zones))
-        lv_keys = (("lvs_y", "lvs_u", "lvs_v", "lv_overflow") if scan_pref
-                   else ("lv_y", "lv_u", "lv_v"))
-        for zone in zones:
-            for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
-                      "ref") + lv_keys:
-                arr = outs[zone].get(k)
-                if arr is not None and hasattr(arr, "copy_to_host_async"):
-                    arr.copy_to_host_async()
-        if self.want_recon:
-            for k in ("rec_y", "rec_u", "rec_v"):
-                if hasattr(outs[k], "copy_to_host_async"):
-                    outs[k].copy_to_host_async()
+        if "hostblob" in outs:
+            if hasattr(outs["hostblob"], "copy_to_host_async"):
+                outs["hostblob"].copy_to_host_async()
+        else:
+            scan_pref = (os.environ.get("TPU_VP9_NO_SCAN_PREFIX") != "1"
+                         and all("lvs_y" in outs[z] for z in zones))
+            lv_keys = (("lvs_y", "lvs_u", "lvs_v", "of_cnt", "of_idx",
+                        "of_lv_y", "of_lv_u", "of_lv_v") if scan_pref
+                       else ("lv_y", "lv_u", "lv_v"))
+            for zone in zones:
+                for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                          "ref") + lv_keys:
+                    arr = outs[zone].get(k)
+                    if arr is not None and hasattr(arr,
+                                                   "copy_to_host_async"):
+                        arr.copy_to_host_async()
+            if self.want_recon:
+                for k in ("rec_y", "rec_u", "rec_v"):
+                    if hasattr(outs[k], "copy_to_host_async"):
+                        outs[k].copy_to_host_async()
         hdr = FrameHeader(
             width=self.w, height=self.h, is_keyframe=False,
             error_resilient=self.er, base_qindex=qidx,

@@ -377,6 +377,92 @@ CHILD_R = 8  # 16-block refinement radius around the 32-parent's winner
 # scan-prefix lengths per tx size for the device->host level transfer
 # (covers typical realtime-qp eobs; overflow falls back to full planes)
 SCAN_PREFIX_K = {32: 96, 16: 64, 8: 32}
+# fixed-size per-zone overflow buffer (blocks that don't fit the prefix
+# travel as full 2-D rows; if more than this many overflow, the host
+# falls back to fetching the whole planes for the frame)
+OF_BUF_M = 32
+
+
+# ---------------------------------------------------------------------------
+# Single-blob device->host transfer: every per-frame output the host
+# serializer needs is bitcast to uint8 and concatenated INSIDE the
+# compiled step, so the axon tunnel sees ONE d2h copy per frame instead
+# of ~30 small round-trips (each costs ~5-15 ms of latency).
+# ---------------------------------------------------------------------------
+
+_BLOB_ZONE_KEYS = ("mv", "skip", "eob_y", "eob_u", "eob_v", "ref",
+                   "lvs_y", "lvs_u", "lvs_v", "of_cnt", "of_idx",
+                   "of_lv_y", "of_lv_u", "of_lv_v")
+
+
+def _host_blob_fields(outs, want_recon: bool):
+    """Deterministic (zone, key) iteration shared by the in-jit packer
+    and the host-side unpacker; both sides must walk identically."""
+    fields = []
+    if "split32" in outs:
+        fields.append((None, "split32"))
+    for zone in ("m32", "m16", "m16f"):
+        z = outs.get(zone)
+        if z is None:
+            continue
+        scan = "lvs_y" in z
+        for k in _BLOB_ZONE_KEYS:
+            if k.startswith(("lvs_", "of_")) and not scan:
+                continue
+            if k in z:
+                fields.append((zone, k))
+        if not scan:
+            for k in ("lv_y", "lv_u", "lv_v"):
+                fields.append((zone, k))
+    fields.append(("m32", "dist"))
+    fields.append(("m32", "rate"))
+    if want_recon:
+        for k in ("rec_y", "rec_u", "rec_v"):
+            fields.append((None, k))
+    return fields
+
+
+def pack_host_blob(outs, want_recon: bool):
+    """Concatenate the host-bound outputs into one uint8 vector (traced
+    inside the step jit)."""
+    parts = []
+    for zone, k in _host_blob_fields(outs, want_recon):
+        a = outs[zone][k] if zone else outs[k]
+        a = jnp.atleast_1d(a)
+        if a.dtype == jnp.bool_:
+            a = a.astype(jnp.uint8)
+        if a.dtype != jnp.uint8:
+            # same-width bitcast keeps the shape; wider types gain a
+            # trailing byte dim — both flatten below
+            a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+        parts.append(a.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def unpack_host_blob(blob: "np.ndarray", outs, want_recon: bool):
+    """Slice a fetched blob back into {zone: {key: np.ndarray}} using
+    the device arrays in `outs` for shapes/dtypes (no transfers)."""
+    import numpy as np
+
+    host: dict = {}
+    off = 0
+    for zone, k in _host_blob_fields(outs, want_recon):
+        a = outs[zone][k] if zone else outs[k]
+        dt = np.dtype("uint8") if str(a.dtype) == "bool"             else np.dtype(str(a.dtype))
+        n = 1
+        for d in a.shape:
+            n *= d
+        nb = n * dt.itemsize
+        arr = np.frombuffer(blob[off:off + nb].tobytes(), dt)
+        arr = arr.reshape(a.shape)
+        if str(a.dtype) == "bool":
+            arr = arr.astype(bool)
+        if zone:
+            host.setdefault(zone, {})[k] = arr
+        else:
+            host[k] = arr
+        off += nb
+    return host
 
 
 def _extract_child_windows(wins32, dy32, dx32, geom: Geom):
@@ -1241,15 +1327,23 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
                                                nc, want_scan=True)
     skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
 
-    # int8 scan prefixes for the device->host hop; a per-block overflow
-    # mask (eob past the prefix or |level| > 127) lets the host fetch
-    # full planes for just those blocks
+    # int8 scan prefixes for the device->host hop.  Blocks whose
+    # coefficients don't fit (eob past the prefix or |level| > 127) are
+    # extracted INSIDE the compiled step into fixed-size top-k buffers:
+    # eager per-frame device gathers cost a tunnel round-trip each
+    # (~100 ms on axon) plus recompiles for every new result shape.
     ky = SCAN_PREFIX_K[n]
     kuv = SCAN_PREFIX_K[nc]
     of = ((eob_y > ky) | (eob_u > kuv) | (eob_v > kuv)
           | (jnp.abs(sc_y[:, :ky]) > 127).any(axis=1)
           | (jnp.abs(sc_u[:, :kuv]) > 127).any(axis=1)
           | (jnp.abs(sc_v[:, :kuv]) > 127).any(axis=1))
+    nb = of.shape[0]
+    m_of = min(OF_BUF_M, nb)
+    of_val, of_idx = jax.lax.top_k(of.astype(jnp.int32), m_of)
+    of_rows_y = jnp.take(lv_y, of_idx, axis=0)
+    of_rows_u = jnp.take(lv_u, of_idx, axis=0)
+    of_rows_v = jnp.take(lv_v, of_idx, axis=0)
 
     dist_b = ((rec_y.astype(jnp.int32)
                - src_blocks.astype(jnp.int32)) ** 2).sum(axis=(1, 2))
@@ -1264,7 +1358,9 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         "lvs_y": sc_y[:, :ky].astype(jnp.int8),
         "lvs_u": sc_u[:, :kuv].astype(jnp.int8),
         "lvs_v": sc_v[:, :kuv].astype(jnp.int8),
-        "lv_overflow": of,
+        "of_cnt": of.sum().astype(jnp.int32),
+        "of_idx": jnp.where(of_val > 0, of_idx, -1).astype(jnp.int32),
+        "of_lv_y": of_rows_y, "of_lv_u": of_rows_u, "of_lv_v": of_rows_v,
         "rec_y": _scatter_blocks(rec_y, rows, cols, n),
         "rec_u": _scatter_blocks(rec_u, rows, cols, nc),
         "rec_v": _scatter_blocks(rec_v, rows, cols, nc),
@@ -1288,7 +1384,7 @@ SPLIT_RATE_EXTRA = 4.0
 def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
                 prev_mv16, geom: Geom, dc_q, ac_q, lam, lf_lvl, lf_lim,
                 lf_mblim, filters, split16: bool = False, gold=None,
-                rates=None):
+                rates=None, blob_recon=None):
     """One full device P-frame encode step (jit under a static geom).
 
     src planes: padded (pad_h, pad_w)/(pad_h/2, pad_w/2) uint8 device
@@ -1371,6 +1467,8 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
                                       (g.height + 1) >> 1)
     new_ref_v = extend_borders_device(rec_v, (g.width + 1) >> 1,
                                       (g.height + 1) >> 1)
+    if blob_recon is not None:
+        outs["hostblob"] = pack_host_blob(outs, blob_recon)
     return outs, (new_ref_y, new_ref_u, new_ref_v)
 
 
@@ -1379,7 +1477,7 @@ import functools
 
 @functools.lru_cache(maxsize=16)
 def make_pframe_step(geom: Geom, split16: bool = False,
-                     golden: bool = False):
+                     golden: bool = False, blob_recon=None):
     """Jitted device step closed over the static geometry (memoized:
     sessions sharing a geometry share the compiled executable).
 
@@ -1400,7 +1498,8 @@ def make_pframe_step(geom: Geom, split16: bool = False,
                                prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
                                lf_lvl, lf_lim, lf_mblim, filters,
                                split16=split16,
-                               gold=(gold_y, gold_u, gold_v), rates=rates)
+                               gold=(gold_y, gold_u, gold_v), rates=rates,
+                               blob_recon=blob_recon)
 
         return jax.jit(step, donate_argnums=(3, 4, 5))
 
@@ -1409,7 +1508,7 @@ def make_pframe_step(geom: Geom, split16: bool = False,
         return pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                            prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
                            lf_lvl, lf_lim, lf_mblim, filters,
-                           split16=split16)
+                           split16=split16, blob_recon=blob_recon)
 
     return jax.jit(step, donate_argnums=(3, 4, 5))
 
