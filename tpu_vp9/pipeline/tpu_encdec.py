@@ -146,7 +146,7 @@ def _clamp_mv_umv(mv_r, mv_c, mi_r, mi_c, bw: int, bh: int, ss: int,
 
 def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
                      n_out: int, ss: int, mi_rows: int, mi_cols: int,
-                     filters, x_base=0):
+                     filters, x_base=0, y_off=None):
     """Exact MC prediction for B blocks of one plane.
 
     ref_padded: (H+2B, W+2B) uint8 device plane.  pos_y/pos_x: (B,)
@@ -169,7 +169,13 @@ def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
     def slice_one(y, x):
         return jax.lax.dynamic_slice(ref_padded, (y, x), (win, win))
 
-    wins = jax.vmap(slice_one)(BORDER + y0 - 3, BORDER + x0 - 3 - x_base)
+    y_slice = BORDER + y0 - 3
+    if y_off is not None:
+        # stacked-reference mode: ref_padded holds several planes
+        # concatenated along rows; y_off selects the block's plane
+        # (one gather instead of one per reference + a where)
+        y_slice = y_slice + y_off
+    wins = jax.vmap(slice_one)(y_slice, BORDER + x0 - 3 - x_base)
     wins = wins.astype(jnp.int32)
     f = jnp.asarray(filters, jnp.int32)  # (16, 8)
     fx = f[spx]  # (B, 8)
@@ -183,6 +189,24 @@ def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
                        axis=-1)
     out = jnp.einsum("bhwk,bk->bhw", vstack, fy)
     return jnp.clip((out + 64) >> 7, 0, 255).astype(jnp.uint8)
+
+
+def _zero_sse(ref_padded, src_blocks, y0: int, x0: int, rows: int,
+              cols: int, n: int):
+    """SSE of the ZERO-MV candidate for a regular n-grid zone starting
+    at static plane position (y0, x0).
+
+    Zero MV is never moved by the UMV clamp and its subpel phase is the
+    identity tap, so the prediction is the co-located reference block:
+    a contiguous reshape replaces the per-block MC gather + 8-tap
+    filtering (bit-exact, ~10x cheaper)."""
+    core = jax.lax.slice(
+        ref_padded, (BORDER + y0, BORDER + x0),
+        (BORDER + y0 + rows * n, BORDER + x0 + cols * n))
+    blocks = core.reshape(rows, n, cols, n).transpose(0, 2, 1, 3) \
+        .reshape(rows * cols, n, n)
+    d = blocks.astype(jnp.int32) - src_blocks.astype(jnp.int32)
+    return (d * d).sum(axis=(1, 2))
 
 
 def _mc_sad(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c, n, mi_rows,
@@ -1050,7 +1074,7 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
 def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
                       sad_new, prev_mv, rows: int, cols: int, n: int,
                       geom: Geom, lam, filters, x_base=0,
-                      left_edge=None, rates=None):
+                      left_edge=None, rates=None, zone_origin=None):
     """Pick the best MV among {ZERO, NEW, PREV, LEFT-new, ABOVE-new}.
 
     Cost = exact-MC SSE + rate.  Rate comes from the frame's real
@@ -1081,10 +1105,22 @@ def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
     prev_c = prev_mv[:, 1]
     cand_r = jnp.stack([zero, new_r, prev_r, left_r, above_r])  # (5, B)
     cand_c = jnp.stack([zero, new_c, prev_c, left_c, above_c])
-    sads = jax.vmap(
-        lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr, cc,
-                               n, g.mi_rows, g.mi_cols, filters, x_base)
-    )(cand_r, cand_c)  # (5, B)
+    if zone_origin is not None:
+        # regular-grid zone with a static origin: cheap exact ZERO SSE
+        sad0 = _zero_sse(ref_y, src_blocks, zone_origin[0],
+                         zone_origin[1], rows, cols, n)
+        sads_mc = jax.vmap(
+            lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr,
+                                   cc, n, g.mi_rows, g.mi_cols, filters,
+                                   x_base)
+        )(cand_r[1:], cand_c[1:])  # (4, B)
+        sads = jnp.concatenate([sad0[None], sads_mc], axis=0)  # (5, B)
+    else:
+        sads = jax.vmap(
+            lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr,
+                                   cc, n, g.mi_rows, g.mi_cols, filters,
+                                   x_base)
+        )(cand_r, cand_c)  # (5, B)
     if rates is not None:
         mc, jc = rates["mode_cost"], rates["joint_cost"]
         m = int(rates["mv_cost_max"])
@@ -1202,10 +1238,12 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         zero = jnp.zeros_like(mv_r)
         cand_r = jnp.stack([zero, mv_r, par_r])
         cand_c = jnp.stack([zero, mv_c, par_c])
-        sads = jax.vmap(
+        sad0 = _zero_sse(ref_y, src_blocks, y0, 0, rows, cols, n)
+        sads_mc = jax.vmap(
             lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr,
                                    cc, n, g.mi_rows, g.mi_cols, filters)
-        )(cand_r, cand_c)
+        )(cand_r[1:], cand_c[1:])
+        sads = jnp.concatenate([sad0[None], sads_mc], axis=0)
         if rates is not None:
             mc = rates["mode_cost"]
             m = int(rates["mv_cost_max"])
@@ -1257,7 +1295,8 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     if not skip_candidates:
         mv_r, mv_c, sad_zero, cost_last = _candidate_decide(
             ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, None, prev_mv,
-            rows, cols, n, g, lam, filters, rates=rates)
+            rows, cols, n, g, lam, filters, rates=rates,
+            zone_origin=(y0, 0))
 
     ref_sel = jnp.zeros((b,), jnp.int8)
     if gold is not None:
@@ -1268,11 +1307,11 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         zero = jnp.zeros_like(mv_r)
         g_cands_r = jnp.stack([zero, prev_mv[:, 0]])
         g_cands_c = jnp.stack([zero, prev_mv[:, 1]])
-        g_sses = jax.vmap(
-            lambda cr, cc: _mc_sad(gold[0], src_blocks, pos_y, pos_x,
-                                   cr, cc, n, g.mi_rows, g.mi_cols,
-                                   filters)
-        )(g_cands_r, g_cands_c)  # (2, B)
+        g_sse0 = _zero_sse(gold[0], src_blocks, y0, 0, rows, cols, n)
+        g_sse1 = _mc_sad(gold[0], src_blocks, pos_y, pos_x,
+                         prev_mv[:, 0], prev_mv[:, 1], n, g.mi_rows,
+                         g.mi_cols, filters)
+        g_sses = jnp.stack([g_sse0, g_sse1])  # (2, B)
         if rates is not None:
             mc = rates["mode_cost"]
             g_rate = jnp.stack([mc[2], mc[0]])[:, None]
@@ -1297,25 +1336,31 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         mv_c = jnp.where(use_gold, g_mv_c, mv_c)
 
     # --- MC prediction (Y + chroma) and transform/recon ---
-    pred_y = mc_predict_batch(ref_y, pos_y, pos_x, mv_r, mv_c, n, 0,
-                              g.mi_rows, g.mi_cols, filters)
     nc = n // 2
     pos_yc, pos_xc = pos_y // 2, pos_x // 2
-    pred_u = mc_predict_batch(ref_u, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
-                              g.mi_rows, g.mi_cols, filters)
-    pred_v = mc_predict_batch(ref_v, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
-                              g.mi_rows, g.mi_cols, filters)
-    if gold is not None:
-        gp_y = mc_predict_batch(gold[0], pos_y, pos_x, mv_r, mv_c, n, 0,
-                                g.mi_rows, g.mi_cols, filters)
-        gp_u = mc_predict_batch(gold[1], pos_yc, pos_xc, mv_r, mv_c, nc, 1,
-                                g.mi_rows, g.mi_cols, filters)
-        gp_v = mc_predict_batch(gold[2], pos_yc, pos_xc, mv_r, mv_c, nc, 1,
-                                g.mi_rows, g.mi_cols, filters)
-        sel = (ref_sel > 0)[:, None, None]
-        pred_y = jnp.where(sel, gp_y, pred_y)
-        pred_u = jnp.where(sel, gp_u, pred_u)
-        pred_v = jnp.where(sel, gp_v, pred_v)
+    if gold is None:
+        pred_y = mc_predict_batch(ref_y, pos_y, pos_x, mv_r, mv_c, n, 0,
+                                  g.mi_rows, g.mi_cols, filters)
+        pred_u = mc_predict_batch(ref_u, pos_yc, pos_xc, mv_r, mv_c, nc,
+                                  1, g.mi_rows, g.mi_cols, filters)
+        pred_v = mc_predict_batch(ref_v, pos_yc, pos_xc, mv_r, mv_c, nc,
+                                  1, g.mi_rows, g.mi_cols, filters)
+    else:
+        # one gather over LAST+GOLDEN stacked along rows (per-block
+        # plane select) instead of two full MC batches + a where
+        sel_y = ref_sel.astype(jnp.int32) * ref_y.shape[0]
+        sel_c = ref_sel.astype(jnp.int32) * ref_u.shape[0]
+        pred_y = mc_predict_batch(
+            jnp.concatenate([ref_y, gold[0]], axis=0), pos_y, pos_x,
+            mv_r, mv_c, n, 0, g.mi_rows, g.mi_cols, filters, y_off=sel_y)
+        pred_u = mc_predict_batch(
+            jnp.concatenate([ref_u, gold[1]], axis=0), pos_yc, pos_xc,
+            mv_r, mv_c, nc, 1, g.mi_rows, g.mi_cols, filters,
+            y_off=sel_c)
+        pred_v = mc_predict_batch(
+            jnp.concatenate([ref_v, gold[2]], axis=0), pos_yc, pos_xc,
+            mv_r, mv_c, nc, 1, g.mi_rows, g.mi_cols, filters,
+            y_off=sel_c)
     lv_y, eob_y, rec_y, sc_y = transform_recon(src_blocks, pred_y, dc_q,
                                                ac_q, n, want_scan=True)
     y0c = y0 // 2
