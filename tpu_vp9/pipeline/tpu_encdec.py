@@ -176,19 +176,23 @@ def mc_predict_batch(ref_padded, pos_y, pos_x, mv_r_q3, mv_c_q3,
         # (one gather instead of one per reference + a where)
         y_slice = y_slice + y_off
     wins = jax.vmap(slice_one)(y_slice, BORDER + x0 - 3 - x_base)
-    wins = wins.astype(jnp.int32)
-    f = jnp.asarray(filters, jnp.int32)  # (16, 8)
+    # 8-tap passes in f32 accumulate form: products <= 255*128 and 8-term
+    # sums < 2^24, so f32 is exact; floor((x+64)/128) == (x+64)>>7 for
+    # negatives too.  (The previous int32 einsum over stacked windows
+    # materialized 8x the data and paid TPU int-multiply emulation.)
+    wins = wins.astype(jnp.float32)
+    f = jnp.asarray(np.asarray(filters, np.float32))  # (16, 8)
     fx = f[spx]  # (B, 8)
     fy = f[spy]
-    # horizontal pass -> (B, n+7, n), rounded+clipped intermediates
-    hstack = jnp.stack([wins[:, :, k : k + n_out] for k in range(8)],
-                       axis=-1)
-    inter = jnp.einsum("bhwk,bk->bhw", hstack, fx)
-    inter = jnp.clip((inter + 64) >> 7, 0, 255)
-    vstack = jnp.stack([inter[:, k : k + n_out, :] for k in range(8)],
-                       axis=-1)
-    out = jnp.einsum("bhwk,bk->bhw", vstack, fy)
-    return jnp.clip((out + 64) >> 7, 0, 255).astype(jnp.uint8)
+    acc = wins[:, :, 0:n_out] * fx[:, 0, None, None]
+    for k in range(1, 8):
+        acc = acc + wins[:, :, k : k + n_out] * fx[:, k, None, None]
+    inter = jnp.clip(jnp.floor((acc + 64) * (1.0 / 128.0)), 0, 255)
+    acc = inter[:, 0:n_out, :] * fy[:, 0, None, None]
+    for k in range(1, 8):
+        acc = acc + inter[:, k : k + n_out, :] * fy[:, k, None, None]
+    out = jnp.clip(jnp.floor((acc + 64) * (1.0 / 128.0)), 0, 255)
+    return out.astype(jnp.uint8)
 
 
 def _zero_sse(ref_padded, src_blocks, y0: int, x0: int, rows: int,
@@ -217,6 +221,28 @@ def _mc_sad(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c, n, mi_rows,
                             mi_rows, mi_cols, filters, x_base)
     d = pred.astype(jnp.int32) - src_blocks.astype(jnp.int32)
     return (d * d).sum(axis=(1, 2))
+
+
+def _block_sq_sum(src_blocks):
+    """Exact per-block sum(src^2) as int32 (f32 row sums stay < 2^24)."""
+    s = src_blocks.astype(jnp.float32)
+    return (s * s).sum(axis=2).astype(jnp.int32).sum(axis=1)
+
+
+def _fullpel_sse(ref_padded, src_blocks, pos_y, pos_x, mv_r_q3, mv_c_q3,
+                 n: int):
+    """SSE at the rounded full-pel position (no interpolation) — a
+    cheap MD score for candidates that have no search-map entry (e.g.
+    the GOLDEN reference's prev-MV candidate)."""
+    fy = (mv_r_q3 + 4) >> 3
+    fx = (mv_c_q3 + 4) >> 3
+
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(ref_padded, (y, x), (n, n))
+
+    blocks = jax.vmap(slice_one)(BORDER + pos_y + fy, BORDER + pos_x + fx)
+    d = blocks.astype(jnp.float32) - src_blocks.astype(jnp.float32)
+    return (d * d).sum(axis=2).astype(jnp.int32).sum(axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -299,7 +325,10 @@ def _full_search_sse_mxu(src_blocks, wins, n: int, r: int = WIN_R):
     exact: products <= 255^2, 32-term sums < 2^24), then the diagonal
     j-accumulation runs in int32.  SSE replaces SAD as the full-pel
     metric (libvpx itself refines subpel on variance/SSE).
-    Returns (dy, dx) int32 in [-r, r].
+    Returns (dy, dx, ssem): winner displacement int32 in [-r, r] plus
+    the full (B, D, D) int32 relative-SSE map (true SSE minus the
+    per-block sum(src^2) constant) — the candidate decision gathers
+    its full-pel scores from this map instead of re-running MC.
     """
     b = src_blocks.shape[0]
     d = 2 * r + 1
@@ -325,7 +354,8 @@ def _full_search_sse_mxu(src_blocks, wins, n: int, r: int = WIN_R):
     _, corrs = jax.lax.scan(step, None, jnp.arange(d))
     sse = e2 - 2 * corrs.transpose(1, 0, 2)  # (B, D, D)
     idx = jnp.argmin(sse.reshape(b, -1), axis=1)
-    return (idx // d - r).astype(jnp.int32), (idx % d - r).astype(jnp.int32)
+    return ((idx // d - r).astype(jnp.int32),
+            (idx % d - r).astype(jnp.int32), sse)
 
 
 _Q3_OFFS = np.arange(-6, 7, 2, dtype=np.int32)  # diamond reach, q3
@@ -338,7 +368,10 @@ def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters,
     Evaluates all 7x7 quarter-pel offsets in +-6/8 pel from 16
     precomputed phase planes (4 x-phases x 4 y-phases; H-then-V with
     the exact libvpx intermediate rounding of mc_predict_batch), SSE
-    metric.  Returns (mv_r_q3, mv_c_q3).
+    metric.  All arithmetic runs in f32 where exact (products and
+    8-term sums < 2^24; SSE row sums < 2^24 then int32 accumulation) —
+    the int path pays TPU integer-multiply emulation.
+    Returns (mv_r_q3, mv_c_q3, best_sse int32).
     """
     b = src_blocks.shape[0]
     ln = n + 8
@@ -346,29 +379,35 @@ def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters,
     def slice_one(wn, y0, x0):
         return jax.lax.dynamic_slice(wn, (y0, x0), (ln, ln))
 
-    loc = jax.vmap(slice_one)(wins, dy + r, dx + r).astype(jnp.int32)
-    f = np.asarray(filters, np.int32)  # (16, 8)
+    loc = jax.vmap(slice_one)(wins, dy + r, dx + r).astype(jnp.float32)
+    f = np.asarray(filters, np.float32)  # (16, 8)
     phases = (0, 4, 8, 12)
-    src_i = src_blocks.astype(jnp.int32)
+    src_f = src_blocks.astype(jnp.float32)
 
     # H pass: (B, LN, n+1) per x-phase
     def conv_h(x, taps):
-        acc = x[:, :, 0 : n + 1] * int(taps[0])
+        acc = x[:, :, 0 : n + 1] * float(taps[0])
         for k in range(1, 8):
-            acc = acc + x[:, :, k : k + n + 1] * int(taps[k])
-        return jnp.clip((acc + 64) >> 7, 0, 255)
+            acc = acc + x[:, :, k : k + n + 1] * float(taps[k])
+        return jnp.clip(jnp.floor((acc + 64) * (1.0 / 128.0)), 0, 255)
 
     ih = {px: conv_h(loc, f[px]) for px in phases}
 
     # V pass: (B, n+1, n+1) per (y-phase, x-phase)
     def conv_v(x, taps):
-        acc = x[:, 0 : n + 1, :] * int(taps[0])
+        acc = x[:, 0 : n + 1, :] * float(taps[0])
         for k in range(1, 8):
-            acc = acc + x[:, k : k + n + 1, :] * int(taps[k])
-        return jnp.clip((acc + 64) >> 7, 0, 255)
+            acc = acc + x[:, k : k + n + 1, :] * float(taps[k])
+        return jnp.clip(jnp.floor((acc + 64) * (1.0 / 128.0)), 0, 255)
 
     planes = {(py, px): conv_v(ih[px], f[py])
               for py in phases for px in phases}
+
+    def sse_of(pred):
+        d = pred - src_f
+        rows = (d * d).sum(axis=2)  # 32 terms * 255^2 < 2^24: exact f32
+        return rows.astype(jnp.int32).sum(axis=1)
+
     best_sse = None
     best_oy = best_ox = None
     for oy in _Q3_OFFS:
@@ -379,9 +418,7 @@ def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters,
             qx = int(ox) * 2
             sx = (qx >> 4) + 1
             px = qx & 15
-            pred = planes[(py, px)][:, sy : sy + n, sx : sx + n]
-            diff = pred - src_i
-            sse = (diff * diff).sum(axis=(1, 2))
+            sse = sse_of(planes[(py, px)][:, sy : sy + n, sx : sx + n])
             if best_sse is None:
                 best_sse, best_oy, best_ox = sse, \
                     jnp.full((b,), int(oy), jnp.int32), \
@@ -393,7 +430,8 @@ def _subpel_exhaustive(wins, src_blocks, dy, dx, n: int, filters,
                 best_ox = jnp.where(better, int(ox), best_ox)
     mv_r = dy * 8 + best_oy
     mv_c = dx * 8 + best_ox
-    return mv_r.astype(jnp.int32), mv_c.astype(jnp.int32)
+    return (mv_r.astype(jnp.int32), mv_c.astype(jnp.int32),
+            best_sse.astype(jnp.int32))
 
 
 CHILD_R = 8  # 16-block refinement radius around the 32-parent's winner
@@ -756,18 +794,47 @@ def _lf_vert_gather(plane, rows0: int, nrows: int, xs: np.ndarray,
     taps=4 for width<=8 edge classes: their +-8 gather windows would
     overlap when edges sit 8px apart (tx8 chroma), and overlapping
     scatter windows write back stale pixels over a neighbor's output.
+
+    When xs is a regular (start + k*stride) progression whose +-taps
+    windows stay inside each stride group, the gather/scatter pair
+    collapses to a reshape + static slice (memcpy-class instead of an
+    advanced-index gather — the LF hot spot on TPU).
     """
     if xs.size == 0 or nrows <= 0:
         return plane
-    cols = xs[:, None] + np.arange(-taps, taps)[None, :]  # (E, 2*taps)
-    seg = plane[rows0 : rows0 + nrows][:, cols].astype(jnp.int32)
-    p = [seg[:, :, taps - 1 - k] for k in range(taps)]
-    q = [seg[:, :, taps + k] for k in range(taps)]
+    W = plane.shape[1]
+    if xs.size >= 2:
+        stride = int(xs[1] - xs[0])
+        start = int(xs[0])
+        regular = (np.array_equal(xs, start + stride * np.arange(xs.size))
+                   and start - taps >= 0 and start + taps <= stride
+                   and W % stride == 0
+                   and xs.size == sum(1 for x in range(start, W, stride)))
+    else:
+        regular = False
+    if not regular:
+        cols = xs[:, None] + np.arange(-taps, taps)[None, :]  # (E, 2t)
+        seg = plane[rows0 : rows0 + nrows][:, cols].astype(jnp.int32)
+        p = [seg[:, :, taps - 1 - k] for k in range(taps)]
+        q = [seg[:, :, taps + k] for k in range(taps)]
+        po, qo = _lf_mixed(p, q, width, thresh, limit, blimit)
+        for k in range(len(po)):
+            seg = seg.at[:, :, taps - 1 - k].set(po[k])
+            seg = seg.at[:, :, taps + k].set(qo[k])
+        return plane.at[rows0 : rows0 + nrows, cols].set(
+            seg.astype(jnp.uint8))
+    rows = plane[rows0 : rows0 + nrows]
+    seg = rows.reshape(nrows, W // stride, stride)
+    sub = seg[:, :, start - taps : start + taps].astype(jnp.int32)
+    p = [sub[:, :, taps - 1 - k] for k in range(taps)]
+    q = [sub[:, :, taps + k] for k in range(taps)]
     po, qo = _lf_mixed(p, q, width, thresh, limit, blimit)
     for k in range(len(po)):
-        seg = seg.at[:, :, taps - 1 - k].set(po[k])
-        seg = seg.at[:, :, taps + k].set(qo[k])
-    return plane.at[rows0 : rows0 + nrows, cols].set(seg.astype(jnp.uint8))
+        sub = sub.at[:, :, taps - 1 - k].set(po[k])
+        sub = sub.at[:, :, taps + k].set(qo[k])
+    seg = seg.at[:, :, start - taps : start + taps].set(
+        sub.astype(jnp.uint8))
+    return plane.at[rows0 : rows0 + nrows].set(seg.reshape(nrows, W))
 
 
 def _lf_horz_gather(plane, ys: np.ndarray, cols: np.ndarray,
@@ -785,6 +852,44 @@ def _lf_horz_gather(plane, ys: np.ndarray, cols: np.ndarray,
         seg = seg.at[:, 8 + k, :].set(qo[k])
     return plane.at[rows[:, :, None], cols[None, None, :]].set(
         seg.astype(jnp.uint8))
+
+
+def _lf_horz_regular(plane, ys: np.ndarray, width, thresh, limit,
+                     blimit):
+    """Filter horizontal edges at regular rows ys = s + k*stride over
+    ALL columns (width must already carry the per-column 0-masking for
+    columns the caller excludes, e.g. the SB-boundary bands).
+
+    Reshape-based: the +-8 row windows of a regular progression with
+    stride >= 16 are disjoint and land at a fixed offset within each
+    stride group, so one static slice replaces the row gather."""
+    if ys.size == 0:
+        return plane
+    H, W = plane.shape
+    start = int(ys[0])
+    stride = int(ys[1] - ys[0]) if ys.size >= 2 else 16
+    assert stride >= 16 and start >= 8
+    assert np.array_equal(ys, start + stride * np.arange(ys.size))
+    base = start - 8
+    span = (ys.size - 1) * stride + 16
+    assert base + span <= H
+    seg = jax.lax.slice_in_dim(plane, base, base + span, axis=0)
+    pad = ys.size * stride - span
+    if pad:
+        seg = jnp.pad(seg, ((0, pad), (0, 0)))
+    seg3 = seg.reshape(ys.size, stride, W)
+    sub = seg3[:, :16].astype(jnp.int32)  # (E, 16, W)
+    p = [sub[:, 7 - k, :] for k in range(8)]
+    q = [sub[:, 8 + k, :] for k in range(8)]
+    po, qo = _lf_mixed(p, q, width, thresh, limit, blimit)
+    for k in range(7):
+        sub = sub.at[:, 7 - k, :].set(po[k])
+        sub = sub.at[:, 8 + k, :].set(qo[k])
+    seg3 = seg3.at[:, :16].set(sub.astype(jnp.uint8))
+    out = seg3.reshape(-1, W)
+    if pad:
+        out = out[:span]
+    return jax.lax.dynamic_update_slice_in_dim(plane, out, base, axis=0)
 
 
 def _band_vert(bt, y0, nrows: int, width_rows, thresh, limit, blimit):
@@ -817,6 +922,31 @@ def _band_horz(bt, yy, c0: int, width, thresh, limit, blimit):
         seg = seg.at[7 - k].set(po[k])
         seg = seg.at[8 + k].set(qo[k])
     return jax.lax.dynamic_update_slice(bt, seg, (yy - 8, 0, c0))
+
+
+def _band_horz_multi(bt, y0p, dys, c0: int, widths, thresh, limit,
+                     blimit):
+    """Batched horizontal band edges at rows y0+dy (static dys whose
+    +-8 windows are pairwise disjoint -> one filter call instead of
+    len(dys)).
+
+    bt: band tensor PADDED with 8 rows top+bottom; y0p: traced padded
+    row of dy=0 (>= 8, so every window offset is static within one
+    dynamic slice).  widths: (D, nb, 1), carries all ok/alive gating."""
+    lo = min(dys)
+    span = max(dys) - lo + 16
+    seg = jax.lax.dynamic_slice(
+        bt, (y0p + lo - 8, 0, c0), (span, bt.shape[1], 8))
+    subs = jnp.stack([seg[dy - lo : dy - lo + 16] for dy in dys])
+    p = [subs[:, 7 - k] for k in range(8)]
+    q = [subs[:, 8 + k] for k in range(8)]
+    po, qo = _lf_mixed(p, q, widths, thresh, limit, blimit)
+    for k in range(7):
+        subs = subs.at[:, 7 - k].set(po[k])
+        subs = subs.at[:, 8 + k].set(qo[k])
+    for i, dy in enumerate(dys):
+        seg = seg.at[dy - lo : dy - lo + 16].set(subs[i])
+    return jax.lax.dynamic_update_slice(bt, seg, (y0p + lo - 8, 0, c0))
 
 
 def _cols_away_from_boundaries(width_px: int, sb: int) -> np.ndarray:
@@ -925,37 +1055,46 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
                             thresh, lim, mblim, taps=4)
 
     # ---- pass 2: horizontal edges away from SB-boundary columns ----
-    ys_y = np.arange(32, h_mi, 32, dtype=np.int64)
+    # regular-stride rows over ALL columns, with the SB-band columns
+    # (and any pad columns beyond the visible width) masked to width 0 —
+    # identical results, no advanced-index gathers
+    pw, pwc = y.shape[1], u.shape[1]
     cols_y = _cols_away_from_boundaries(w_mi, 64)
-    y = _lf_horz_gather(y, ys_y, cols_y, w16, thresh, lim, mblim)
+    mask_y = np.zeros((pw,), np.int32)
+    mask_y[cols_y] = 1
     cols_c = _cols_away_from_boundaries(w_mi_c, 32)
+    mask_c = np.zeros((pwc,), np.int32)
+    mask_c[cols_c] = 1
+    mask_yj = jnp.asarray(mask_y)[None, :]
+    mask_cj = jnp.asarray(mask_c)[None, :]
+    colblk_y = np.clip(np.arange(pw) // 32, 0, g.cols32 - 1)
+    colblk_c = np.clip(np.arange(pwc) // 16, 0, g.cols32 - 1)
+    ys_y = np.arange(32, h_mi, 32, dtype=np.int64)
+    y = _lf_horz_regular(y, ys_y, w16 * mask_yj, thresh, lim, mblim)
     ys_c = np.array([yy for yy in range(16, h_mi_c, 16)
                      if not (g.strip and yy >= strip_yc)], np.int64)
     if split32 is None:
-        u = _lf_horz_gather(u, ys_c, cols_c, w16, thresh, lim, mblim)
-        v = _lf_horz_gather(v, ys_c, cols_c, w16, thresh, lim, mblim)
+        u = _lf_horz_regular(u, ys_c, w16 * mask_cj, thresh, lim, mblim)
+        v = _lf_horz_regular(v, ys_c, w16 * mask_cj, thresh, lim, mblim)
     else:
         # luma 16-offset horizontals inside split blocks
         ys_y16 = np.array([yy for yy in range(16, h_mi, 16) if yy % 32],
                           np.int64)
-        if ys_y16.size and cols_y.size:
-            w_hy16 = w16 * split32[ys_y16 // 32][:, cols_y // 32]  # (E, K)
-            y = _lf_horz_gather(y, ys_y16, cols_y, w_hy16, thresh, lim,
-                                mblim)
+        if ys_y16.size:
+            w_hy16 = w16 * split32[ys_y16 // 32][:, colblk_y] * mask_yj
+            y = _lf_horz_regular(y, ys_y16, w_hy16, thresh, lim, mblim)
         # chroma 8-offset horizontals (split blocks, w8; writes +-3 so
         # the 16-mult windows below stay untouched per-row)
         ys_c8 = np.array([yy for yy in range(8, h_mi_c, 8) if yy % 16],
                          np.int64)
-        if ys_c8.size and cols_c.size:
-            w_hc8 = w8 * split32[ys_c8 // 16][:, cols_c // 16]
-            u = _lf_horz_gather(u, ys_c8, cols_c, w_hc8, thresh, lim,
-                                mblim)
-            v = _lf_horz_gather(v, ys_c8, cols_c, w_hc8, thresh, lim,
-                                mblim)
-        w_hc16 = jnp.where(split32[ys_c // 16][:, cols_c // 16] > 0,
-                           w8, w16)
-        u = _lf_horz_gather(u, ys_c, cols_c, w_hc16, thresh, lim, mblim)
-        v = _lf_horz_gather(v, ys_c, cols_c, w_hc16, thresh, lim, mblim)
+        if ys_c8.size:
+            w_hc8 = w8 * split32[ys_c8 // 16][:, colblk_c] * mask_cj
+            u = _lf_horz_regular(u, ys_c8, w_hc8, thresh, lim, mblim)
+            v = _lf_horz_regular(v, ys_c8, w_hc8, thresh, lim, mblim)
+        w_hc16 = jnp.where(split32[ys_c // 16][:, colblk_c] > 0,
+                           w8, w16) * mask_cj
+        u = _lf_horz_regular(u, ys_c, w_hc16, thresh, lim, mblim)
+        v = _lf_horz_regular(v, ys_c, w_hc16, thresh, lim, mblim)
     if g.strip:
         ys_cs = np.array([strip_yc], np.int64)  # width-8 tx8 edge
         u = _lf_horz_gather(u, ys_cs, cols_c, w8, thresh, lim, mblim)
@@ -982,9 +1121,15 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
 
     bcols_y = xs_b[:, None] + np.arange(-8, 8)[None, :]  # (nb, 16)
     bcols_c = xcs_b[:, None] + np.arange(-8, 8)[None, :]
-    bt_y = y[:, bcols_y].astype(jnp.int32)  # (H, nb, 16)
-    bt_u = u[:, bcols_c].astype(jnp.int32)
-    bt_v = v[:, bcols_c].astype(jnp.int32)
+    # band tensors padded 8 rows top+bottom so every horizontal window
+    # offset stays static inside one dynamic slice (no clamping at the
+    # frame top); u and v are concatenated along the band axis — same
+    # edge geometry, one filter call for both chroma planes
+    bt_y = jnp.pad(y[:, bcols_y].astype(jnp.int32),
+                   ((8, 8), (0, 0), (0, 0)))  # (H+16, nb, 16)
+    bt_c = jnp.pad(jnp.concatenate(
+        [u[:, bcols_c], v[:, bcols_c]], axis=1).astype(jnp.int32),
+        ((8, 8), (0, 0), (0, 0)))
     # per-half deciding 32-block columns of each band (static)
     lb_y = xs_b // 32 - 1
     rb_y = xs_b // 32
@@ -995,8 +1140,9 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
         sp_pad = jnp.pad(split32, ((0, n_sbr2 - split32.shape[0]), (0, 0)))
 
     def row_step(carry, r):
-        bty, btu, btv = carry
+        bty, btc = carry
         y0 = r * 64
+        y0p = y0 + 8
         if split32 is not None:
             # the two 32-block rows of this SB row
             sp2 = jax.lax.dynamic_slice_in_dim(sp_pad, 2 * r, 2, axis=0)
@@ -1013,20 +1159,28 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
             sp = sp2[dy // 32][half_cols]  # dy 16 -> row 0, 48 -> row 1
             return w16 * sp * ok
 
-        # luma: left horizontal halves, vertical, right horizontal halves
+        # luma: left horizontal halves, vertical, right horizontal
+        # halves.  All dys are 16+ apart -> +-8 windows disjoint -> one
+        # batched call per half.
         dys_y = (0, 16, 32, 48) if split32 is not None else (0, 32)
-        for dy in dys_y:
-            bty = _band_horz(bty, y0 + dy, 0,
-                             h_widths_y(dy, lb_y)[:, None], thresh, lim,
-                             mblim)
+
+        def wstack(fn, dys, half_cols, tile2=False):
+            ws = jnp.stack([fn(dy, half_cols) for dy in dys])
+            if tile2:
+                ws = jnp.concatenate([ws, ws], axis=1)
+            return ws[:, :, None]
+
+        bty = _band_horz_multi(bty, y0p, dys_y, 0,
+                               wstack(h_widths_y, dys_y, lb_y), thresh,
+                               lim, mblim)
         wy = jnp.where((y0 + rowi) < h_mi, w16, 0)
-        bty = _band_vert(bty, y0, 64, wy, thresh, lim, mblim)
-        for dy in dys_y:
-            bty = _band_horz(bty, y0 + dy, 8,
-                             h_widths_y(dy, rb_y)[:, None], thresh, lim,
-                             mblim)
+        bty = _band_vert(bty, y0p, 64, wy, thresh, lim, mblim)
+        bty = _band_horz_multi(bty, y0p, dys_y, 8,
+                               wstack(h_widths_y, dys_y, rb_y), thresh,
+                               lim, mblim)
         # chroma (identical structure at half scale; strip rows are tx8)
         y0c = r * 32
+        y0cp = y0c + 8
         strip_row = g.strip & ((y0c + rowi_c) >= strip_yc)
         wc = jnp.where((y0c + rowi_c) < h_mi_c,
                        jnp.where(strip_row, w8, w16), 0)
@@ -1034,6 +1188,7 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
             spc2 = jnp.repeat(sp2, 16, axis=0)  # (32, cols32)
             wc = jnp.where((y0c + rowi_c) < h_mi_c,
                            jnp.where(spc2[:, rb_c] > 0, w8, w16), 0)
+            wc = jnp.concatenate([wc, wc], axis=1)
 
         def h_widths_c(dy, half_cols):
             yyc = y0c + dy
@@ -1046,48 +1201,80 @@ def loop_filter_device(y, u, v, geom: Geom, lvl, lim, mblim,
                 return jnp.where(sp > 0, w8, w16) * ok
             return w8 * sp * ok
 
-        dys_c = (0, 8, 16, 24) if split32 is not None else (0, 16)
+        if split32 is None:
+            # dys (0, 16): windows disjoint -> batched
+            dys_c = (0, 16)
+            btc2 = _band_horz_multi(btc, y0cp, dys_c, 0,
+                                    wstack(h_widths_c, dys_c, lb_c,
+                                           tile2=True), thresh, lim,
+                                    mblim)
+            btc2 = _band_vert(btc2, y0cp, 32, wc, thresh, lim, mblim)
+            btc2 = _band_horz_multi(btc2, y0cp, dys_c, 8,
+                                    wstack(h_widths_c, dys_c, rb_c,
+                                           tile2=True), thresh, lim,
+                                    mblim)
+        else:
+            # 8px-apart split edges chain through overlapping windows:
+            # keep them sequential (u+v still ride one tensor)
+            btc2 = btc
+            for dy in (0, 8, 16, 24):
+                w2 = jnp.concatenate([h_widths_c(dy, lb_c)] * 2)[:, None]
+                btc2 = _band_horz(btc2, y0cp + dy, 0, w2, thresh, lim,
+                                  mblim)
+            btc2 = _band_vert(btc2, y0cp, 32, wc, thresh, lim, mblim)
+            for dy in (0, 8, 16, 24):
+                w2 = jnp.concatenate([h_widths_c(dy, rb_c)] * 2)[:, None]
+                btc2 = _band_horz(btc2, y0cp + dy, 8, w2, thresh, lim,
+                                  mblim)
 
-        def chroma(btc):
-            b = btc
-            for dy in dys_c:
-                b = _band_horz(b, y0c + dy, 0,
-                               h_widths_c(dy, lb_c)[:, None], thresh,
-                               lim, mblim)
-            b = _band_vert(b, y0c, 32, wc, thresh, lim, mblim)
-            for dy in dys_c:
-                b = _band_horz(b, y0c + dy, 8,
-                               h_widths_c(dy, rb_c)[:, None], thresh,
-                               lim, mblim)
-            return b
+        return (bty, btc2), None
 
-        return (bty, chroma(btu), chroma(btv)), None
-
-    (bt_y, bt_u, bt_v), _ = jax.lax.scan(
-        row_step, (bt_y, bt_u, bt_v), jnp.arange(n_sbr))
-    y = y.at[:, bcols_y].set(bt_y.astype(jnp.uint8))
-    u = u.at[:, bcols_c].set(bt_u.astype(jnp.uint8))
-    v = v.at[:, bcols_c].set(bt_v.astype(jnp.uint8))
+    (bt_y, bt_c), _ = jax.lax.scan(
+        row_step, (bt_y, bt_c), jnp.arange(n_sbr))
+    nb = xcs_b.size
+    y = y.at[:, bcols_y].set(bt_y[8:-8].astype(jnp.uint8))
+    u = u.at[:, bcols_c].set(bt_c[8:-8, :nb].astype(jnp.uint8))
+    v = v.at[:, bcols_c].set(bt_c[8:-8, nb:].astype(jnp.uint8))
     return y, u, v
 
 
-def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
-                      sad_new, prev_mv, rows: int, cols: int, n: int,
-                      geom: Geom, lam, filters, x_base=0,
-                      left_edge=None, rates=None, zone_origin=None):
+def _ssem_gather(ssem, mv_r_q3, mv_c_q3, r: int):
+    """Relative SSE of q3 MVs at their nearest full-pel map entry.
+
+    ssem: (B, D, D) relative-SSE map from _full_search_sse_mxu.  MVs
+    outside the +-r window clamp to the map edge (score-only; the
+    coded MV stays exact)."""
+    d = 2 * r + 1
+    fy = jnp.clip((mv_r_q3 + 4) >> 3, -r, r) + r
+    fx = jnp.clip((mv_c_q3 + 4) >> 3, -r, r) + r
+    b = ssem.shape[0]
+    flat = ssem.reshape(b, d * d)
+    return jnp.take_along_axis(flat, (fy * d + fx)[:, None],
+                               axis=1)[:, 0]
+
+
+def _candidate_decide(ssem, src2, sse_new, new_r, new_c, prev_mv,
+                      rows: int, cols: int, r: int, lam,
+                      left_edge=None, rates=None):
     """Pick the best MV among {ZERO, NEW, PREV, LEFT-new, ABOVE-new}.
 
-    Cost = exact-MC SSE + rate.  Rate comes from the frame's real
-    entropy tables when `rates` (make_rate_tabs upload) is given —
-    mode-tree costs, mv-joint and nmv component LUTs for NEWMV's mvd
-    bits against the left predictor — else from the legacy proxies.
-    LEFT/ABOVE are the neighbours' NEW (search) MVs from this same
-    pass — a stand-in for the normative NEAREST/NEAR the host
-    classifies afterwards, biasing the field toward coherent
-    (cheap-to-code) choices.  left_edge: (rows, 2) NEW MVs of the
-    column left of this (column-sharded) zone; None = frame edge
-    (zeros).  Returns (mv_r, mv_c, sad_zero, best_cost_f32)."""
-    g = geom
+    Scores come from the exhaustive search's relative-SSE map (NEW uses
+    its exact subpel SSE; ZERO's map entry is exact; PREV/LEFT/ABOVE
+    score at their rounded full-pel position — an MD heuristic, the
+    chosen MV itself is still coded and compensated exactly).  Rate
+    comes from the frame's real entropy tables when `rates`
+    (make_rate_tabs upload) is given — mode-tree costs, mv-joint and
+    nmv component LUTs for NEWMV's mvd bits against the left
+    predictor — else from the legacy proxies.  LEFT/ABOVE are the
+    neighbours' NEW (search) MVs from this same pass — a stand-in for
+    the normative NEAREST/NEAR the host classifies afterwards, biasing
+    the field toward coherent (cheap-to-code) choices.  left_edge:
+    (rows, 2) NEW MVs of the column left of this (column-sharded)
+    zone; None = frame edge (zeros).
+    Returns (mv_r, mv_c, best_cost_f32) with cost in true-SSE units
+    (src2 = per-block sum(src^2) restores the map's dropped constant).
+    """
+    b = new_r.shape[0]
     zero = jnp.zeros_like(new_r)
     nr2 = new_r.reshape(rows, cols)
     nc2 = new_c.reshape(rows, cols)
@@ -1105,22 +1292,14 @@ def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
     prev_c = prev_mv[:, 1]
     cand_r = jnp.stack([zero, new_r, prev_r, left_r, above_r])  # (5, B)
     cand_c = jnp.stack([zero, new_c, prev_c, left_c, above_c])
-    if zone_origin is not None:
-        # regular-grid zone with a static origin: cheap exact ZERO SSE
-        sad0 = _zero_sse(ref_y, src_blocks, zone_origin[0],
-                         zone_origin[1], rows, cols, n)
-        sads_mc = jax.vmap(
-            lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr,
-                                   cc, n, g.mi_rows, g.mi_cols, filters,
-                                   x_base)
-        )(cand_r[1:], cand_c[1:])  # (4, B)
-        sads = jnp.concatenate([sad0[None], sads_mc], axis=0)  # (5, B)
-    else:
-        sads = jax.vmap(
-            lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr,
-                                   cc, n, g.mi_rows, g.mi_cols, filters,
-                                   x_base)
-        )(cand_r, cand_c)  # (5, B)
+    sse0 = ssem[:, r, r]
+    sads = jnp.stack([
+        sse0,
+        sse_new - src2,
+        _ssem_gather(ssem, prev_r, prev_c, r),
+        _ssem_gather(ssem, left_r, left_c, r),
+        _ssem_gather(ssem, above_r, above_c, r),
+    ])  # (5, B) relative SSE
     if rates is not None:
         mc, jc = rates["mode_cost"], rates["joint_cost"]
         m = int(rates["mv_cost_max"])
@@ -1147,8 +1326,9 @@ def _candidate_decide(ref_y, src_blocks, pos_y, pos_x, new_r, new_c,
                           rs * jnp.ones_like(mvd)])  # (5, B)
         costs = sads.astype(jnp.float32) + lam.astype(jnp.float32) * rate
     best = jnp.argmin(costs, axis=0)
-    bidx = (best, jnp.arange(src_blocks.shape[0]))
-    return cand_r[bidx], cand_c[bidx], sads[0], costs[bidx]
+    bidx = (best, jnp.arange(b))
+    return (cand_r[bidx], cand_c[bidx],
+            costs[bidx] + src2.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -1211,6 +1391,7 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     b = rows * cols
     y0 = 0 if (n == 32 or full16) else g.strip_y
     src_blocks = _extract_blocks(src_y, y0, rows, cols, n)
+    src2 = _block_sq_sum(src_blocks)
 
     # --- exhaustive full-pel SSE search (MXU) + exhaustive quarter-pel,
     # from one statically-gathered window per block (or, for the full16
@@ -1220,15 +1401,17 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         assert full16 and n == 16
         wins, base_y, base_x = _extract_child_windows(
             parent_me[0], parent_me[1], parent_me[2], g)
-        ddy, ddx = _full_search_sse_mxu(src_blocks, wins, n, r=CHILD_R)
-        rel_r, rel_c = _subpel_exhaustive(wins, src_blocks, ddy, ddx, n,
-                                          filters, r=CHILD_R)
+        ddy, ddx, ssem_c = _full_search_sse_mxu(src_blocks, wins, n,
+                                                r=CHILD_R)
+        rel_r, rel_c, sse_new = _subpel_exhaustive(
+            wins, src_blocks, ddy, ddx, n, filters, r=CHILD_R)
         mv_r = base_y * 8 + rel_r
         mv_c = base_x * 8 + rel_c
         # slim candidate set for the child zone: {ZERO, NEW, PARENT}
         # (the parent's subpel winner doubles as the coherence
-        # candidate) — the full 5-candidate exact-MC pass at 4x the
-        # block count was the next on-chip hot spot after its search
+        # candidate).  ZERO is exact (contiguous reshape); NEW is the
+        # exact subpel SSE; PARENT scores at its full-pel entry of the
+        # child's search map (no MC re-runs on this path at all).
         par_r = jnp.repeat(jnp.repeat(
             parent_me[1].reshape(g.rows32, g.cols32), 2, 0), 2, 1) \
             .reshape(-1) * 8
@@ -1239,11 +1422,14 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         cand_r = jnp.stack([zero, mv_r, par_r])
         cand_c = jnp.stack([zero, mv_c, par_c])
         sad0 = _zero_sse(ref_y, src_blocks, y0, 0, rows, cols, n)
-        sads_mc = jax.vmap(
-            lambda cr, cc: _mc_sad(ref_y, src_blocks, pos_y, pos_x, cr,
-                                   cc, n, g.mi_rows, g.mi_cols, filters)
-        )(cand_r[1:], cand_c[1:])
-        sads = jnp.concatenate([sad0[None], sads_mc], axis=0)
+        rch = CHILD_R
+        dch = 2 * rch + 1
+        fy = jnp.clip(((par_r + 4) >> 3) - base_y, -rch, rch) + rch
+        fx = jnp.clip(((par_c + 4) >> 3) - base_x, -rch, rch) + rch
+        sse_par = jnp.take_along_axis(
+            ssem_c.reshape(b, dch * dch), (fy * dch + fx)[:, None],
+            axis=1)[:, 0] + src2
+        sads = jnp.stack([sad0, sse_new, sse_par])
         if rates is not None:
             mc = rates["mode_cost"]
             m = int(rates["mv_cost_max"])
@@ -1273,30 +1459,25 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         bidx = (best, jnp.arange(b))
         mv_r = cand_r[bidx]
         mv_c = cand_c[bidx]
-        sad_zero = sads[0]
         cost_last = costs[bidx]
-        skip_candidates = True
     else:
-        skip_candidates = False
-    if parent_me is None:
         wins = _extract_search_windows(ref_y, n, rows, cols, y0,
                                        np.arange(cols, dtype=np.int64) * n)
-        dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
-        mv_r, mv_c = _subpel_exhaustive(wins, src_blocks, dy, dx, n,
-                                        filters)
+        dy, dx, ssem = _full_search_sse_mxu(src_blocks, wins, n)
+        mv_r, mv_c, sse_new = _subpel_exhaustive(wins, src_blocks, dy,
+                                                 dx, n, filters)
         if return_me:
             me_out = {"wins": wins, "dy": dy, "dx": dx}
-    # --- candidate decision (fast-loop cost, EbEncDecProcess.c:180;
-    # candidate injection EbModeDecision.c:185-457): ZERO, NEW, the
-    # temporal (prev-frame) MV, and the left/above blocks' NEW MVs.
-    # Spatial/temporal candidates usually classify as NEAREST/NEAR at
-    # serialization (no mvd bits), so they carry lower rate costs;
-    # NEW additionally pays its mvd bits against the left predictor.
-    if not skip_candidates:
-        mv_r, mv_c, sad_zero, cost_last = _candidate_decide(
-            ref_y, src_blocks, pos_y, pos_x, mv_r, mv_c, None, prev_mv,
-            rows, cols, n, g, lam, filters, rates=rates,
-            zone_origin=(y0, 0))
+        # --- candidate decision (fast-loop cost, EbEncDecProcess.c:180;
+        # candidate injection EbModeDecision.c:185-457): ZERO, NEW, the
+        # temporal (prev-frame) MV, and the left/above blocks' NEW MVs.
+        # Spatial/temporal candidates usually classify as NEAREST/NEAR
+        # at serialization (no mvd bits), so they carry lower rate
+        # costs; NEW additionally pays its mvd bits against the left
+        # predictor.
+        mv_r, mv_c, cost_last = _candidate_decide(
+            ssem, src2, sse_new, mv_r, mv_c, prev_mv, rows, cols,
+            WIN_R, lam, rates=rates)
 
     ref_sel = jnp.zeros((b,), jnp.int8)
     if gold is not None:
@@ -1308,9 +1489,8 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         g_cands_r = jnp.stack([zero, prev_mv[:, 0]])
         g_cands_c = jnp.stack([zero, prev_mv[:, 1]])
         g_sse0 = _zero_sse(gold[0], src_blocks, y0, 0, rows, cols, n)
-        g_sse1 = _mc_sad(gold[0], src_blocks, pos_y, pos_x,
-                         prev_mv[:, 0], prev_mv[:, 1], n, g.mi_rows,
-                         g.mi_cols, filters)
+        g_sse1 = _fullpel_sse(gold[0], src_blocks, pos_y, pos_x,
+                              prev_mv[:, 0], prev_mv[:, 1], n)
         g_sses = jnp.stack([g_sse0, g_sse1])  # (2, B)
         if rates is not None:
             mc = rates["mode_cost"]
@@ -1411,7 +1591,6 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         "rec_v": _scatter_blocks(rec_v, rows, cols, nc),
         "dist_b": dist_b, "rate_b": rate_b,
         "dist": dist_b.sum(), "rate": rate_b.sum(),
-        "sad_zero": sad_zero,
         **me_out,
     }
 

@@ -30,10 +30,10 @@ import numpy as np
 
 from tpu_vp9.bitstream import tables as T
 from tpu_vp9.pipeline.tpu_encdec import (
-    BORDER, WIN_R, Geom, _candidate_decide, _extract_search_windows,
-    _full_search_sse_mxu, _scatter_blocks, _subpel_exhaustive,
-    extend_borders_device, loop_filter_device, mc_predict_batch,
-    transform_recon,
+    BORDER, WIN_R, Geom, _block_sq_sum, _candidate_decide,
+    _extract_search_windows, _full_search_sse_mxu, _scatter_blocks,
+    _subpel_exhaustive, extend_borders_device, loop_filter_device,
+    mc_predict_batch, transform_recon,
 )
 
 
@@ -119,9 +119,10 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
     wins = _extract_search_windows(
         ref_y_h, n, rows, cols_loc, y_base,
         np.arange(cols_loc, dtype=np.int64) * n)
-    dy, dx = _full_search_sse_mxu(src_blocks, wins, n)
-    mv_r, mv_c = _subpel_exhaustive(wins, src_blocks, dy, dx, n, filters)
-    sad_new = None
+    dy, dx, ssem = _full_search_sse_mxu(src_blocks, wins, n)
+    mv_r, mv_c, sse_new = _subpel_exhaustive(wins, src_blocks, dy, dx, n,
+                                             filters)
+    src2 = _block_sq_sum(src_blocks)
     # candidate decision needs the previous shard's boundary-column NEW
     # MVs (single small ppermute; frame edge gets zeros, matching the
     # unsharded zero-pad)
@@ -134,10 +135,9 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
         edge = jnp.where(tile_idx == 0, jnp.zeros_like(edge), edge)
     else:
         edge = jnp.zeros_like(new2[:, -1])
-    mv_r, mv_c, sad_zero, _ = _candidate_decide(
-        ref_y_h, src_blocks, pos_y, pos_x, mv_r, mv_c, sad_new, prev_mv,
-        rows, cols_loc, n, g, lam, filters, x_base=x_base_y,
-        left_edge=edge)
+    mv_r, mv_c, _ = _candidate_decide(
+        ssem, src2, sse_new, mv_r, mv_c, prev_mv, rows, cols_loc,
+        WIN_R, lam, left_edge=edge)
 
     pred_y = mc_predict_batch(ref_y_h, pos_y, pos_x, mv_r, mv_c, n, 0,
                               g.mi_rows, g.mi_cols, filters,
