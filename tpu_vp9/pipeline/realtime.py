@@ -221,6 +221,8 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
                      else ["lv_y", "lv_u", "lv_v"])
             if "ref" in z:
                 keys.append("ref")
+            if "sel_idx" in z:
+                keys.append("sel_idx")
             host[zone] = {k: np.asarray(z[k]) for k in keys}
         host["m32"]["dist"] = np.asarray(outs["m32"]["dist"])
         host["m32"]["rate"] = np.asarray(outs["m32"]["rate"])
@@ -233,26 +235,28 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
         for zone in zones:
             hz = host[zone]
             of_cnt = int(hz["of_cnt"])
-            if not of_cnt:
-                continue
-            from tpu_vp9.utils.trace import notice
-
-            clean = False
             idx = hz["of_idx"]
             sel = idx >= 0
-            if of_cnt > sel.sum():
-                # more overflow than the buffer holds (rare):
-                # whole-plane fallback for this zone (extra transfer)
-                notice("rt scan-prefix overflow buffer exceeded "
-                       f"({of_cnt} blocks); full-plane fetch")
-                for k in ("lv_y", "lv_u", "lv_v"):
-                    hz[k] = np.asarray(outs[zone][k])
-                for k in ("lvs_y", "lvs_u", "lvs_v"):
-                    hz.pop(k, None)
+            if of_cnt and of_cnt > sel.sum():
+                clean = False
+                if not _fetch_overflow_tier2(hz, outs[zone], of_cnt):
+                    from tpu_vp9.utils.trace import notice
+
+                    # more overflow than even the tier-2 gather holds
+                    # (very rare): whole-plane fallback for this zone
+                    notice("rt scan-prefix overflow buffer exceeded "
+                           f"({of_cnt} blocks); full-plane fetch")
+                    for k in ("lv_y", "lv_u", "lv_v"):
+                        hz[k] = np.asarray(outs[zone][k])
+                    for k in ("lvs_y", "lvs_u", "lvs_v"):
+                        hz.pop(k, None)
             else:
+                if of_cnt:
+                    clean = False
                 hz["of_idx"] = idx[sel]
                 for k in ("lv_y", "lv_u", "lv_v"):
                     hz["of_" + k] = hz["of_" + k][sel]
+    _expand_m16f(host, geom)
     host["scan_ks"] = ((SCAN_PREFIX_K[32], SCAN_PREFIX_K[16],
                         SCAN_PREFIX_K[16], SCAN_PREFIX_K[8])
                        if scan and clean else (0, 0, 0, 0))
@@ -263,6 +267,62 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
                        host.pop("rec_v")]
     host["stats"] = (float(host["m32"]["dist"]), int(host["m32"]["rate"]))
     return host
+
+
+OF_TIER2 = 256  # static row count of the second-tier overflow gather
+
+
+def _fetch_overflow_tier2(hz, zdev, of_cnt: int) -> bool:
+    """Batched device gather of ALL overflowing blocks' full level rows
+    (static OF_TIER2 padding -> one cached executable + one ~0.5 MB
+    transfer), replacing the 4 MB whole-plane fallback whenever the
+    in-step top-k buffer is too small.  Returns False if even OF_TIER2
+    rows don't suffice."""
+    if of_cnt > OF_TIER2 or "of_flag" not in hz:
+        return False
+    import jax.numpy as jnp
+
+    idx = np.nonzero(hz["of_flag"])[0]
+    pad = np.zeros((OF_TIER2,), np.int32)
+    pad[: idx.size] = idx
+    padj = jnp.asarray(pad)
+    rows = [np.asarray(jnp.take(zdev[k], padj, axis=0))
+            for k in ("lv_y", "lv_u", "lv_v")]
+    hz["of_idx"] = idx
+    for k, r in zip(("of_lv_y", "of_lv_u", "of_lv_v"), rows):
+        hz[k] = r[: idx.size]
+    return True
+
+
+def _expand_m16f(host, geom: Geom):
+    """Scatter the masked child-zone outputs (4K arrays for the K
+    probe-selected parents) into full 16-grid arrays so the walk /
+    serializer stay selection-agnostic.  Child order: k*4 + 2*i + j."""
+    z = host.get("m16f")
+    if z is None or "sel_idx" not in z:
+        return
+    g = geom
+    sel = np.asarray(z.pop("sel_idx"), np.int64)
+    cols16 = g.cols32 * 2
+    b16 = g.rows32 * 2 * cols16
+    pr, pc = sel // g.cols32, sel % g.cols32
+    ii = np.array([0, 0, 1, 1])
+    jj = np.array([0, 1, 0, 1])
+    cidx = ((2 * pr[:, None] + ii[None]) * cols16
+            + 2 * pc[:, None] + jj[None]).reshape(-1)  # (4K,)
+    for k in list(z):
+        if k in ("of_cnt",):
+            continue
+        if k == "of_idx":
+            idx = z[k]
+            z[k] = np.where(idx >= 0, cidx[np.clip(idx, 0, None)], -1)
+            continue
+        if k.startswith("of_"):
+            continue  # overflow rows follow of_idx, already child rows
+        arr = z[k]
+        full = np.zeros((b16,) + arr.shape[1:], arr.dtype)
+        full[cidx] = arr
+        z[k] = full
 
 
 def _reconstruct_levels(host, geom: Geom):
@@ -365,16 +425,42 @@ class RtSession:
         self._rates_key = None
         self._rates_dev = None
         self._prev_mv32 = jnp.zeros((self.g.n_blocks32, 2), jnp.int32)
-        if self.split16:
-            n16 = self.g.rows32 * 2 * self.g.cols32 * 2
-            self._prev_mv16 = jnp.zeros((n16, 2), jnp.int32)
-        else:
-            self._prev_mv16 = jnp.zeros(
-                (self.g.cols16 if self.g.strip else 1, 2), jnp.int32)
+        # split16 children carry no temporal candidate (ZERO/NEW/PARENT
+        # only), so only strip geometries track a 16-grid motion field
+        self._prev_mv16 = jnp.zeros(
+            (self.g.cols16 if self.g.strip else 1, 2), jnp.int32)
         self._pending = None  # (frame, idx, hdr, device outs, qidx)
         self._prev_snap = None  # mv snapshot of the last serialized frame
         self._last_was_inter = False
         self._idx = 0
+        # async serialization worker (EbEntropyCodingProcess.c's role as
+        # a pipeline stage): frame N-1's HOST serialization (pure
+        # numpy/C++, no jax calls — device fetches stay on the main
+        # thread so they never contend with dispatches) runs on a
+        # worker thread while frame N's device step runs.  CQP only:
+        # rate-controlled sessions need rc.update before the next
+        # frame_qindex, so they stay synchronous.  The device rate
+        # tables always read the frame context captured at the last
+        # JOIN (the post-(N-2) state) — deterministic regardless of
+        # thread timing.
+        self._ser_async = rc is None
+        self._ser_pool = None
+        self._futs = None
+        self._rates_fc = self._fc[0]
+        if self._ser_async:
+            import collections
+            import concurrent.futures as cf
+
+            self._ser_pool = cf.ThreadPoolExecutor(max_workers=1)
+            self._futs = collections.deque()
+
+    def _drain_futs(self, out):
+        if self._futs:
+            while self._futs:
+                ef, fc = self._futs.popleft().result()
+                self._rates_fc = fc
+                out.append(ef)
+        return out
 
     def _rate_args(self, qidx: int):
         """Device uploads of the frame's entropy rate tables (cached by
@@ -383,7 +469,7 @@ class RtSession:
 
         from tpu_vp9.pipeline.tpu_encdec import make_rate_tabs
 
-        fc = self._fc[0]
+        fc = self._rates_fc if self._ser_async else self._fc[0]
         key = (id(fc), qidx)
         if self._rates_key != key:
             t = make_rate_tabs(fc, qidx)
@@ -631,6 +717,7 @@ class RtSession:
         hdr.loop_filter.mode_ref_delta_enabled = False
         payload = assemble_frame(hdr, tile, updates)
         self._fc_update(st, hdr, True, None)
+        self._rates_fc = self._fc[0]
         self._prev_snap = None
         if self.want_recon:
             mi_h, mi_w = g.h_mi, g.w_mi
@@ -662,6 +749,7 @@ class RtSession:
         _apply_loop_filter(st, hdr, qidx, True, enabled=self.loop_filter)
         payload = assemble_frame(hdr, tile, st.header_updates)
         self._fc_update(st, hdr, True, None)
+        self._rates_fc = self._fc[0]
         self._prev_snap = None
         mi_h, mi_w = g.h_mi, g.w_mi
         recon = [st.planes[p].recon[: mi_h >> (0 if p == 0 else 1),
@@ -682,10 +770,32 @@ class RtSession:
         return EncodedFrame(payload=payload, is_keyframe=True,
                             qindex=qidx, state=st, pts=idx)
 
+    def stage(self, frame):
+        """Pre-upload one picture to HBM (padded device planes).
+
+        Streaming deployments feed `send` host frames and pay the
+        ingest transfer inline; callers that already hold the source on
+        device (or want the reference's RAM-resident-input timing
+        model) stage frames ahead and pass the returned tuple to
+        `send`."""
+        import jax.numpy as jnp
+
+        g = self.g
+        return (
+            jnp.asarray(pad_plane(np.asarray(frame.y), g.pad_h, g.pad_w)),
+            jnp.asarray(pad_plane(np.asarray(frame.u), g.pad_h // 2,
+                                  g.pad_w // 2)),
+            jnp.asarray(pad_plane(np.asarray(frame.v), g.pad_h // 2,
+                                  g.pad_w // 2)))
+
     def send(self, frame, qindex: int = 100, force_keyframe: bool = False):
         """Encode one picture; returns 0..2 EncodedFrames (1-frame
         latency: the device step for frame N overlaps frame N-1's host
-        serialization, the reference's process-pipeline role)."""
+        serialization, the reference's process-pipeline role).
+
+        frame: a Frame420, or a staged (y, u, v) device tuple from
+        ``stage`` (device tuples cannot start a keyframe: the wavefront
+        keyframe path re-derives host state from the Frame420)."""
         import jax.numpy as jnp
 
         from tpu_vp9.ops.loopfilter import pick_filter_level
@@ -698,17 +808,32 @@ class RtSession:
             and idx % (self.intra_period + 1) == 0)
         qidx = qindex if self.rc is None else self.rc.frame_qindex(is_key)
         out = []
+        staged = isinstance(frame, tuple)
         if is_key:
+            if staged:
+                raise ValueError("staged frames cannot be keyframes")
+            self._drain_futs(out)
             if self._pending is not None:
                 out.append(self._finish(*self._pending))
                 self._pending = None
             out.append(self._encode_key(frame, idx, qidx))
             return out
-        src_y = jnp.asarray(pad_plane(np.asarray(frame.y), g.pad_h, g.pad_w))
-        src_u = jnp.asarray(pad_plane(np.asarray(frame.u), g.pad_h // 2,
-                                      g.pad_w // 2))
-        src_v = jnp.asarray(pad_plane(np.asarray(frame.v), g.pad_h // 2,
-                                      g.pad_w // 2))
+        if staged:
+            src_y, src_u, src_v = frame
+            # host-state stand-in (sources are only read by PSNR/recon
+            # consumers, which streaming/staged callers don't use)
+            if getattr(self, "_zero_frame", None) is None:
+                from tpu_vp9.utils.yuv import Frame420
+
+                self._zero_frame = Frame420(
+                    y=np.zeros((self.h, self.w), np.uint8),
+                    u=np.zeros(((self.h + 1) // 2, (self.w + 1) // 2),
+                               np.uint8),
+                    v=np.zeros(((self.h + 1) // 2, (self.w + 1) // 2),
+                               np.uint8))
+            frame = self._zero_frame
+        else:
+            src_y, src_u, src_v = self.stage(frame)
         lf_lvl = pick_filter_level(qidx, False) if self.loop_filter else 0
         dc_q = jnp.asarray(T.dc_quant(qidx), jnp.int32)
         ac_q = jnp.asarray(T.ac_quant(qidx), jnp.int32)
@@ -734,8 +859,6 @@ class RtSession:
         self._prev_mv32 = outs["m32"]["mv"].astype(jnp.int32)
         if g.strip:
             self._prev_mv16 = outs["m16"]["mv"].astype(jnp.int32)
-        elif self.split16:
-            self._prev_mv16 = outs["m16f"]["mv"].astype(jnp.int32)
         # start device->host copies now so they overlap the previous
         # frame's host serialization below (transfers are the largest
         # host-visible cost at 1080p)
@@ -758,7 +881,7 @@ class RtSession:
                        else ("lv_y", "lv_u", "lv_v"))
             for zone in zones:
                 for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
-                          "ref") + lv_keys:
+                          "ref", "sel_idx") + lv_keys:
                     arr = outs[zone].get(k)
                     if arr is not None and hasattr(arr,
                                                    "copy_to_host_async"):
@@ -783,15 +906,35 @@ class RtSession:
             # scale step, so they are switched off for device P frames
             # (per-frame header field; keyframes keep spec defaults)
             hdr.loop_filter.mode_ref_delta_enabled = False
-        # serialize the *previous* frame while this one runs on device
+        # serialize the *previous* frame while this one runs on device:
+        # its device->host transfer happens here on the MAIN thread
+        # (the blob copy was enqueued before this frame's step, so it
+        # doesn't wait on it), overlapping the worker's serialization
+        # of frame N-2; then the pure-host serialization is handed to
+        # the worker and the N-2 result collected.
         if self._pending is not None:
-            out.append(self._finish(*self._pending))
+            pf, pidx, phdr, pouts, pq = self._pending
+            from tpu_vp9.utils.trace import span
+
+            with span("rt_d2h_transfer"):
+                phost = _device_out_to_host(pouts, g, self.want_recon)
+            if self._ser_async:
+                self._drain_futs(out)
+
+                def task(args=(pf, pidx, phdr, phost, pq)):
+                    ef = self._finish_host(*args)
+                    return ef, self._fc[0]
+
+                self._futs.append(self._ser_pool.submit(task))
+            else:
+                out.append(self._finish_host(pf, pidx, phdr, phost, pq))
         self._pending = (frame, idx, hdr, outs, qidx)
         return out
 
     def flush(self):
         """Drain the pipelined frame at end of stream."""
         out = []
+        self._drain_futs(out)
         if self._pending is not None:
             out.append(self._finish(*self._pending))
             self._pending = None

@@ -30,10 +30,10 @@ import numpy as np
 
 from tpu_vp9.bitstream import tables as T
 from tpu_vp9.pipeline.tpu_encdec import (
-    BORDER, WIN_R, Geom, _block_sq_sum, _candidate_decide,
+    BORDER, CHROMA_WIN_R, WIN_R, Geom, _block_sq_sum, _candidate_decide,
     _extract_search_windows, _full_search_sse_mxu, _scatter_blocks,
     _subpel_exhaustive, extend_borders_device, loop_filter_device,
-    mc_predict_batch, transform_recon,
+    mc_predict_batch, mc_predict_from_wins, transform_recon,
 )
 
 
@@ -112,17 +112,35 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
         .reshape(rows, n, cols_loc, n).transpose(0, 2, 1, 3) \
         .reshape(-1, n, n)
 
-    # exhaustive +-WIN_R SSE search from static halo-local windows; the
-    # halo (= BORDER >= WIN_R + 4) makes shard windows bit-identical to
-    # the single-chip border-extended windows, so MVs are shard-count
-    # invariant
+    # hierarchical (2x pyramid + refine) / exhaustive search from
+    # static halo-local windows; the halo (= BORDER >= WIN_R + 4) makes
+    # shard windows bit-identical to the single-chip border-extended
+    # windows, so MVs are shard-count invariant
     wins = _extract_search_windows(
         ref_y_h, n, rows, cols_loc, y_base,
         np.arange(cols_loc, dtype=np.int64) * n)
-    dy, dx, ssem = _full_search_sse_mxu(src_blocks, wins, n)
-    mv_r, mv_c, sse_new = _subpel_exhaustive(wins, src_blocks, dy, dx, n,
-                                             filters)
     src2 = _block_sq_sum(src_blocks)
+    from tpu_vp9.pipeline.tpu_encdec import (
+        HALF_R, REFINE_R, _zero_sse, hier_search,
+    )
+
+    # exact ZERO SSE from the co-located halo-local region
+    sse_zero = _zero_sse(ref_y_h, src_blocks, y_base, 0, rows, cols_loc,
+                         n)
+    if n == 32:
+        c_y, c_x, dyr, dxr, loc, ssem, src2m = hier_search(
+            src_blocks, wins, n)
+        dy, dx = c_y + dyr, c_x + dxr
+        sub_r, sub_c, sse_new = _subpel_exhaustive(
+            loc, src_blocks, dyr, dxr, n, filters, r=REFINE_R)
+        mv_r = c_y * 8 + sub_r
+        mv_c = c_x * 8 + sub_c
+        q3s, scale, r_map = 4, 4, HALF_R
+    else:
+        dy, dx, ssem = _full_search_sse_mxu(src_blocks, wins, n)
+        mv_r, mv_c, sse_new = _subpel_exhaustive(wins, src_blocks, dy,
+                                                 dx, n, filters)
+        q3s, scale, src2m, r_map = 3, 1, src2, WIN_R
     # candidate decision needs the previous shard's boundary-column NEW
     # MVs (single small ppermute; frame edge gets zeros, matching the
     # unsharded zero-pad)
@@ -136,20 +154,31 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
     else:
         edge = jnp.zeros_like(new2[:, -1])
     mv_r, mv_c, _ = _candidate_decide(
-        ssem, src2, sse_new, mv_r, mv_c, prev_mv, rows, cols_loc,
-        WIN_R, lam, left_edge=edge)
+        ssem, src2m, sse_zero, sse_new, mv_r, mv_c, prev_mv, rows,
+        cols_loc, r_map, q3s, scale, lam, left_edge=edge)
 
-    pred_y = mc_predict_batch(ref_y_h, pos_y, pos_x, mv_r, mv_c, n, 0,
-                              g.mi_rows, g.mi_cols, filters,
-                              x_base=x_base_y)
+    # window-based MC (bit-identical to the full-plane gather; the
+    # shard windows equal the single-chip windows, so MVs and
+    # predictions stay shard-count invariant).  Chroma halo is
+    # BORDER//2 wide, so local chroma col origins shift by
+    # (halo_c - BORDER) relative to the BORDER frame the extractor
+    # assumes.
     nc = n // 2
     pos_yc, pos_xc = pos_y // 2, pos_x // 2
-    pred_u = mc_predict_batch(ref_u_h, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
-                              g.mi_rows, g.mi_cols, filters,
-                              x_base=x_base_c)
-    pred_v = mc_predict_batch(ref_v_h, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
-                              g.mi_rows, g.mi_cols, filters,
-                              x_base=x_base_c)
+    halo_shift_c = BORDER // 2 - BORDER
+    col_px_c = (np.arange(cols_loc, dtype=np.int64) * nc + halo_shift_c)
+    wu = _extract_search_windows(ref_u_h, nc, rows, cols_loc,
+                                 y_base // 2, col_px_c, r=CHROMA_WIN_R)
+    wv = _extract_search_windows(ref_v_h, nc, rows, cols_loc,
+                                 y_base // 2, col_px_c, r=CHROMA_WIN_R)
+    pred_y = mc_predict_from_wins(wins, pos_y, pos_x, mv_r, mv_c, n, 0,
+                                  g.mi_rows, g.mi_cols, filters, WIN_R)
+    pred_u = mc_predict_from_wins(wu, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                                  g.mi_rows, g.mi_cols, filters,
+                                  CHROMA_WIN_R)
+    pred_v = mc_predict_from_wins(wv, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
+                                  g.mi_rows, g.mi_cols, filters,
+                                  CHROMA_WIN_R)
     lv_y, eob_y, rec_y = transform_recon(src_blocks, pred_y, dc_q, ac_q, n)
     y0c = y_base // 2
     src_ub = src_u[y0c : y0c + rows * nc] \
