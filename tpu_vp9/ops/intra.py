@@ -279,6 +279,60 @@ def predict_mode_batch(mode: IntraMode, above_ext, above_left, left,
 
 
 @functools.cache
+def all_modes_matrix_int(bs: int):
+    """(10, bs*bs, 3*bs+1) f32 with INTEGER weights: directional rows
+    produce the pre-rounded 3-tap sum (pred = (x + 2) >> 2), the TM
+    row produces left + above - al (pred = clip(x, 0, 255)), and the
+    DC row is zero (DC comes from predict_dc).  Used by the exact
+    matmul predictor below."""
+    L = 3 * bs + 1
+    M = np.zeros((10, bs * bs, L), np.float32)
+    idx, w = stacked_dir_maps(bs)
+    flat_pix = np.arange(bs * bs)
+    for d_i, mode in enumerate(DIR_MODES):
+        m = int(mode)
+        for k in range(3):
+            np.add.at(M[m], (flat_pix, idx[d_i, k].reshape(-1)),
+                      w[d_i, k].reshape(-1).astype(np.float32))
+    ys, xs = np.divmod(flat_pix, bs)
+    M[9, flat_pix, ys] = 1.0
+    M[9, flat_pix, bs + 1 + xs] += 1.0
+    M[9, flat_pix, bs] = -1.0
+    return M
+
+
+def predict_modes_matmul(above_ext, above_left, left, have_above,
+                         have_left, bs: int, xp=np):
+    """Exact all-10-mode predictions as one matmul + cheap rounding.
+
+    Bit-identical to predict_all_modes but gather-free: every VP9
+    intra mode is (rounded/clipped) linear in the reference vector, so
+    the whole mode bank is a (10*bs^2, 3bs+1) matrix product that
+    rides the MXU — the advanced-index gathers of the stacked
+    directional maps were ~95%% of the device keyframe wavefront's
+    step time.  Weight sums have <= 3 integer terms <= 4*255, so f32
+    is exact.  Returns (..., 10, bs, bs) int32 in IntraMode order."""
+    ref = build_ref_vector(above_ext, above_left, left, xp) \
+        .astype(xp.float32)
+    M = all_modes_matrix_int(bs)
+    if xp is not np:
+        M = xp.asarray(M)
+    lin = xp.einsum("mql,bl->bmq", M, ref)
+    dirp = xp.floor((lin + 2.0) * 0.25)
+    tmp = xp.clip(lin, 0.0, 255.0)
+    dc = predict_dc(above_ext, left, have_above, have_left, bs, xp)
+    b = ref.shape[0]
+    q = bs * bs
+    parts = [
+        xp.broadcast_to(dc[:, None, None].astype(xp.float32), (b, 1, q)),
+        dirp[:, 1:9],
+        tmp[:, 9:10],
+    ]
+    out = xp.concatenate(parts, axis=1).astype(xp.int32)
+    return out.reshape(b, 10, bs, bs)
+
+
+@functools.cache
 def all_modes_matrix(bs: int):
     """(10, bs*bs, 3*bs+1) float32 M with pred[m] ~= M[m] @ ref.
 

@@ -412,11 +412,11 @@ class RtSession:
                     else self.want_recon)
             self._step = make_pframe_step(self.g, split16=self.split16,
                                           golden=golden, blob_recon=blob)
-        # device keyframe wavefront (strip geometries fall back to host;
-        # mesh sessions run it replicated — keyframes are rare and the
+        # device keyframe wavefront (incl. strip geometries; mesh
+        # sessions run it replicated — keyframes are rare and the
         # wavefront is latency-bound, so sharding it isn't worth ICI
         # traffic — keeping mesh streams byte-identical to single-chip)
-        self._kstep = make_kframe_step(self.g) if not self.g.strip else None
+        self._kstep = make_kframe_step(self.g)
         self._lim_tbl, self._mblim_tbl = sharpness_limits(0)
         self._fc = [T.default_frame_context() for _ in range(4)]
         self._refs = None
@@ -682,29 +682,37 @@ class RtSession:
         self._prev_mv32 = jnp.zeros_like(self._prev_mv32)
         self._prev_mv16 = jnp.zeros_like(self._prev_mv16)
         # host: fill the frame state from the device decisions, serialize
-        z = outs["m32"]
-        host = {k: np.asarray(z[k]) for k in
-                ("mode", "skip", "eob_y", "eob_u", "eob_v",
-                 "lv_y", "lv_u", "lv_v")}
+        keys = ("mode", "skip", "eob_y", "eob_u", "eob_v",
+                "lv_y", "lv_u", "lv_v")
+        host = {k: np.asarray(outs["m32"][k]) for k in keys}
+        host16 = ({k: np.asarray(outs["m16"][k]) for k in keys}
+                  if "m16" in outs else None)
         st = make_frame_state(frame, g.mi_rows, g.mi_cols)
         events = walk_partition_fixed(g.mi_rows, g.mi_cols,
                                       BlockSize.BLOCK_32X32, 0)
         for ev, mi_row, mi_col, bsize, _ in events:
             if ev != "leaf":
                 continue
-            assert bsize == BlockSize.BLOCK_32X32
-            bi = (mi_row // 4) * g.cols32 + (mi_col // 4)
-            m = IntraMode(int(host["mode"][bi]))
-            mi = ModeInfo(bsize=bsize, y_mode=m, uv_mode=m,
-                          tx_size=TxSize.TX_32X32,
-                          skip=bool(host["skip"][bi]), is_inter=False)
+            if bsize == BlockSize.BLOCK_32X32:
+                z = host
+                bi = (mi_row // 4) * g.cols32 + (mi_col // 4)
+                ts = TxSize.TX_32X32
+            else:
+                # bottom 16-strip of a strip geometry
+                assert bsize == BlockSize.BLOCK_16X16 and host16
+                z = host16
+                bi = mi_col // 2
+                ts = TxSize.TX_16X16
+            m = IntraMode(int(z["mode"][bi]))
+            mi = ModeInfo(bsize=bsize, y_mode=m, uv_mode=m, tx_size=ts,
+                          skip=bool(z["skip"][bi]), is_inter=False)
             st.mig.set_block(mi_row, mi_col, bsize, mi)
-            st.levels[(0, mi_row * 2, mi_col * 2)] = host["lv_y"][bi]
-            st.eobs[(0, mi_row * 2, mi_col * 2)] = int(host["eob_y"][bi])
-            st.levels[(1, mi_row, mi_col)] = host["lv_u"][bi]
-            st.eobs[(1, mi_row, mi_col)] = int(host["eob_u"][bi])
-            st.levels[(2, mi_row, mi_col)] = host["lv_v"][bi]
-            st.eobs[(2, mi_row, mi_col)] = int(host["eob_v"][bi])
+            st.levels[(0, mi_row * 2, mi_col * 2)] = z["lv_y"][bi]
+            st.eobs[(0, mi_row * 2, mi_col * 2)] = int(z["eob_y"][bi])
+            st.levels[(1, mi_row, mi_col)] = z["lv_u"][bi]
+            st.eobs[(1, mi_row, mi_col)] = int(z["eob_u"][bi])
+            st.levels[(2, mi_row, mi_col)] = z["lv_v"][bi]
+            st.eobs[(2, mi_row, mi_col)] = int(z["eob_v"][bi])
         tile, updates, st.fc_final, st.counts = serialize_with_updates(
             st, events, qidx, functools.partial(serialize_frame), None)
         hdr = FrameHeader(width=self.w, height=self.h, is_keyframe=True,

@@ -781,23 +781,27 @@ _TS = {4: TxSize.TX_4X4, 8: TxSize.TX_8X8, 16: TxSize.TX_16X16,
 
 
 def transform_recon(src_blocks, pred_blocks, dc_q, ac_q, n: int,
-                    want_scan: bool = False):
-    """fDCT + quant + dequant + exact integer iDCT add for (B, n, n).
+                    want_scan: bool = False,
+                    tx_type: TxType = TxType.DCT_DCT):
+    """fwd txfm + quant + dequant + exact integer inverse add for
+    (B, n, n).
 
     Returns (levels int16, eob int32, recon uint8[, lv_scan int16]).
     want_scan additionally returns the scan-ordered levels — the
     device->host transfer ships a short int8 prefix of these instead of
     the full 2-D planes (the axon tunnel moves ~23 MB/s; full level
-    planes at 1080p cost ~590 ms/frame)."""
+    planes at 1080p cost ~590 ms/frame).  tx_type: the normative
+    mode-dependent type for intra luma below TX32
+    (INTRA_MODE_TO_TX_TYPE)."""
     ts = _TS[n]
     resid = (src_blocks.astype(jnp.int32)
              - pred_blocks.astype(jnp.int32)).astype(jnp.float32)
-    coeffs = txfm.fwd_txfm2d(resid, ts, TxType.DCT_DCT, jnp)
+    coeffs = txfm.fwd_txfm2d(resid, ts, tx_type, jnp)
     levels = _quantize(coeffs, dc_q, ac_q, n)
     deq = _dequantize(levels, dc_q, ac_q, n)
     recon = txfm.inv_txfm_add(deq, pred_blocks.astype(jnp.int32), ts,
-                              TxType.DCT_DCT, jnp)
-    scan = jnp.asarray(T.scan_order(ts, TxType.DCT_DCT)[0])
+                              tx_type, jnp)
+    scan = jnp.asarray(T.scan_order(ts, tx_type)[0])
     lv = levels.reshape(levels.shape[0], -1)[:, scan]
     nz = lv != 0
     eob = jnp.where(nz.any(axis=1),
@@ -2115,125 +2119,125 @@ def make_pframe_step(geom: Geom, split16: bool = False,
 
 def kframe_step(src_y, src_u, src_v, geom: Geom, dc_q, ac_q, lam,
                 lf_lvl, lf_lim, lf_mblim):
-    """Closed-loop intra keyframe encode for the uniform 32 grid, fully
-    on device.
+    """Closed-loop intra keyframe encode, fully on device.
 
     The reference encodes intra in the same EncDec loop as inter
     (EbEncDecProcess.c:3627 encode_pass_sb; intra reference samples
-    :1128) under the wavefront segment scheduler.  Here each
-    anti-diagonal of 32x32 blocks is one batched step inside a
-    lax.scan: exact reference-sample construction from the
-    reconstructed neighbours (vp9_reconintra build_intra_predictors
-    availability/clamp rules), all 10 intra modes predicted at once,
-    SSE+prior mode decision, fDCT32/quant/iDCT recon.  Chroma rides the
-    same wave at 16x16 (TX16, mode = the block's y mode, matching the
-    host wavefront encoder).  Returns (outs, border-extended refs) like
-    pframe_step; the DPB never leaves HBM and the 1.8 s/1080p host
-    keyframe stall disappears.
+    :1128) under the wavefront segment scheduler.  Skewed-wavefront
+    formulation: one lax.scan step per anti-diagonal, with lane = block
+    ROW (constant lane count).  The only sequential state is the last
+    two diagonals' reconstructed EDGE pixels (bottom rows / right
+    columns / corners, a few KB) — block recon never writes back into a
+    frame plane inside the scan, so each step is pure batched compute
+    (reference samples from the carry, all 10 modes, SSE+prior
+    decision, fDCT32/quant/iDCT) and the full planes are assembled once
+    afterwards by a static permutation.  This removes the per-step
+    plane gathers/scatters that made the r4 wavefront ~20 ms/diagonal
+    (1.8 s at 1080p).
 
-    Requires a strip-free geometry (the 16-strip keyframe falls back to
-    the host path).
+    Chroma rides the same wave at 16x16 (TX16, mode = the block's y
+    mode).  Strip geometries (mi_rows % 4 == 2, e.g. 4K/720p) encode
+    the bottom 16-px strip afterwards with above-only modes (V/D45/D63
+    read only the already-final row above, so every strip block runs in
+    parallel — no left-neighbour chain).
+    Returns (outs, border-extended refs) like pframe_step.
     """
     from tpu_vp9.ops import intra as intra_ops
 
     g = geom
-    if g.strip:
-        raise ValueError("device keyframe requires a strip-free geometry")
     rows, cols = g.rows32, g.cols32
-    w_lanes = min(rows, cols)
     b = rows * cols
+    L = rows
     # mode prior (DC/V/H/TM cheaper in the kf trees), in lambda units
     mode_bias = jnp.array([0, 1, 1, 3, 3, 3, 3, 3, 3, 1], jnp.int32)
 
-    def plane_dims(ss):
-        return ((g.height + (1 << ss) - 1) >> ss if ss else g.height,
-                (g.width >> ss) if ss else g.width)
+    # pre-skewed source blocks: xs[d, lane] = src block (lane, d - lane)
+    def skew_src(plane, bn, zrows, zcols, y0=0):
+        blocks = _extract_blocks(plane, y0, zrows, zcols, bn)
+        idx = np.zeros((zrows + zcols - 1, zrows), np.int64)
+        for d in range(zrows + zcols - 1):
+            for r in range(zrows):
+                c = d - r
+                idx[d, r] = r * zcols + min(max(c, 0), zcols - 1)
+        return blocks[jnp.asarray(idx.reshape(-1))] \
+            .reshape(zrows + zcols - 1, zrows, bn, bn)
 
-    def wave_plane(rec, src, r, c, valid, modes_in, bn, ss, frame_h):
-        """One diagonal for one plane.  modes_in: (W,) chosen y modes
-        (or None to decide here).  Returns (modes, levels, eobs, rec)."""
-        W = r.shape[0]
-        py = r * bn
-        px = c * bn
-        ha = r > 0
-        hl = c > 0
-        pyc = jnp.clip(py, 0, rec.shape[0] - bn)
-        pxc = jnp.clip(px, 0, rec.shape[1] - bn)
+    sk_y = skew_src(src_y, 32, rows, cols)
+    sk_u = skew_src(src_u, 16, rows, cols)
+    sk_v = skew_src(src_v, 16, rows, cols)
 
-        def slice_row(y, x):
-            return jax.lax.dynamic_slice(rec, (y, x), (1, bn))[0]
+    # static per-lane row-clamp maps for left samples (bottom crop,
+    # build_ref_samples): row k of the left column clamps to the frame
+    frame_hc = (g.height + 1) >> 1
+    lclamp_y = np.minimum(np.arange(32)[None, :],
+                          np.maximum(g.height - 1 - 32 * np.arange(L)
+                                     [:, None], 0))
+    lclamp_c = np.minimum(np.arange(16)[None, :],
+                          np.maximum(frame_hc - 1 - 16 * np.arange(L)
+                                     [:, None], 0))
+    lclamp_y = jnp.asarray(lclamp_y)
+    lclamp_c = jnp.asarray(lclamp_c)
 
-        above = jax.vmap(slice_row)(jnp.clip(py - 1, 0, rec.shape[0] - 1),
-                                    pxc).astype(jnp.int32)
-        above = jnp.where(ha[:, None], above, 127)
+    def wave_plane(carry, src_blk, d, modes_in, bn, lclamp):
+        """One diagonal for one plane from edge carries only.
+
+        carry: (bott1, bott2, right1) each (L, bn) int32 (diag d-1 and
+        d-2 bottom rows, diag d-1 right cols).  Returns (modes, lv,
+        eob, rec_blk, new_carry)."""
+        bott1, bott2, right1 = carry
+        rr = jnp.arange(L)
+        cc = d - rr
+        ha = (rr >= 1) & (cc >= 0) & (cc < cols)
+        hl = cc >= 1
+        above = jnp.where(ha[:, None],
+                          jnp.roll(bott1, 1, axis=0), 127)
         above_ext = jnp.concatenate(
-            [above, jnp.repeat(above[:, bn - 1 : bn], bn, axis=1)], axis=1)
-        # left column with the bottom-crop clamp (build_ref_samples)
-        lrow = jnp.clip(py[:, None] + jnp.arange(bn)[None, :], 0,
-                        frame_h - 1)
-        lcol = jnp.clip(px - 1, 0, rec.shape[1] - 1)
-        left = rec[lrow, lcol[:, None]].astype(jnp.int32)
+            [above, jnp.repeat(above[:, bn - 1 : bn], bn, axis=1)],
+            axis=1)
+        left = jnp.take_along_axis(right1, lclamp, axis=1)
         left = jnp.where(hl[:, None], left, 129)
-        al = rec[jnp.clip(py - 1, 0, rec.shape[0] - 1),
-                 jnp.clip(px - 1, 0, rec.shape[1] - 1)].astype(jnp.int32)
+        al = jnp.roll(bott2[:, bn - 1], 1, axis=0)
         al = jnp.where(ha, jnp.where(hl, al, 129), 127)
-
-        def slice_blk(y, x):
-            return jax.lax.dynamic_slice(src, (y, x), (bn, bn))
-
-        src_blk = jax.vmap(slice_blk)(pyc, pxc)
-        preds = intra_ops.predict_all_modes(above_ext, al, left, ha, hl,
-                                            bn, jnp)  # (W, 10, bn, bn)
+        preds = intra_ops.predict_modes_matmul(above_ext, al, left, ha,
+                                               hl, bn, jnp)
+        pf = preds.reshape(L, 10, bn * bn).astype(jnp.float32)
         if modes_in is None:
-            sse = ((preds - src_blk[:, None].astype(jnp.int32)) ** 2) \
-                .sum(axis=(-1, -2))
+            df = pf - src_blk.reshape(L, 1, bn * bn).astype(jnp.float32)
+            sse = (df * df).reshape(L, 10, bn, bn) \
+                .sum(axis=-1).astype(jnp.int32).sum(axis=-1)
             cost = sse + mode_bias[None, :] * lam
             modes = jnp.argmin(cost, axis=1).astype(jnp.int32)
         else:
             modes = modes_in
-        pred = jnp.take_along_axis(
-            preds, modes[:, None, None, None], axis=1)[:, 0]
+        # one-hot mode select (gather-free)
+        oh = (jnp.arange(10)[None, :] == modes[:, None]) \
+            .astype(jnp.float32)
+        pred = jnp.einsum("bm,bmq->bq", oh, pf).astype(jnp.int32) \
+            .reshape(L, bn, bn)
         lv, eob, rec_blk = transform_recon(src_blk, pred, dc_q, ac_q, bn)
+        rec_i = rec_blk.astype(jnp.int32)
+        new_carry = (rec_i[:, bn - 1, :], bott1, rec_i[:, :, bn - 1])
+        return modes, lv, eob, rec_blk, new_carry
 
-        # recon writeback per lane: dynamic_update_slice (TPU-fast)
-        # instead of an advanced-index scatter; invalid lanes rewrite
-        # their own (clamped) source slice unchanged
-        def wb(k, rc):
-            blk = jnp.where(valid[k], rec_blk[k],
-                            jax.lax.dynamic_slice(rc, (pyc[k], pxc[k]),
-                                                  (bn, bn)))
-            return jax.lax.dynamic_update_slice(rc, blk, (pyc[k], pxc[k]))
+    def body(carry, xs):
+        cy, cu, cv = carry
+        d, sy, su, sv = xs
+        modes, ly, ey, ry, cy = wave_plane(cy, sy, d, None, 32, lclamp_y)
+        _, lu, eu, ru, cu = wave_plane(cu, su, d, modes, 16, lclamp_c)
+        _, lv2, ev, rv, cv = wave_plane(cv, sv, d, modes, 16, lclamp_c)
+        return (cy, cu, cv), (modes, ly, ey, lu, eu, lv2, ev, ry, ru, rv)
 
-        rec = jax.lax.fori_loop(0, W, wb, rec)
-        return modes, lv, eob, rec
-
-    def body(carry, d):
-        rec_y, rec_u, rec_v = carry
-        r0 = jnp.maximum(0, d - (cols - 1))
-        i = jnp.arange(w_lanes)
-        r = r0 + i
-        c = d - r
-        valid = (r < rows) & (c >= 0) & (c < cols)
-        modes, ly, ey, rec_y = wave_plane(rec_y, src_y, r, c, valid, None,
-                                          32, 0, g.height)
-        _, lu, eu, rec_u = wave_plane(rec_u, src_u, r, c, valid, modes,
-                                      16, 1, (g.height + 1) >> 1)
-        _, lv2, ev, rec_v = wave_plane(rec_v, src_v, r, c, valid, modes,
-                                       16, 1, (g.height + 1) >> 1)
-        # per-block results leave through the scan's stacked outputs
-        # (no scatters; a single static gather reorders at the end)
-        return (rec_y, rec_u, rec_v), (modes, ly, ey, lu, eu, lv2, ev)
-
-    init = (src_y * 0, src_u * 0, src_v * 0)
-    (rec_y, rec_u, rec_v), ys = jax.lax.scan(
-        body, init, jnp.arange(rows + cols - 1))
+    z32 = jnp.zeros((L, 32), jnp.int32)
+    z16 = jnp.zeros((L, 16), jnp.int32)
+    init = ((z32, z32, z32), (z16, z16, z16), (z16, z16, z16))
+    nd = rows + cols - 1
+    _, ys = jax.lax.scan(
+        body, init, (jnp.arange(nd), sk_y, sk_u, sk_v))
     # static (diagonal, lane) -> raster block index permutation
     perm = np.empty(b, np.int64)
     for blk_r in range(rows):
         for blk_c in range(cols):
-            d = blk_r + blk_c
-            lane = blk_r - max(0, d - (cols - 1))
-            perm[blk_r * cols + blk_c] = d * w_lanes + lane
+            perm[blk_r * cols + blk_c] = (blk_r + blk_c) * L + blk_r
     perm_j = jnp.asarray(perm)
     modes_all = ys[0].reshape(-1)[perm_j]
     lv_y = ys[1].reshape(-1, 32, 32)[perm_j]
@@ -2242,17 +2246,125 @@ def kframe_step(src_y, src_u, src_v, geom: Geom, dc_q, ac_q, lam,
     eob_u = ys[4].reshape(-1)[perm_j]
     lv_v = ys[5].reshape(-1, 16, 16)[perm_j]
     eob_v = ys[6].reshape(-1)[perm_j]
+    rec_y = _scatter_blocks(ys[7].reshape(-1, 32, 32)[perm_j], rows,
+                            cols, 32)
+    rec_u = _scatter_blocks(ys[8].reshape(-1, 16, 16)[perm_j], rows,
+                            cols, 16)
+    rec_v = _scatter_blocks(ys[9].reshape(-1, 16, 16)[perm_j], rows,
+                            cols, 16)
     skip = (eob_y == 0) & (eob_u == 0) & (eob_v == 0)
-    rec_y, rec_u, rec_v = loop_filter_device(rec_y, rec_u, rec_v, g,
-                                             lf_lvl, lf_lim, lf_mblim)
     outs = {
         "m32": {
             "mode": modes_all, "skip": skip,
             "eob_y": eob_y, "eob_u": eob_u, "eob_v": eob_v,
             "lv_y": lv_y, "lv_u": lv_u, "lv_v": lv_v,
         },
-        "rec_y": rec_y, "rec_u": rec_u, "rec_v": rec_v,
     }
+
+    if g.strip:
+        # bottom 16-strip: above-only intra modes (V/D45/D63) — every
+        # strip block's reference row is the already-final last row of
+        # the 32 zone, so the whole strip encodes in one parallel batch
+        sb = g.cols16
+        src_sy = _extract_blocks(src_y, g.strip_y, 1, sb, 16)
+        above_row = rec_y[g.strip_y - 1, : sb * 16].astype(jnp.int32)
+        above_b = above_row.reshape(sb, 16)
+        ha_s = jnp.ones((sb,), bool)
+        hl_s = jnp.arange(sb) >= 1
+        # above-right replicates above[bs-1] for bs > 4
+        # (ops/intra.build_ref_samples:348)
+        above_ext = jnp.concatenate(
+            [above_b, above_b[:, -1:].repeat(16, axis=1)], axis=1)
+        al_s = jnp.where(
+            hl_s, jnp.roll(above_b[:, -1], 1), 129)
+        left_dummy = jnp.full((sb, 16), 129, jnp.int32)
+        preds = intra_ops.predict_modes_matmul(
+            above_ext, al_s, left_dummy, ha_s, jnp.zeros((sb,), bool),
+            16, jnp)
+        # above-only modes: V=1, D45=7? (indices per IntraMode)
+        from tpu_vp9.bitstream.tables import IntraMode as IM
+
+        from tpu_vp9.codec.modeinfo import INTRA_MODE_TO_TX_TYPE
+
+        cand_modes = np.array([int(IM.V_PRED), int(IM.D45_PRED),
+                               int(IM.D63_PRED)], np.int64)
+        pm = preds[:, jnp.asarray(cand_modes)]
+        # per-candidate transform with the normative mode-dependent
+        # tx type (V/D63 -> ADST_DCT, D45 -> DCT_DCT at TX16), winner
+        # by true recon SSE + mode prior
+        cands = []
+        for ci, m in enumerate(cand_modes):
+            tt = INTRA_MODE_TO_TX_TYPE[IM(int(m))]
+            cands.append(transform_recon(src_sy, pm[:, ci], dc_q, ac_q,
+                                         16, tx_type=tt))
+        recs = jnp.stack([c[2] for c in cands], axis=1)  # (sb, 3, 16, 16)
+        dfs = recs.astype(jnp.float32) \
+            - src_sy[:, None].astype(jnp.float32)
+        sse_s = (dfs * dfs).sum(axis=-1).astype(jnp.int32).sum(axis=-1)
+        bias_s = jnp.asarray(
+            np.array([1, 3, 3], np.int64))[None, :].astype(jnp.int32)
+        mi_s = jnp.argmin(sse_s + bias_s * lam, axis=1)
+        modes_s = jnp.asarray(cand_modes, jnp.int32)[mi_s]
+
+        def sel(field):
+            st_ = jnp.stack([c[field] for c in cands], axis=1)
+            idx = mi_s.reshape(sb, *([1] * (st_.ndim - 1)))
+            return jnp.take_along_axis(st_, idx, axis=1)[:, 0]
+
+        lvs_y, eobs_y, recs_y = sel(0), sel(1), sel(2)
+        # chroma strip at 8x8, same mode
+        stc = g.strip_y >> 1
+        src_su = _extract_blocks(src_u, stc, 1, sb, 8)
+        src_sv = _extract_blocks(src_v, stc, 1, sb, 8)
+
+        def strip_chroma(rec_c, src_c):
+            ab = rec_c[stc - 1, : sb * 8].astype(jnp.int32).reshape(sb, 8)
+            ab_ext = jnp.concatenate([ab, ab[:, -1:].repeat(8, axis=1)],
+                                     axis=1)
+            al_c = jnp.where(hl_s, jnp.roll(ab[:, -1], 1), 129)
+            pc = intra_ops.predict_modes_matmul(
+                ab_ext, al_c, jnp.full((sb, 8), 129, jnp.int32), ha_s,
+                jnp.zeros((sb,), bool), 8, jnp)
+            pred_c = jnp.take_along_axis(
+                pc, modes_s[:, None, None, None].astype(jnp.int64),
+                axis=1)[:, 0]
+            return transform_recon(src_c, pred_c, dc_q, ac_q, 8)
+
+        lvs_u, eobs_u, recs_u = strip_chroma(rec_u, src_su)
+        lvs_v, eobs_v, recs_v = strip_chroma(rec_v, src_sv)
+        outs["m16"] = {
+            "mode": modes_s, "skip": (eobs_y == 0) & (eobs_u == 0)
+            & (eobs_v == 0),
+            "eob_y": eobs_y, "eob_u": eobs_u, "eob_v": eobs_v,
+            "lv_y": lvs_y, "lv_u": lvs_u, "lv_v": lvs_v,
+        }
+        rec_y = jnp.concatenate(
+            [rec_y, _scatter_blocks(recs_y, 1, sb, 16)], axis=0)
+        rec_u = jnp.concatenate(
+            [rec_u, _scatter_blocks(recs_u, 1, sb, 8)], axis=0)
+        rec_v = jnp.concatenate(
+            [rec_v, _scatter_blocks(recs_v, 1, sb, 8)], axis=0)
+
+    # pad recon to full device plane dims
+    if g.pad_w > rec_y.shape[1]:
+        extra = g.pad_w - rec_y.shape[1]
+        rec_y = jnp.pad(rec_y, ((0, 0), (0, extra)), mode="edge")
+        rec_u = jnp.pad(rec_u, ((0, 0), (0, extra // 2)), mode="edge")
+        rec_v = jnp.pad(rec_v, ((0, 0), (0, extra // 2)), mode="edge")
+    if g.pad_h > rec_y.shape[0]:
+        rec_y = jnp.pad(rec_y, ((0, g.pad_h - rec_y.shape[0]), (0, 0)),
+                        mode="edge")
+        rec_u = jnp.pad(rec_u,
+                        ((0, g.pad_h // 2 - rec_u.shape[0]), (0, 0)),
+                        mode="edge")
+        rec_v = jnp.pad(rec_v,
+                        ((0, g.pad_h // 2 - rec_v.shape[0]), (0, 0)),
+                        mode="edge")
+    rec_y, rec_u, rec_v = loop_filter_device(rec_y, rec_u, rec_v, g,
+                                             lf_lvl, lf_lim, lf_mblim)
+    outs["rec_y"] = rec_y
+    outs["rec_u"] = rec_u
+    outs["rec_v"] = rec_v
     new_refs = (extend_borders_device(rec_y, g.width, g.height),
                 extend_borders_device(rec_u, (g.width + 1) >> 1,
                                       (g.height + 1) >> 1),
