@@ -61,6 +61,7 @@ def main():
         "be": E.extend_borders_device,
         "fs": E._full_search_sse_mxu,
         "tr": E.transform_recon,
+        "hs": E.hier_search,
     }
 
     def no_lf(y, u, v, geom, lvl, lim, mblim, split32=None):
@@ -70,8 +71,17 @@ def main():
         b = src_blocks.shape[0]
         return dy * 8, dx * 8, jnp.zeros((b,), jnp.int32)
 
-    def no_cd(ssem, src2, sse_new, new_r, new_c, prev_mv, rows, cols, r,
-              lam, left_edge=None, rates=None):
+    def no_hs(src_blocks, wins, n):
+        b = src_blocks.shape[0]
+        z = jnp.zeros((b,), jnp.int32)
+        d = 2 * E.HALF_R + 1
+        ln = n + 2 * E.REFINE_R + 8
+        return (z, z, z, z, jnp.zeros((b, ln, ln), jnp.float32),
+                jnp.zeros((b, d, d), jnp.int32), z)
+
+    def no_cd(ssem, src2m, sse_zero, sse_new, new_r, new_c, prev_mv,
+              rows, cols, r_map, q3s, scale, lam, left_edge=None,
+              rates=None):
         return new_r, new_c, sse_new.astype(jnp.float32)
 
     def no_mc(ref_padded, pos_y, pos_x, mv_r, mv_c, n_out, ss, mi_rows,
@@ -88,7 +98,8 @@ def main():
         z = jnp.zeros((b,), jnp.int32)
         return z, z, jnp.zeros((b, d, d), jnp.int32)
 
-    def no_tr(src_blocks, pred_blocks, dc_q, ac_q, n, want_scan=False):
+    def no_tr(src_blocks, pred_blocks, dc_q, ac_q, n, want_scan=False,
+              tx_type=None):
         b = src_blocks.shape[0]
         lv = jnp.zeros((b, n, n), jnp.int16)
         eob = jnp.zeros((b,), jnp.int32)
@@ -97,23 +108,31 @@ def main():
             return lv, eob, rec, jnp.zeros((b, n * n), jnp.int16)
         return lv, eob, rec
 
+    def no_mcw(wins, pos_y, pos_x, mv_r, mv_c, n_out, ss, mi_rows,
+               mi_cols, filters, win_r, org_off_y=0, org_off_x=0):
+        b = pos_y.shape[0]
+        return jnp.zeros((b, n_out, n_out), jnp.uint8)
+
     cases = [
         ("baseline", {}),
         ("-loopfilter", {"lf": no_lf}),
         ("-subpel", {"sp": no_sp}),
         ("-cand_decide", {"cd": no_cd}),
-        ("-mc", {"mc": no_mc}),
+        ("-mc", {"mc": no_mc, "mcw": no_mcw}),
         ("-borders", {"be": no_be}),
         ("-fullsearch", {"fs": no_fs}),
+        ("-hiersearch", {"hs": no_hs}),
         ("-transform", {"tr": no_tr}),
-        ("-sp-mc-fs", {"sp": no_sp, "mc": no_mc, "fs": no_fs}),
     ]
     subs = {"lf": "loop_filter_device", "sp": "_subpel_exhaustive",
             "cd": "_candidate_decide", "mc": "mc_predict_batch",
             "be": "extend_borders_device", "fs": "_full_search_sse_mxu",
-            "tr": "transform_recon"}
+            "tr": "transform_recon", "hs": "hier_search",
+            "mcw": "mc_predict_from_wins"}
+    orig["mcw"] = E.mc_predict_from_wins
     repl = {"lf": no_lf, "sp": no_sp, "cd": no_cd, "mc": no_mc,
-            "be": no_be, "fs": no_fs, "tr": no_tr}
+            "be": no_be, "fs": no_fs, "tr": no_tr, "hs": no_hs,
+            "mcw": no_mcw}
 
     for name, mods in cases:
         for k in orig:

@@ -403,25 +403,42 @@ def _full_search_sse_mxu(src_blocks, wins, n: int, r: int = WIN_R):
     d = 2 * r + 1
     w = n + 2 * r
     area = wins[:, 4 : 4 + w, 4 : 4 + w].astype(jnp.int32)
-    src_f = src_blocks.astype(jnp.float32)
     sq = area * area
     cx = jnp.pad(jnp.cumsum(sq, axis=2), ((0, 0), (0, 0), (1, 0)))
     rw = cx[:, :, n:] - cx[:, :, :-n]  # (B, W, D)
     cy = jnp.pad(jnp.cumsum(rw, axis=1), ((0, 0), (1, 0), (0, 0)))
     e2 = cy[:, n:, :] - cy[:, :-n, :]  # (B, D, D)
 
-    def step(_, dy):
-        reg = jax.lax.dynamic_slice_in_dim(area, dy, n, axis=1)
-        m = jnp.einsum("bij,bix->bjx", src_f, reg.astype(jnp.float32))
-        mi = m.astype(jnp.int32)
-        corr = jnp.zeros((b, d), jnp.int32)
+    # dy-group-packed correlation: G row-shifted copies of src stacked
+    # along the N dim turn the per-dy (n x n)@(n x w) batched-small
+    # matmuls (poor MXU utilisation — the step's top cost) into
+    # (n+G-1 x G*n)@(n+G-1 x w) dots, G dys per scan step.  All sums
+    # stay exact in f32 (<= n products of <= 255^2, or <= 1020^2 at the
+    # 2x pyramid level: max 16*1020^2 < 2^24).
+    G = min(8, d)
+    ngroups = (d + G - 1) // G
+    src_f = src_blocks.astype(jnp.float32)
+    s2 = jnp.stack([jnp.pad(src_f, ((0, 0), (g, G - 1 - g), (0, 0)))
+                    for g in range(G)], axis=2)  # (B, n+G-1, G, n)
+    s2 = s2.reshape(b, n + G - 1, G * n)
+    pad_rows = ngroups * G + n - 1 - w
+    area_p = jnp.pad(area, ((0, 0), (0, max(pad_rows, 0)), (0, 0))) \
+        .astype(jnp.float32)
+
+    def step(_, gi):
+        slab = jax.lax.dynamic_slice_in_dim(area_p, gi * G, n + G - 1,
+                                            axis=1)
+        m = jnp.einsum("bik,bix->bkx", s2, slab)  # (B, G*n, w)
+        mg = m.reshape(b, G, n, w)
+        corr = jnp.zeros((b, G, d), jnp.int32)
         for j in range(n):
-            corr = corr + jax.lax.slice_in_dim(mi[:, j, :], j, j + d,
-                                               axis=1)
+            corr = corr + jax.lax.slice_in_dim(
+                mg[:, :, j, :], j, j + d, axis=2).astype(jnp.int32)
         return None, corr
 
-    _, corrs = jax.lax.scan(step, None, jnp.arange(d))
-    sse = e2 - 2 * corrs.transpose(1, 0, 2)  # (B, D, D)
+    _, corrs = jax.lax.scan(step, None, jnp.arange(ngroups))
+    corrs = corrs.transpose(1, 0, 2, 3).reshape(b, ngroups * G, d)[:, :d]
+    sse = e2 - 2 * corrs  # (B, D, D)
     idx = jnp.argmin(sse.reshape(b, -1), axis=1)
     return ((idx // d - r).astype(jnp.int32),
             (idx % d - r).astype(jnp.int32), sse)
