@@ -2366,6 +2366,8 @@ int64_t rt_serialize(
     // prev-frame motion field (nullable)
     const int8_t* prev_ref0, const int8_t* prev_ref1,
     const int32_t* prev_mv0, const int32_t* prev_mv1,
+    // per-RefFrame sign biases [4] (entry 0 unused; future ALTREF = 1)
+    const int32_t* sign_bias,
     // probabilities
     const uint8_t* partition_probs, const uint8_t* skip_probs,
     const uint8_t* intra_inter_probs, const uint8_t* single_ref_probs,
@@ -2433,7 +2435,7 @@ int64_t rt_serialize(
     fctx.g = s.g;
     fctx.tile_mi_start = 0;
     fctx.tile_mi_end = mi_cols;
-    fctx.sign_bias = SIGN_BIAS0;
+    fctx.sign_bias = sign_bias ? sign_bias : SIGN_BIAS0;
     fctx.prev_ref0 = prev_ref0;
     fctx.prev_ref1 = prev_ref1;
     fctx.prev_mv0 = prev_mv0;
@@ -2484,9 +2486,10 @@ int64_t rt_serialize(
             s.cnt_single_ref[(rctx * 2 + 0) * 2 + not_last] += 1;
         if (not_last) {
             int rctx2 = single_ref_p2_ctx_of(s, mi_row, mi_col);
-            rtser::pb(&enc, 0, s.single_ref_probs[rctx2 * 2 + 1]);  // GOLDEN
+            int is_alt = ref_id == 3;  // GOLDEN = 0, ALTREF = 1
+            rtser::pb(&enc, is_alt, s.single_ref_probs[rctx2 * 2 + 1]);
             if (s.cnt_single_ref)
-                s.cnt_single_ref[(rctx2 * 2 + 1) * 2 + 0] += 1;
+                s.cnt_single_ref[(rctx2 * 2 + 1) * 2 + is_alt] += 1;
         }
         write_tree(&enc, INTER_MODE_TREE,
                    s.inter_mode_probs + refs_out.mode_ctx * 3, mode);

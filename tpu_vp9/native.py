@@ -163,6 +163,7 @@ def get_lib():
         + [_I] * 4                 # scan-prefix lengths (0 = 2-D)
         + [_P] * 18                # three zones x 6 arrays
         + [_P] * 4                 # prev-frame motion field
+        + [_P]                     # sign_bias[4]
         + [_P] * 12                # probability tables
         + [_I]                     # counts_on
         + [_P] * 12                # scalar + mv counts
@@ -671,7 +672,8 @@ def _i64p(a):
 
 
 def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
-                        counts_on: bool, scan_ks=(0, 0, 0, 0)):
+                        counts_on: bool, scan_ks=(0, 0, 0, 0),
+                        sign_bias=(0, 0, 0, 0)):
     """Serialize one RT P-frame tile natively (classification fused).
 
     geom: tpu_encdec.Geom.  m32/m16f/strip: per-zone dicts with keys
@@ -697,9 +699,10 @@ def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
         if z is None:
             return (None, None, None, None, None, None)
         mv = np.ascontiguousarray(z["mv"], np.int32)
-        # device zones carry a 0/1 LAST/GOLDEN selector; the serializer
-        # wants RefFrame ids (1=LAST, 2=GOLDEN)
-        ref = (np.where(np.asarray(z["ref"]) != 0, 2, 1).astype(np.int8)
+        # device zones carry a 0/1/2 LAST/GOLDEN/ALTREF selector; the
+        # serializer wants RefFrame ids (1=LAST, 2=GOLDEN, 3=ALTREF)
+        ref = (np.ascontiguousarray(
+                   np.asarray(z["ref"]).astype(np.int8) + 1)
                if z.get("ref") is not None else None)
         skip = np.ascontiguousarray(z["skip"], np.uint8)
         if scan:
@@ -738,6 +741,7 @@ def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
         out[32] = int(c.hp)
         return out
 
+    sb_arr = np.ascontiguousarray(np.asarray(sign_bias, np.int32))
     part_p = np.ascontiguousarray(fc.partition_probs, np.uint8)
     skip_p = np.ascontiguousarray(fc.skip_probs, np.uint8)
     ii_p = np.ascontiguousarray(fc.intra_inter_probs, np.uint8)
@@ -802,6 +806,7 @@ def native_rt_serialize(geom, split32, m32, m16f, strip, prev_mvs, fc,
         *(p_or_none(x) for x in a16),
         *(p_or_none(x) for x in ast),
         p_or_none(p0), p_or_none(p1), p_or_none(pm0), p_or_none(pm1),
+        sb_arr.ctypes.data,
         part_p.ctypes.data, skip_p.ctypes.data, ii_p.ctypes.data,
         sr_p.ctypes.data, im_p.ctypes.data, nj_p.ctypes.data,
         c0_p.ctypes.data, c1_p.ctypes.data,

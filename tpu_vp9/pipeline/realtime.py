@@ -350,6 +350,72 @@ def _reconstruct_levels(host, geom: Geom):
             z[pk] = full
 
 
+def serialize_device_frame(g: Geom, host, hdr, fc0, er: bool, prev_mvs,
+                           sign_bias=(0, 0, 0, 0)):
+    """Native 2-pass whole-tile serialization of one device frame.
+
+    Pass 1 collects symbol counts against fc0, the header's forward
+    probability updates are optimized from them, and pass 2 emits the
+    final tile (byte-identical to the Python oracle serializer).
+    Returns (payload, grid_fields, counts, fc_final) or None when the
+    native library can't take this configuration."""
+    import os
+
+    from tpu_vp9 import native as nat
+    from tpu_vp9.bitstream.prob_update import (
+        optimize_binary_probs, optimize_coef_probs,
+    )
+    from tpu_vp9.bitstream.tables import TxSize
+
+    if os.environ.get("TPU_VP9_NO_NATIVE_SER") == "1":
+        return None
+    lib = nat.get_lib()
+    if lib is None or not hasattr(lib, "rt_serialize"):
+        return None
+    m32 = dict(host["m32"])
+    m32.setdefault("ref", None)
+    m16f = None
+    split32 = host.get("split32")
+    if split32 is not None:
+        m16f = dict(host["m16f"])
+        m16f.setdefault("ref", None)
+    strip = None
+    if g.strip:
+        strip = dict(host["m16"])
+        strip.setdefault("ref", None)
+    scan_ks = host.get("scan_ks", (0, 0, 0, 0))
+    r1 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
+                                 prev_mvs, fc0, counts_on=not er,
+                                 scan_ks=scan_ks, sign_bias=sign_bias)
+    if r1 is None:
+        return None
+    tile1, counts, fields, _ = r1
+    if er:
+        tile, updates, fc_final = tile1, None, None
+    else:
+        coefc = {ts: counts[("coef", ts)] for ts in TxSize}
+        eobc = {ts: counts[("eob", ts)] for ts in TxSize}
+        new_coef, flags = optimize_coef_probs(fc0, coefc, eobc)
+        new_skip = optimize_binary_probs(
+            fc0.skip_probs, counts["skip"][:, 0], counts["skip"][:, 1])
+        fc1 = fc0.copy()
+        updates = {"coef": {}, "skip": (fc0.skip_probs.copy(), new_skip)}
+        for ts in TxSize:
+            updates["coef"][ts] = (fc0.coef_probs[ts].copy(),
+                                   new_coef[ts], flags[ts])
+            fc1.coef_probs[ts] = new_coef[ts]
+        fc1.skip_probs = new_skip
+        r2 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
+                                     prev_mvs, fc1, counts_on=False,
+                                     scan_ks=scan_ks, sign_bias=sign_bias)
+        if r2 is None:
+            return None
+        tile, _, fields, _ = r2
+        fc_final = fc1
+    payload = assemble_frame(hdr, tile, updates)
+    return payload, fields, counts, fc_final
+
+
 class RtSession:
     """Streaming device-resident low-delay encoder session.
 
@@ -506,64 +572,13 @@ class RtSession:
         host-side wall of the 1080p flagship path.  Returns an
         EncodedFrame or None when the native library can't take this
         configuration."""
-        import os
-
-        from tpu_vp9 import native as nat
-        from tpu_vp9.bitstream.prob_update import (
-            optimize_binary_probs, optimize_coef_probs,
-        )
-        from tpu_vp9.bitstream.tables import TxSize
-
-        if os.environ.get("TPU_VP9_NO_NATIVE_SER") == "1":
-            return None
-        lib = nat.get_lib()
-        if lib is None or not hasattr(lib, "rt_serialize"):
-            return None
         g = self.g
-        m32 = dict(host["m32"])
-        m32.setdefault("ref", None)
-        m16f = None
-        split32 = host.get("split32")
-        if split32 is not None:
-            m16f = dict(host["m16f"])
-            m16f.setdefault("ref", None)
-        strip = None
-        if g.strip:
-            strip = dict(host["m16"])
-            strip.setdefault("ref", None)
         fc0 = (T.default_frame_context() if self.er
                else self._fc[0].copy())
-        scan_ks = host.get("scan_ks", (0, 0, 0, 0))
-        r1 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
-                                     prev_mvs, fc0, counts_on=not self.er,
-                                     scan_ks=scan_ks)
-        if r1 is None:
+        r = serialize_device_frame(g, host, hdr, fc0, self.er, prev_mvs)
+        if r is None:
             return None
-        tile1, counts, fields, _ = r1
-        if self.er:
-            tile, updates, fc_final = tile1, None, None
-        else:
-            coefc = {ts: counts[("coef", ts)] for ts in TxSize}
-            eobc = {ts: counts[("eob", ts)] for ts in TxSize}
-            new_coef, flags = optimize_coef_probs(fc0, coefc, eobc)
-            new_skip = optimize_binary_probs(
-                fc0.skip_probs, counts["skip"][:, 0], counts["skip"][:, 1])
-            fc1 = fc0.copy()
-            updates = {"coef": {}, "skip": (fc0.skip_probs.copy(),
-                                            new_skip)}
-            for ts in TxSize:
-                updates["coef"][ts] = (fc0.coef_probs[ts].copy(),
-                                       new_coef[ts], flags[ts])
-                fc1.coef_probs[ts] = new_coef[ts]
-            fc1.skip_probs = new_skip
-            r2 = nat.native_rt_serialize(g, split32, m32, m16f, strip,
-                                         prev_mvs, fc1, counts_on=False,
-                                         scan_ks=scan_ks)
-            if r2 is None:
-                return None
-            tile, _, fields, _ = r2
-            fc_final = fc1
-        payload = assemble_frame(hdr, tile, updates)
+        payload, fields, counts, fc_final = r
         # light state: planes for recon consumers + the motion field for
         # the next frame's temporal candidates (no per-block objects)
         st = make_frame_state(frame, g.mi_rows, g.mi_cols)

@@ -729,11 +729,12 @@ def make_rate_tabs(fc, qindex: int):
     nmv_row = _mv_component_costs(fc.nmv.comps[0]).astype(np.int32)
     nmv_col = _mv_component_costs(fc.nmv.comps[1]).astype(np.int32)
     # single-ref bits, context-averaged: LAST = p1-bit 0;
-    # GOLDEN = p1-bit 1 + p2-bit 0
+    # GOLDEN = p1-bit 1 + p2-bit 0; ALTREF = p1-bit 1 + p2-bit 1
     p1 = fc.single_ref_probs[:, 0].astype(np.int32)
     p2 = fc.single_ref_probs[:, 1].astype(np.int32)
     last_c = int(PROB_COST[p1].mean())
     gold_c = int(PROB_COST[256 - p1].mean() + PROB_COST[p2].mean())
+    alt_c = int(PROB_COST[256 - p1].mean() + PROB_COST[256 - p2].mean())
     ac_q = T.ac_quant(qindex)
     lam_bits = max(1.0, 0.85 * (ac_q / 8.0) ** 2)
     return {
@@ -741,7 +742,7 @@ def make_rate_tabs(fc, qindex: int):
         "joint_cost": joint_cost,
         "nmv_row": nmv_row,
         "nmv_col": nmv_col,
-        "ref_cost": np.array([last_c, gold_c], np.int32),
+        "ref_cost": np.array([last_c, gold_c, alt_c], np.int32),
         "lam_bits": np.float32(lam_bits),
         "mv_cost_max": MV_COST_MAX,
     }
@@ -1506,7 +1507,7 @@ def _scatter_blocks(blocks, rows: int, cols: int, n: int):
 
 def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
                 geom: Geom, n: int, dc_q, ac_q, lam, filters,
-                full16: bool = False, gold=None, rates=None,
+                full16: bool = False, gold=None, alt=None, rates=None,
                 return_me: bool = False, parent_me=None):
     """MD + recon for one uniform zone (block size n).
 
@@ -1630,12 +1631,22 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
             cols, r_map, q3s, scale, lam, rates=rates)
 
     ref_sel = jnp.zeros((b,), jnp.int8)
+    alt_me = None
+    if gold is not None or alt is not None:
+        if rates is not None:
+            lam_f = rates["lam_bits"]
+            ref_extra = rates["ref_cost"].astype(jnp.float32) \
+                * lam_f / 256.0
+        else:
+            lam_f = lam.astype(jnp.float32)
+            ref_extra = jnp.array([0.0, 2.0, 2.0], jnp.float32) * lam_f
+        best_cost = cost_last + ref_extra[0]
+        zero = jnp.zeros_like(mv_r)
     if gold is not None:
         # GOLDEN candidates: ZERO and the block's previous-frame MV —
         # the anchor wins on static/occluded regions where LAST drifted
         # (quantization-noise accumulation); a full second window search
         # is not worth its MXU cost at this preset tier
-        zero = jnp.zeros_like(mv_r)
         g_cands_r = jnp.stack([zero, prev_mv[:, 0]])
         g_cands_c = jnp.stack([zero, prev_mv[:, 1]])
         g_sse0 = _zero_sse(gold[0], src_blocks, y0, 0, rows, cols, n)
@@ -1645,25 +1656,75 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         if rates is not None:
             mc = rates["mode_cost"]
             g_rate = jnp.stack([mc[2], mc[0]])[:, None]
-            lam_f = rates["lam_bits"]
             g_costs = (g_sses.astype(jnp.float32)
                        + lam_f * g_rate.astype(jnp.float32) / 256.0)
-            ref_extra = rates["ref_cost"].astype(jnp.float32) * lam_f / 256.0
         else:
             rz, _, _, rp, _ = CAND_RATE_PROXY
-            lam_f = lam.astype(jnp.float32)
             g_costs = (g_sses.astype(jnp.float32)
                        + lam_f * jnp.array([[rz], [rp]], jnp.float32))
-            ref_extra = jnp.array([0.0, 2.0], jnp.float32) * lam_f
         g_best = jnp.argmin(g_costs, axis=0)
         g_bidx = (g_best, jnp.arange(b))
         g_cost = g_costs[g_bidx] + ref_extra[1]
         g_mv_r = g_cands_r[g_bidx]
         g_mv_c = g_cands_c[g_bidx]
-        use_gold = g_cost < (cost_last + ref_extra[0])
+        use_gold = g_cost < best_cost
+        best_cost = jnp.where(use_gold, g_cost, best_cost)
         ref_sel = use_gold.astype(jnp.int8)
         mv_r = jnp.where(use_gold, g_mv_r, mv_r)
         mv_c = jnp.where(use_gold, g_mv_c, mv_c)
+    if alt is not None:
+        # ALTREF (the RA pyramid's future anchor) gets its own full
+        # hierarchical search — bidirectional content tracks the nearer
+        # temporal side, so ZERO/PREV candidates alone leave real
+        # BD-rate on the table (EbModeDecision.c runs per-ref-list
+        # candidate injection).  Candidates: ZERO + NEW.
+        assert parent_me is None
+        col_px_a = np.arange(cols, dtype=np.int64) * n
+        wins_a = _extract_search_windows(alt[0], n, rows, cols, y0,
+                                         col_px_a)
+        a_sse0 = _zero_sse(alt[0], src_blocks, y0, 0, rows, cols, n)
+        if n == 32:
+            cya, cxa, dyra, dxra, loca, _, _ = hier_search(
+                src_blocks, wins_a, n)
+            sra, sca, a_sse1 = _subpel_exhaustive(
+                loca, src_blocks, dyra, dxra, n, filters, r=REFINE_R)
+            a_new_r = cya * 8 + sra
+            a_new_c = cxa * 8 + sca
+        else:
+            dya, dxa, _ = _full_search_sse_mxu(src_blocks, wins_a, n)
+            a_new_r, a_new_c, a_sse1 = _subpel_exhaustive(
+                wins_a, src_blocks, dya, dxa, n, filters)
+        a_sses = jnp.stack([a_sse0, a_sse1])
+        if rates is not None:
+            mc = rates["mode_cost"]
+            m = int(rates["mv_cost_max"])
+            jt = (2 * (a_new_r != 0).astype(jnp.int32)
+                  + (a_new_c != 0).astype(jnp.int32))
+            mvd_bits = (rates["joint_cost"][jt]
+                        + rates["nmv_row"][jnp.clip(a_new_r, -m, m) + m]
+                        + rates["nmv_col"][jnp.clip(a_new_c, -m, m) + m])
+            a_rate = jnp.stack([mc[2] * jnp.ones_like(mvd_bits),
+                                mc[3] + mvd_bits])
+            a_costs = (a_sses.astype(jnp.float32)
+                       + lam_f * a_rate.astype(jnp.float32) / 256.0)
+        else:
+            rz, rn0, rnb, _, _ = CAND_RATE_PROXY
+            mvd = (jnp.abs(a_new_r) + jnp.abs(a_new_c)) \
+                .astype(jnp.float32)
+            a_costs = (a_sses.astype(jnp.float32) + lam_f * jnp.stack(
+                [rz * jnp.ones_like(mvd),
+                 rn0 + rnb * jnp.log2(1.0 + mvd)]))
+        a_best = jnp.argmin(a_costs, axis=0)
+        a_bidx = (a_best, jnp.arange(b))
+        a_cost = a_costs[a_bidx] + ref_extra[2]
+        a_mv_r = jnp.where(a_best == 0, zero, a_new_r)
+        a_mv_c = jnp.where(a_best == 0, zero, a_new_c)
+        use_alt = a_cost < best_cost
+        best_cost = jnp.where(use_alt, a_cost, best_cost)
+        ref_sel = jnp.where(use_alt, jnp.int8(2), ref_sel)
+        mv_r = jnp.where(use_alt, a_mv_r, mv_r)
+        mv_c = jnp.where(use_alt, a_mv_c, mv_c)
+        alt_me = wins_a
 
     # --- MC prediction (Y + chroma) and transform/recon ---
     nc = n // 2
@@ -1691,10 +1752,21 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
             gwv = _extract_search_windows(gold[2], nc, rows, cols,
                                           y0c_w, col_px_c,
                                           r=CHROMA_WIN_R)
-            msel = (ref_sel > 0)[:, None, None]
+            msel = (ref_sel == 1)[:, None, None]
             wy_mc = jnp.where(msel, gwy, wy_mc)
             wu = jnp.where(msel, gwu, wu)
             wv = jnp.where(msel, gwv, wv)
+        if alt is not None:
+            awu = _extract_search_windows(alt[1], nc, rows, cols,
+                                          y0c_w, col_px_c,
+                                          r=CHROMA_WIN_R)
+            awv = _extract_search_windows(alt[2], nc, rows, cols,
+                                          y0c_w, col_px_c,
+                                          r=CHROMA_WIN_R)
+            msel = (ref_sel == 2)[:, None, None]
+            wy_mc = jnp.where(msel, alt_me, wy_mc)
+            wu = jnp.where(msel, awu, wu)
+            wv = jnp.where(msel, awv, wv)
         pred_y = mc_predict_from_wins(wy_mc, pos_y, pos_x, mv_r, mv_c,
                                       n, 0, g.mi_rows, g.mi_cols,
                                       filters, WIN_R)
@@ -1977,7 +2049,7 @@ SPLIT_RATE_EXTRA = 4.0
 def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
                 prev_mv16, geom: Geom, dc_q, ac_q, lam, lf_lvl, lf_lim,
                 lf_mblim, filters, split16: bool = False, gold=None,
-                rates=None, blob_recon=None):
+                alt=None, rates=None, blob_recon=None):
     """One full device P-frame encode step (jit under a static geom).
 
     src planes: padded (pad_h, pad_w)/(pad_h/2, pad_w/2) uint8 device
@@ -1992,7 +2064,8 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     g = geom
     out32 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                         prev_mv32, g, 32, dc_q, ac_q, lam, filters,
-                        gold=gold, rates=rates, return_me=split16)
+                        gold=gold, alt=alt, rates=rates,
+                        return_me=split16)
     outs = {"m32": out32}
     rec_y = out32["rec_y"]
     rec_u = out32["rec_u"]
@@ -2054,7 +2127,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     if g.strip:
         out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                             prev_mv16, g, 16, dc_q, ac_q, lam, filters,
-                            gold=gold, rates=rates)
+                            gold=gold, alt=alt, rates=rates)
         outs["m16"] = out16
         rec_y = jnp.concatenate([rec_y, out16["rec_y"]], axis=0)
         rec_u = jnp.concatenate([rec_u, out16["rec_u"]], axis=0)
@@ -2091,21 +2164,34 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
 import functools
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=32)
 def make_pframe_step(geom: Geom, split16: bool = False,
-                     golden: bool = False, blob_recon=None):
+                     golden: bool = False, blob_recon=None,
+                     altref: bool = False, with_rates: bool = False):
     """Jitted device step closed over the static geometry (memoized:
     sessions sharing a geometry share the compiled executable).
 
-    golden=True adds the HBM GOLDEN reference args (gold_y/u/v) and the
-    per-frame entropy rate-table args (make_rate_tabs order)."""
+    golden=True adds the HBM GOLDEN reference args (gold_y/u/v);
+    altref=True adds the ALTREF args (alt_y/u/v — the RA pyramid's
+    future anchor, with its own device search).  Either aux flag also
+    adds the per-frame entropy rate-table args (make_rate_tabs order).
+    """
     filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
 
-    if golden:
-        def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, gold_y, gold_u,
-                 gold_v, prev_mv32, prev_mv16, dc_q, ac_q, lam, lf_lvl,
-                 lf_lim, lf_mblim, mode_cost, joint_cost, nmv_row, nmv_col,
-                 ref_cost, lam_bits):
+    if golden or altref or with_rates:
+        def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, *rest):
+            i = 0
+            gold = None
+            alt = None
+            if golden:
+                gold = tuple(rest[0:3])
+                i = 3
+            if altref:
+                alt = tuple(rest[i : i + 3])
+                i += 3
+            (prev_mv32, prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim,
+             lf_mblim, mode_cost, joint_cost, nmv_row, nmv_col,
+             ref_cost, lam_bits) = rest[i:]
             rates = {"mode_cost": mode_cost, "joint_cost": joint_cost,
                      "nmv_row": nmv_row, "nmv_col": nmv_col,
                      "ref_cost": ref_cost, "lam_bits": lam_bits,
@@ -2113,9 +2199,8 @@ def make_pframe_step(geom: Geom, split16: bool = False,
             return pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                                prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
                                lf_lvl, lf_lim, lf_mblim, filters,
-                               split16=split16,
-                               gold=(gold_y, gold_u, gold_v), rates=rates,
-                               blob_recon=blob_recon)
+                               split16=split16, gold=gold, alt=alt,
+                               rates=rates, blob_recon=blob_recon)
 
         return jax.jit(step, donate_argnums=(3, 4, 5))
 
