@@ -158,7 +158,33 @@ class Vp9Encoder:
         # M8/M9 streams route through it when the geometry fits the
         # uniform device grid and an accelerator is reachable
         self._rt = None
+        self._ra_dev = None
         cfg = self._cfg
+        if (self._ra is not None and cfg.tpu_realtime != 0
+                and int(cfg.enc_mode) >= 8 and not cfg.tpu_mesh_shape
+                and cfg.recon_file is None and self._sc is None
+                and not self._qp_overrides):
+            from tpu_vp9.config import RateControlMode
+
+            if (cfg.rate_control_mode == RateControlMode.CQP
+                    and (self._tpu_ok or cfg.tpu_realtime in (1, 2))):
+                from tpu_vp9.pipeline.presets import qp_to_qindex
+                from tpu_vp9.pipeline.ra_device import DeviceRaSession
+                from tpu_vp9.utils.trace import notice
+
+                try:
+                    self._ra_dev = DeviceRaSession(
+                        cfg.source_width, cfg.source_height,
+                        gop_len=1 << cfg.hierarchical_levels,
+                        intra_period=cfg.intra_period,
+                        base_qindex=qp_to_qindex(cfg.qp),
+                        tune=int(cfg.tune))
+                    notice("random-access pyramids on the device "
+                           "EncDec step (DeviceRaSession)")
+                except ValueError as exc:
+                    self._ra_dev = None
+                    notice("device RA session unavailable "
+                           f"({exc}); host RA engine")
         if (self._ra is None and cfg.tpu_realtime != 0
                 and int(cfg.enc_mode) >= 8):
             from tpu_vp9.utils.device import tpu_dead_reason
@@ -252,6 +278,15 @@ class Vp9Encoder:
             import time as _time
 
             _sc_t0 = _time.perf_counter()
+        if self._ra_dev is not None:
+            if force_keyframe and idx > 0:
+                from tpu_vp9.utils.trace import notice
+
+                notice("device RA session ignores mid-stream keyframe "
+                       "requests (scheduled intra period only)")
+            for p in self._ra_dev.push(frame):
+                self._emit_ra([p])
+            return
         if self._ra is not None:
             if force_keyframe:
                 self._ra_keys.add(idx)
@@ -578,7 +613,10 @@ class Vp9Encoder:
         keyframe-QP staticness measurement so chunked encodes stay
         byte-identical to sequential ones.
         """
-        if self._ra is not None and not self._eos:
+        if self._ra_dev is not None and not self._eos:
+            for p in self._ra_dev.flush():
+                self._emit_ra([p])
+        elif self._ra is not None and not self._eos:
             self._ra_next_hint = next_frame_hint
             self._ra_drain(flush=True)
         if self._rt is not None and not self._eos:
