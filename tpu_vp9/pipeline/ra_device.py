@@ -77,8 +77,9 @@ class DeviceRaSession:
         key = (golden, altref)
         if key not in self._steps:
             self._steps[key] = make_pframe_step(
-                self.g, split16=False, golden=golden, blob_recon=False,
-                altref=altref, with_rates=True)
+                self.g, split16=not self.g.strip, golden=golden,
+                blob_recon=False, altref=altref, with_rates=True,
+                descend_frac=1)
         return self._steps[key]
 
     # -- streaming API ---------------------------------------------------

@@ -2049,7 +2049,8 @@ SPLIT_RATE_EXTRA = 4.0
 def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
                 prev_mv16, geom: Geom, dc_q, ac_q, lam, lf_lvl, lf_lim,
                 lf_mblim, filters, split16: bool = False, gold=None,
-                alt=None, rates=None, blob_recon=None):
+                alt=None, rates=None, blob_recon=None,
+                descend_frac: int = 4):
     """One full device P-frame encode step (jit under a static geom).
 
     src planes: padded (pad_h, pad_w)/(pad_h/2, pad_w/2) uint8 device
@@ -2083,7 +2084,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
         # analogue — r4 encoded the whole frame twice instead).
         # GOLDEN-anchored parents stay 32 (their children would search
         # the LAST windows), as does the forced-partition overhang row.
-        k_desc = max(1, b32 // 4)
+        k_desc = max(1, b32 // descend_frac)
         score = out32["dist_b"]
         if gold is not None:
             score = jnp.where(out32["ref"] > 0, -1, score)
@@ -2167,7 +2168,8 @@ import functools
 @functools.lru_cache(maxsize=32)
 def make_pframe_step(geom: Geom, split16: bool = False,
                      golden: bool = False, blob_recon=None,
-                     altref: bool = False, with_rates: bool = False):
+                     altref: bool = False, with_rates: bool = False,
+                     descend_frac: int = 4):
     """Jitted device step closed over the static geometry (memoized:
     sessions sharing a geometry share the compiled executable).
 
@@ -2200,7 +2202,8 @@ def make_pframe_step(geom: Geom, split16: bool = False,
                                prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
                                lf_lvl, lf_lim, lf_mblim, filters,
                                split16=split16, gold=gold, alt=alt,
-                               rates=rates, blob_recon=blob_recon)
+                               rates=rates, blob_recon=blob_recon,
+                               descend_frac=descend_frac)
 
         return jax.jit(step, donate_argnums=(3, 4, 5))
 
@@ -2209,7 +2212,8 @@ def make_pframe_step(geom: Geom, split16: bool = False,
         return pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                            prev_mv32, prev_mv16, geom, dc_q, ac_q, lam,
                            lf_lvl, lf_lim, lf_mblim, filters,
-                           split16=split16, blob_recon=blob_recon)
+                           split16=split16, blob_recon=blob_recon,
+                           descend_frac=descend_frac)
 
     return jax.jit(step, donate_argnums=(3, 4, 5))
 
