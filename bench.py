@@ -59,6 +59,69 @@ def _measure_1080p_rt():
     return e2e_fps, step_fps, total // n_meas
 
 
+def _measure_4k_and_dual():
+    """4K M8 low-delay (BASELINE config 4) single- and dual-stream
+    aggregate fps through RtSession with pre-staged device input (the
+    reference's RAM-resident YUV timing model; the axon tunnel's
+    ~30 MB/s would otherwise measure the test harness, not the
+    encoder)."""
+    from tpu_vp9.pipeline.realtime import RtSession
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    w, h = 3840, 2160
+    frames = list(synthetic_frames(w, h, 12, seed=0, motion=True))
+    sess = RtSession(w, h, intra_period=-1, want_recon=False,
+                     golden=True)
+    out = sess.send(frames[0], qindex=160)
+    staged = [sess.stage(f) for f in frames[1:]]
+    for s in staged[:2]:
+        out += sess.send(s, qindex=160)
+    t0 = time.perf_counter()
+    n = 0
+    for s in staged[2:]:
+        out += sess.send(s, qindex=160)
+        n += 1
+    out += sess.flush()
+    single = n / (time.perf_counter() - t0)
+    # dual stream: two independent sessions interleaved on the chip
+    s1 = RtSession(w, h, intra_period=-1, want_recon=False, golden=True)
+    s2 = RtSession(w, h, intra_period=-1, want_recon=False, golden=True)
+    s1.send(frames[0], qindex=160)
+    s2.send(frames[0], qindex=160)
+    for s in staged[:2]:
+        s1.send(s, qindex=160)
+        s2.send(s, qindex=160)
+    t0 = time.perf_counter()
+    n = 0
+    for s in staged[2:]:
+        s1.send(s, qindex=160)
+        s2.send(s, qindex=160)
+        n += 2
+    s1.flush()
+    s2.flush()
+    dual = n / (time.perf_counter() - t0)
+    return single, dual
+
+
+def _measure_1080p_ra():
+    """1080p hierarchical RA through the device session (the
+    reference's shipping prediction structure)."""
+    from tpu_vp9.pipeline.ra_device import DeviceRaSession
+    from tpu_vp9.utils.yuv import synthetic_frames
+
+    w, h = 1920, 1080
+    frames = list(synthetic_frames(w, h, 44, seed=0, motion=True))
+    sess = DeviceRaSession(w, h, gop_len=8, base_qindex=160)
+    for f in frames[:18]:  # warm: compiles + two minigops
+        sess.push(f)
+    t0 = time.perf_counter()
+    n = 0
+    for f in frames[18:42]:
+        sess.push(f)
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def main() -> None:
     from tpu_vp9.api import Vp9Encoder
     from tpu_vp9.config import EncoderConfig
@@ -66,6 +129,7 @@ def main() -> None:
     from tpu_vp9.utils.yuv import synthetic_frames
 
     rt_e2e = rt_step = rt_bpf = None
+    fps_4k = fps_4k_dual = ra_fps = None
     tpu_error = None
     if tpu_alive():
         try:
@@ -74,6 +138,18 @@ def main() -> None:
             import traceback
 
             tpu_error = traceback.format_exc(limit=8)
+        try:
+            fps_4k, fps_4k_dual = _measure_4k_and_dual()
+        except Exception:
+            import traceback
+
+            tpu_error = (tpu_error or "") + traceback.format_exc(limit=4)
+        try:
+            ra_fps = _measure_1080p_ra()
+        except Exception:
+            import traceback
+
+            tpu_error = (tpu_error or "") + traceback.format_exc(limit=4)
     else:
         from tpu_vp9.utils.device import tpu_dead_reason
 
@@ -132,6 +208,10 @@ def main() -> None:
         "tpu_1080p_pframe_step_fps": (round(rt_step, 1)
                                       if rt_step else None),
         "tpu_1080p_bytes_per_frame": rt_bpf,
+        "tpu_4k_m8_ld_e2e_fps": (round(fps_4k, 2) if fps_4k else None),
+        "tpu_4k_m8_dual_stream_agg_fps": (round(fps_4k_dual, 2)
+                                          if fps_4k_dual else None),
+        "tpu_1080p_ra_e2e_fps": (round(ra_fps, 2) if ra_fps else None),
         "cif_m8_ra_e2e_fps": round(cif_fps, 2),
         "cif_m0_fps": round(m0_fps, 2),
         "cif_m0_bytes_per_frame": m0_bytes // max(len(frames), 1),

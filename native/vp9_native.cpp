@@ -14,6 +14,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -841,9 +842,68 @@ int64_t mc_block_sse_avg(const uint8_t* padded0, int stride0,
 }
 
 // Rectangular full-pel exhaustive SAD search (w x h block, strided src).
+// Width-specialised rows let the compiler vectorise the inner loop
+// (the generic runtime-width loop with a per-row early exit blocked
+// AVX2 codegen — the M0-M4 probe pre-pass runs thousands of these).
+}  // extern "C" (template specialisations below are C++-linkage)
+
+namespace sadimpl {
+template <int W>
+static inline int sad_row_t(const uint8_t* a, const uint8_t* b) {
+    int sad = 0;
+    for (int x = 0; x < W; ++x) {
+        int d = (int)a[x] - (int)b[x];
+        sad += d < 0 ? -d : d;
+    }
+    return sad;
+}
+
+template <int W>
+static void sad_search_t(const uint8_t* src, int src_stride, int h,
+                         const uint8_t* region, int region_stride, int r,
+                         int32_t* best) {
+    int best_sad = INT32_MAX, best_dy = 0, best_dx = 0;
+    for (int dy = 0; dy <= 2 * r; ++dy) {
+        for (int dx = 0; dx <= 2 * r; ++dx) {
+            const uint8_t* q = region + dy * region_stride + dx;
+            int sad = 0;
+            for (int y = 0; y < h; ++y) {
+                sad += sad_row_t<W>(src + (int64_t)y * src_stride,
+                                    q + (int64_t)y * region_stride);
+                if (sad >= best_sad) break;
+            }
+            if (sad < best_sad) {
+                best_sad = sad;
+                best_dy = dy - r;
+                best_dx = dx - r;
+            }
+        }
+    }
+    best[0] = best_dy;
+    best[1] = best_dx;
+    best[2] = best_sad;
+}
+
+}  // namespace sadimpl
+
+extern "C" {
+
 void sad_full_search_rect(const uint8_t* src, int src_stride, int w, int h,
                           const uint8_t* region, int region_stride, int r,
                           int32_t* best) {
+    using namespace sadimpl;
+    switch (w) {
+        case 64: return sad_search_t<64>(src, src_stride, h, region,
+                                         region_stride, r, best);
+        case 32: return sad_search_t<32>(src, src_stride, h, region,
+                                         region_stride, r, best);
+        case 16: return sad_search_t<16>(src, src_stride, h, region,
+                                         region_stride, r, best);
+        case 8: return sad_search_t<8>(src, src_stride, h, region,
+                                       region_stride, r, best);
+        case 4: return sad_search_t<4>(src, src_stride, h, region,
+                                       region_stride, r, best);
+    }
     int best_sad = INT32_MAX, best_dy = 0, best_dx = 0;
     for (int dy = 0; dy <= 2 * r; ++dy) {
         for (int dx = 0; dx <= 2 * r; ++dx) {
@@ -868,6 +928,64 @@ void sad_full_search_rect(const uint8_t* src, int src_stride, int w, int h,
     best[0] = best_dy;
     best[1] = best_dx;
     best[2] = best_sad;
+}
+
+// Batched rect full-pel searches with the ZERO-mv guard, threaded over
+// jobs (the per-probe ctypes round trips were ~60% of the M0-M4
+// partition-descent wall time; one call per TREE LEVEL replaces ~17k
+// calls per CIF frame).  jobs rows: (px, py, w, h, cy, cx, r) in plane
+// coords plus a guard flag; out rows: (dy, dx, sad) absolute-of-center
+// with the zero-mv preference applied when guard != 0 (matches
+// ops/me.full_pel_search + probe_inter_cost's guard).
+void sad_search_batch(const uint8_t* src_plane, int64_t src_stride,
+                      const uint8_t* ref_padded, int64_t ref_stride,
+                      int border, int plane_h, int plane_w,
+                      const int32_t* jobs, int njobs, int32_t* out) {
+    auto run = [&](int lo, int hi) {
+        for (int j = lo; j < hi; ++j) {
+            const int32_t* q = jobs + (int64_t)j * 8;
+            int px = q[0], py = q[1], w = q[2], h = q[3];
+            int cy = q[4], cx = q[5], r = q[6], guard = q[7];
+            // clamp centre so the window stays inside the padded plane
+            int lo_y = r - border - py, hi_y = plane_h - border - py - h - r;
+            int lo_x = r - border - px, hi_x = plane_w - border - px - w - r;
+            cy = cy < lo_y ? lo_y : (cy > hi_y ? hi_y : cy);
+            cx = cx < lo_x ? lo_x : (cx > hi_x ? hi_x : cx);
+            const uint8_t* src = src_plane + (int64_t)py * src_stride + px;
+            const uint8_t* region = ref_padded
+                + (int64_t)(border + py + cy - r) * ref_stride
+                + (border + px + cx - r);
+            int32_t best[3];
+            sad_full_search_rect(src, (int)src_stride, w, h, region,
+                                 (int)ref_stride, r, best);
+            int dy = cy + best[0], dx = cx + best[1], sad = best[2];
+            if (guard) {
+                const uint8_t* z = ref_padded
+                    + (int64_t)(border + py) * ref_stride + (border + px);
+                int zsad = 0;
+                for (int y = 0; y < h; ++y) {
+                    const uint8_t* a = src + (int64_t)y * src_stride;
+                    const uint8_t* b = z + (int64_t)y * ref_stride;
+                    for (int x = 0; x < w; ++x) {
+                        int d = (int)a[x] - (int)b[x];
+                        zsad += d < 0 ? -d : d;
+                    }
+                }
+                if (zsad <= sad) { dy = 0; dx = 0; sad = zsad; }
+            }
+            out[(int64_t)j * 3] = dy;
+            out[(int64_t)j * 3 + 1] = dx;
+            out[(int64_t)j * 3 + 2] = sad;
+        }
+    };
+    if (njobs >= 64) {
+        int mid = njobs / 2;
+        std::thread t(run, 0, mid);
+        run(mid, njobs);
+        t.join();
+    } else {
+        run(0, njobs);
+    }
 }
 
 // Rectangular iterative half/quarter-pel refinement (strided src).
@@ -2645,6 +2763,318 @@ int64_t rt_serialize(
     }
     if (rtser::g_trace) { fclose(rtser::g_trace); rtser::g_trace = nullptr; }
     return boolenc_finalize(&enc, out, out_cap);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact integer inverse transforms (port of ops/txfm.py idct/iadst
+// butterflies; int64 intermediates, bit-identical to the Python oracle
+// — tested by tests/test_native.py::test_native_inv_txfm).  The Python
+// per-block butterflies were the top wall-time of the M0-M4 host
+// encode (CIF M4: ~3s of numpy idct per 5 frames).
+// ---------------------------------------------------------------------------
+
+namespace itx {
+
+static const int64_t C[32] = {
+    16384, 16364, 16305, 16207, 16069, 15893, 15679, 15426, 15137, 14811,
+    14449, 14053, 13623, 13160, 12665, 12140, 11585, 11003, 10394, 9760,
+    9102, 8423, 7723, 7005, 6270, 5520, 4756, 3981, 3196, 2404, 1606, 804};
+static const int64_t SP[5] = {0, 5283, 9929, 13377, 15212};
+
+static inline int64_t rs(int64_t x) { return (x + 8192) >> 14; }
+
+static void idct4(const int64_t* x, int64_t* o) {
+    int64_t s0 = rs((x[0] + x[2]) * C[16]);
+    int64_t s1 = rs((x[0] - x[2]) * C[16]);
+    int64_t s2 = rs(x[1] * C[24] - x[3] * C[8]);
+    int64_t s3 = rs(x[1] * C[8] + x[3] * C[24]);
+    o[0] = s0 + s3; o[1] = s1 + s2; o[2] = s1 - s2; o[3] = s0 - s3;
+}
+
+static void iadst4(const int64_t* x, int64_t* o) {
+    int64_t s0 = SP[1] * x[0] + SP[4] * x[2] + SP[2] * x[3];
+    int64_t s1 = SP[2] * x[0] - SP[1] * x[2] - SP[4] * x[3];
+    int64_t s3 = SP[3] * x[1];
+    int64_t s2 = SP[3] * (x[0] - x[2] + x[3]);
+    o[0] = rs(s0 + s3); o[1] = rs(s1 + s3); o[2] = rs(s2);
+    o[3] = rs(s0 + s1 - s3);
+}
+
+static void idct8(const int64_t* x, int64_t* o) {
+    int64_t s4 = rs(x[1] * C[28] - x[7] * C[4]);
+    int64_t s7 = rs(x[1] * C[4] + x[7] * C[28]);
+    int64_t s5 = rs(x[5] * C[12] - x[3] * C[20]);
+    int64_t s6 = rs(x[5] * C[20] + x[3] * C[12]);
+    int64_t ev_in[4] = {x[0], x[2], x[4], x[6]}, ev[4];
+    idct4(ev_in, ev);
+    int64_t t4 = s4 + s5, t5 = s4 - s5, t6 = -s6 + s7, t7 = s6 + s7;
+    int64_t u5 = rs((t6 - t5) * C[16]);
+    int64_t u6 = rs((t5 + t6) * C[16]);
+    o[0] = ev[0] + t7; o[1] = ev[1] + u6; o[2] = ev[2] + u5;
+    o[3] = ev[3] + t4; o[4] = ev[3] - t4; o[5] = ev[2] - u5;
+    o[6] = ev[1] - u6; o[7] = ev[0] - t7;
+}
+
+static void iadst8(const int64_t* xin, int64_t* o) {
+    int64_t x0 = xin[7], x1 = xin[0], x2 = xin[5], x3 = xin[2];
+    int64_t x4 = xin[3], x5 = xin[4], x6 = xin[1], x7 = xin[6];
+    int64_t s0 = C[2] * x0 + C[30] * x1;
+    int64_t s1 = C[30] * x0 - C[2] * x1;
+    int64_t s2 = C[10] * x2 + C[22] * x3;
+    int64_t s3 = C[22] * x2 - C[10] * x3;
+    int64_t s4 = C[18] * x4 + C[14] * x5;
+    int64_t s5 = C[14] * x4 - C[18] * x5;
+    int64_t s6 = C[26] * x6 + C[6] * x7;
+    int64_t s7 = C[6] * x6 - C[26] * x7;
+    x0 = rs(s0 + s4); x1 = rs(s1 + s5); x2 = rs(s2 + s6); x3 = rs(s3 + s7);
+    x4 = rs(s0 - s4); x5 = rs(s1 - s5); x6 = rs(s2 - s6); x7 = rs(s3 - s7);
+    s4 = C[8] * x4 + C[24] * x5;
+    s5 = C[24] * x4 - C[8] * x5;
+    s6 = -C[24] * x6 + C[8] * x7;
+    s7 = C[8] * x6 + C[24] * x7;
+    int64_t y0 = x0 + x2, y1 = x1 + x3, y2 = x0 - x2, y3 = x1 - x3;
+    x4 = rs(s4 + s6); x5 = rs(s5 + s7);
+    int64_t x6n = rs(s4 - s6), x7n = rs(s5 - s7);
+    int64_t y2n = rs(C[16] * (y2 + y3));
+    int64_t y3n = rs(C[16] * (y2 - y3));
+    int64_t y6n = rs(C[16] * (x6n + x7n));
+    int64_t y7n = rs(C[16] * (x6n - x7n));
+    o[0] = y0; o[1] = -x4; o[2] = y6n; o[3] = -y2n;
+    o[4] = y3n; o[5] = -y7n; o[6] = x5; o[7] = -y1;
+}
+
+static void idct16(const int64_t* x, int64_t* o) {
+    int64_t s8 = rs(x[1] * C[30] - x[15] * C[2]);
+    int64_t s15 = rs(x[1] * C[2] + x[15] * C[30]);
+    int64_t s9 = rs(x[9] * C[14] - x[7] * C[18]);
+    int64_t s14 = rs(x[9] * C[18] + x[7] * C[14]);
+    int64_t s10 = rs(x[5] * C[22] - x[11] * C[10]);
+    int64_t s13 = rs(x[5] * C[10] + x[11] * C[22]);
+    int64_t s11 = rs(x[13] * C[6] - x[3] * C[26]);
+    int64_t s12 = rs(x[13] * C[26] + x[3] * C[6]);
+    int64_t t8 = s8 + s9, t9 = s8 - s9, t10 = -s10 + s11, t11 = s10 + s11;
+    int64_t t12 = s12 + s13, t13 = s12 - s13, t14 = -s14 + s15,
+            t15 = s14 + s15;
+    int64_t ev_in[8], ev[8];
+    for (int k = 0; k < 8; ++k) ev_in[k] = x[2 * k];
+    idct8(ev_in, ev);
+    int64_t u9 = rs(-t9 * C[8] + t14 * C[24]);
+    int64_t u14 = rs(t9 * C[24] + t14 * C[8]);
+    int64_t u10 = rs(-t10 * C[24] - t13 * C[8]);
+    int64_t u13 = rs(-t10 * C[8] + t13 * C[24]);
+    int64_t v8 = t8 + t11, v9 = u9 + u10, v10 = u9 - u10, v11 = t8 - t11;
+    int64_t v12 = -t12 + t15, v13 = -u13 + u14, v14 = u13 + u14,
+            v15 = t12 + t15;
+    int64_t w10 = rs((-v10 + v13) * C[16]);
+    int64_t w13 = rs((v10 + v13) * C[16]);
+    int64_t w11 = rs((-v11 + v12) * C[16]);
+    int64_t w12 = rs((v11 + v12) * C[16]);
+    int64_t odd[8] = {v8, v9, w10, w11, w12, w13, v14, v15};
+    for (int k = 0; k < 8; ++k) o[k] = ev[k] + odd[7 - k];
+    for (int k = 0; k < 8; ++k) o[8 + k] = ev[7 - k] - odd[k];
+}
+
+static void iadst16(const int64_t* xin, int64_t* o) {
+    int64_t x0 = xin[15], x1 = xin[0], x2 = xin[13], x3 = xin[2];
+    int64_t x4 = xin[11], x5 = xin[4], x6 = xin[9], x7 = xin[6];
+    int64_t x8 = xin[7], x9 = xin[8], x10 = xin[5], x11 = xin[10];
+    int64_t x12 = xin[3], x13 = xin[12], x14 = xin[1], x15 = xin[14];
+    int64_t s0 = x0 * C[1] + x1 * C[31];
+    int64_t s1 = x0 * C[31] - x1 * C[1];
+    int64_t s2 = x2 * C[5] + x3 * C[27];
+    int64_t s3 = x2 * C[27] - x3 * C[5];
+    int64_t s4 = x4 * C[9] + x5 * C[23];
+    int64_t s5 = x4 * C[23] - x5 * C[9];
+    int64_t s6 = x6 * C[13] + x7 * C[19];
+    int64_t s7 = x6 * C[19] - x7 * C[13];
+    int64_t s8 = x8 * C[17] + x9 * C[15];
+    int64_t s9 = x8 * C[15] - x9 * C[17];
+    int64_t s10 = x10 * C[21] + x11 * C[11];
+    int64_t s11 = x10 * C[11] - x11 * C[21];
+    int64_t s12 = x12 * C[25] + x13 * C[7];
+    int64_t s13 = x12 * C[7] - x13 * C[25];
+    int64_t s14 = x14 * C[29] + x15 * C[3];
+    int64_t s15 = x14 * C[3] - x15 * C[29];
+    x0 = rs(s0 + s8); x8 = rs(s0 - s8);
+    x1 = rs(s1 + s9); x9 = rs(s1 - s9);
+    x2 = rs(s2 + s10); x10 = rs(s2 - s10);
+    x3 = rs(s3 + s11); x11 = rs(s3 - s11);
+    x4 = rs(s4 + s12); x12 = rs(s4 - s12);
+    x5 = rs(s5 + s13); x13 = rs(s5 - s13);
+    x6 = rs(s6 + s14); x14 = rs(s6 - s14);
+    x7 = rs(s7 + s15); x15 = rs(s7 - s15);
+    s8 = x8 * C[4] + x9 * C[28];
+    s9 = x8 * C[28] - x9 * C[4];
+    s10 = x10 * C[20] + x11 * C[12];
+    s11 = x10 * C[12] - x11 * C[20];
+    s12 = -x12 * C[28] + x13 * C[4];
+    s13 = x12 * C[4] + x13 * C[28];
+    s14 = -x14 * C[12] + x15 * C[20];
+    s15 = x14 * C[20] + x15 * C[12];
+    int64_t y0 = x0 + x4, y4 = x0 - x4;
+    int64_t y1 = x1 + x5, y5 = x1 - x5;
+    int64_t y2 = x2 + x6, y6 = x2 - x6;
+    int64_t y3 = x3 + x7, y7 = x3 - x7;
+    x8 = rs(s8 + s12); x12 = rs(s8 - s12);
+    x9 = rs(s9 + s13); x13 = rs(s9 - s13);
+    x10 = rs(s10 + s14); x14 = rs(s10 - s14);
+    x11 = rs(s11 + s15); x15 = rs(s11 - s15);
+    s4 = y4 * C[8] + y5 * C[24];
+    s5 = y4 * C[24] - y5 * C[8];
+    s6 = -y6 * C[24] + y7 * C[8];
+    s7 = y6 * C[8] + y7 * C[24];
+    s12 = x12 * C[8] + x13 * C[24];
+    s13 = x12 * C[24] - x13 * C[8];
+    s14 = -x14 * C[24] + x15 * C[8];
+    s15 = x14 * C[8] + x15 * C[24];
+    int64_t z0 = y0 + y2, z2 = y0 - y2;
+    int64_t z1 = y1 + y3, z3 = y1 - y3;
+    int64_t z4 = rs(s4 + s6), z6 = rs(s4 - s6);
+    int64_t z5 = rs(s5 + s7), z7 = rs(s5 - s7);
+    int64_t z8 = x8 + x10, z10 = x8 - x10;
+    int64_t z9 = x9 + x11, z11 = x9 - x11;
+    int64_t z12 = rs(s12 + s14), z14 = rs(s12 - s14);
+    int64_t z13 = rs(s13 + s15), z15 = rs(s13 - s15);
+    int64_t w2 = rs(-C[16] * (z2 + z3));
+    int64_t w3 = rs(C[16] * (z2 - z3));
+    int64_t w6 = rs(C[16] * (z6 + z7));
+    int64_t w7 = rs(C[16] * (-z6 + z7));
+    int64_t w10 = rs(C[16] * (z10 + z11));
+    int64_t w11 = rs(C[16] * (-z10 + z11));
+    int64_t w14 = rs(-C[16] * (z14 + z15));
+    int64_t w15 = rs(C[16] * (z14 - z15));
+    o[0] = z0; o[1] = -z8; o[2] = z12; o[3] = -z4;
+    o[4] = w6; o[5] = w14; o[6] = w10; o[7] = w2;
+    o[8] = w3; o[9] = w11; o[10] = w15; o[11] = w7;
+    o[12] = z5; o[13] = -z13; o[14] = z9; o[15] = -z1;
+}
+
+static void idct32(const int64_t* x, int64_t* o) {
+    int64_t s16 = rs(x[1] * C[31] - x[31] * C[1]);
+    int64_t s31 = rs(x[1] * C[1] + x[31] * C[31]);
+    int64_t s17 = rs(x[17] * C[15] - x[15] * C[17]);
+    int64_t s30 = rs(x[17] * C[17] + x[15] * C[15]);
+    int64_t s18 = rs(x[9] * C[23] - x[23] * C[9]);
+    int64_t s29 = rs(x[9] * C[9] + x[23] * C[23]);
+    int64_t s19 = rs(x[25] * C[7] - x[7] * C[25]);
+    int64_t s28 = rs(x[25] * C[25] + x[7] * C[7]);
+    int64_t s20 = rs(x[5] * C[27] - x[27] * C[5]);
+    int64_t s27 = rs(x[5] * C[5] + x[27] * C[27]);
+    int64_t s21 = rs(x[21] * C[11] - x[11] * C[21]);
+    int64_t s26 = rs(x[21] * C[21] + x[11] * C[11]);
+    int64_t s22 = rs(x[13] * C[19] - x[19] * C[13]);
+    int64_t s25 = rs(x[13] * C[13] + x[19] * C[19]);
+    int64_t s23 = rs(x[29] * C[3] - x[3] * C[29]);
+    int64_t s24 = rs(x[29] * C[29] + x[3] * C[3]);
+    int64_t t16 = s16 + s17, t17 = s16 - s17;
+    int64_t t18 = -s18 + s19, t19 = s18 + s19;
+    int64_t t20 = s20 + s21, t21 = s20 - s21;
+    int64_t t22 = -s22 + s23, t23 = s22 + s23;
+    int64_t t24 = s24 + s25, t25 = s24 - s25;
+    int64_t t26 = -s26 + s27, t27 = s26 + s27;
+    int64_t t28 = s28 + s29, t29 = s28 - s29;
+    int64_t t30 = -s30 + s31, t31 = s30 + s31;
+    int64_t u17 = rs(-t17 * C[4] + t30 * C[28]);
+    int64_t u30 = rs(t17 * C[28] + t30 * C[4]);
+    int64_t u18 = rs(-t18 * C[28] - t29 * C[4]);
+    int64_t u29 = rs(-t18 * C[4] + t29 * C[28]);
+    int64_t u21 = rs(-t21 * C[20] + t26 * C[12]);
+    int64_t u26 = rs(t21 * C[12] + t26 * C[20]);
+    int64_t u22 = rs(-t22 * C[12] - t25 * C[20]);
+    int64_t u25 = rs(-t22 * C[20] + t25 * C[12]);
+    int64_t v16 = t16 + t19, v17 = u17 + u18, v18 = u17 - u18,
+            v19 = t16 - t19;
+    int64_t v20 = -t20 + t23, v21 = -u21 + u22, v22 = u21 + u22,
+            v23 = t20 + t23;
+    int64_t v24 = t24 + t27, v25 = u25 + u26, v26 = u25 - u26,
+            v27 = t24 - t27;
+    int64_t v28 = -t28 + t31, v29 = -u29 + u30, v30 = u29 + u30,
+            v31 = t28 + t31;
+    int64_t w18 = rs(-v18 * C[8] + v29 * C[24]);
+    int64_t w29 = rs(v18 * C[24] + v29 * C[8]);
+    int64_t w19 = rs(-v19 * C[8] + v28 * C[24]);
+    int64_t w28 = rs(v19 * C[24] + v28 * C[8]);
+    int64_t w20 = rs(-v20 * C[24] - v27 * C[8]);
+    int64_t w27 = rs(-v20 * C[8] + v27 * C[24]);
+    int64_t w21 = rs(-v21 * C[24] - v26 * C[8]);
+    int64_t w26 = rs(-v21 * C[8] + v26 * C[24]);
+    int64_t a16 = v16 + v23, a17 = v17 + v22, a18 = w18 + w21,
+            a19 = w19 + w20;
+    int64_t a20 = w19 - w20, a21 = w18 - w21, a22 = v17 - v22,
+            a23 = v16 - v23;
+    int64_t a24 = -v24 + v31, a25 = -v25 + v30, a26 = -w26 + w29,
+            a27 = -w27 + w28;
+    int64_t a28 = w27 + w28, a29 = w26 + w29, a30 = v25 + v30,
+            a31 = v24 + v31;
+    int64_t b20 = rs((-a20 + a27) * C[16]);
+    int64_t b27 = rs((a20 + a27) * C[16]);
+    int64_t b21 = rs((-a21 + a26) * C[16]);
+    int64_t b26 = rs((a21 + a26) * C[16]);
+    int64_t b22 = rs((-a22 + a25) * C[16]);
+    int64_t b25 = rs((a22 + a25) * C[16]);
+    int64_t b23 = rs((-a23 + a24) * C[16]);
+    int64_t b24 = rs((a23 + a24) * C[16]);
+    int64_t odd[16] = {a16, a17, a18, a19, b20, b21, b22, b23,
+                       b24, b25, b26, b27, a28, a29, a30, a31};
+    int64_t ev_in[16], ev[16];
+    for (int k = 0; k < 16; ++k) ev_in[k] = x[2 * k];
+    idct16(ev_in, ev);
+    for (int k = 0; k < 16; ++k) o[k] = ev[k] + odd[15 - k];
+    for (int k = 0; k < 16; ++k) o[16 + k] = ev[15 - k] - odd[k];
+}
+
+typedef void (*Tx1d)(const int64_t*, int64_t*);
+
+static Tx1d pick(int n, int adst) {
+    if (adst) {
+        if (n == 4) return iadst4;
+        if (n == 8) return iadst8;
+        return iadst16;
+    }
+    if (n == 4) return idct4;
+    if (n == 8) return idct8;
+    if (n == 16) return idct16;
+    return idct32;
+}
+
+}  // namespace itx
+
+extern "C" {
+
+// tx_type: 0 DCT_DCT, 1 ADST_DCT (col adst), 2 DCT_ADST (row adst),
+// 3 ADST_ADST — matching bitstream.tables.TxType / ops/txfm.inv_txfm2d.
+void inv_txfm_add_batch(const int32_t* coeffs, const uint8_t* pred,
+                        uint8_t* out, int n, int tx_type, int nblocks) {
+    const int shift = n == 4 ? 4 : (n == 8 ? 5 : 6);
+    int row_adst = (tx_type == 3 || tx_type == 2) && n <= 16;
+    int col_adst = (tx_type == 3 || tx_type == 1) && n <= 16;
+    itx::Tx1d rowf = itx::pick(n, row_adst);
+    itx::Tx1d colf = itx::pick(n, col_adst);
+    int64_t tmp[32 * 32], buf[32], obuf[32];
+    for (int b = 0; b < nblocks; ++b) {
+        const int32_t* cin = coeffs + (int64_t)b * n * n;
+        const uint8_t* p = pred + (int64_t)b * n * n;
+        uint8_t* q = out + (int64_t)b * n * n;
+        // rows pass
+        for (int r = 0; r < n; ++r) {
+            for (int k = 0; k < n; ++k) buf[k] = cin[r * n + k];
+            rowf(buf, tmp + r * n);
+        }
+        // columns pass
+        for (int c = 0; c < n; ++c) {
+            for (int k = 0; k < n; ++k) buf[k] = tmp[k * n + c];
+            colf(buf, obuf);
+            for (int k = 0; k < n; ++k) tmp[k * n + c] = obuf[k];
+        }
+        const int64_t half = 1ll << (shift - 1);
+        for (int i = 0; i < n * n; ++i) {
+            int64_t v = (tmp[i] + half) >> shift;
+            int64_t s = (int64_t)p[i] + v;
+            q[i] = (uint8_t)(s < 0 ? 0 : (s > 255 ? 255 : s));
+        }
+    }
 }
 
 }  // extern "C"

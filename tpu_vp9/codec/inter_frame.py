@@ -384,6 +384,137 @@ def decide_partition_map(st: FrameState, refs, events, qindex: int,
     return out
 
 
+def _batch_probe_tree(st: FrameState, refs, search_range: int,
+                      min_bs: BlockSize, max_bs: BlockSize,
+                      mi_rows: int, mi_cols: int):
+    """Pre-fill the probe caches for the whole partition quadtree with
+    ONE native batched-search call per tree level (plus one for the
+    rect/sub-8x8 probes of each level) — the per-probe ctypes round
+    trips were the top wall-time of the M0-M4 descent (~17k calls per
+    CIF frame).  Centers replicate decide_partition_tree's recursion
+    (children and rect halves search around the parent's winner), so
+    the descent below consumes identical results; any cache miss just
+    falls back to the per-call path."""
+    from tpu_vp9.native import native_sad_search_batch
+
+    cache = getattr(st, "_probe_cache", None)
+    if cache is None:
+        cache = st._probe_cache = {}
+    sub_cache = st._sub8_cache = {}
+    pl = st.planes[0]
+    src_plane = pl.source
+    ref = refs[0]
+    if native_sad_search_batch(src_plane[:8, :8], ref, BORDER,
+                               np.zeros((0, 8), np.int32)) is None:
+        return  # native library unavailable: per-call fallback
+
+    def run(jobs, metas, target):
+        if not jobs:
+            return
+        out = native_sad_search_batch(src_plane, ref, BORDER,
+                                      np.asarray(jobs, np.int32))
+        if out is None:
+            return
+        for (key, px, py), (dy, dx, sad) in zip(metas, out):
+            target[key] = (int(sad), (int(dy), int(dx)))
+
+    import os as _os
+
+    no_sub8 = (_os.environ.get("TPU_VP9_NO_SUB8X8") == "1"
+               or (int(min_bs) >= int(BlockSize.BLOCK_8X8))
+               or (getattr(st, "_restrict_mv", False)
+                   and getattr(st, "_prev_mvs", None) is None))
+    level_bs = [BlockSize.BLOCK_64X64, BlockSize.BLOCK_32X32,
+                BlockSize.BLOCK_16X16, BlockSize.BLOCK_8X8]
+    nodes = [(r0, c0) for r0 in range(0, mi_rows, 8)
+             for c0 in range(0, mi_cols, 8)]
+    centers = {n: (0, 0) for n in nodes}
+    for li, bs in enumerate(level_bs):
+        w, h = T.BLOCK_WH[bs]
+        bw = 1 << MI.MI_WIDTH_LOG2[bs]
+        jobs, metas = [], []
+        for (r0, c0) in nodes:
+            if r0 >= mi_rows or c0 >= mi_cols:
+                continue
+            has_rows, has_cols = MI.partition_rule(
+                bs, r0, c0, mi_rows, mi_cols)
+            can_none = (has_rows and has_cols) and int(bs) <= int(max_bs)
+            key = (r0, c0, int(bs))
+            if can_none and key not in cache:
+                cy, cx = centers[(r0, c0)]
+                rr = search_range if int(bs) >= int(max_bs) else 8
+                jobs.append((c0 * 8, r0 * 8, w, h, cy, cx, rr, 1))
+                metas.append((key, c0 * 8, r0 * 8))
+        run(jobs, metas, cache)
+        can_split_lvl = int(bs) > int(min_bs) and not (
+            bs == BlockSize.BLOCK_8X8 and no_sub8)
+        if bs == BlockSize.BLOCK_8X8:
+            if not can_split_lvl:
+                break
+            # sub-8x8 probes: 4x4 quarters + 4x8/8x4 halves, centered
+            # on the 8x8 winner, range 4, NO zero guard
+            jobs, metas = [], []
+            for (r0, c0) in nodes:
+                if r0 >= mi_rows or c0 >= mi_cols:
+                    continue
+                got = cache.get((r0, c0, int(bs)))
+                ctr = got[1] if got is not None else centers[(r0, c0)]
+                px, py = c0 * 8, r0 * 8
+                for j in range(4):
+                    xo, yo = (j % 2) * 4, (j // 2) * 4
+                    jobs.append((px + xo, py + yo, 4, 4, ctr[0], ctr[1],
+                                 4, 0))
+                    metas.append(((r0, c0, "s4", j), px + xo, py + yo))
+                for i, xo in enumerate((0, 4)):
+                    jobs.append((px + xo, py, 4, 8, ctr[0], ctr[1], 4, 0))
+                    metas.append(((r0, c0, "v", i), px + xo, py))
+                for i, yo in enumerate((0, 4)):
+                    jobs.append((px, py + yo, 8, 4, ctr[0], ctr[1], 4, 0))
+                    metas.append(((r0, c0, "h", i), px, py + yo))
+            run(jobs, metas, sub_cache)
+            break
+        # next level: children inherit the parent winner as centre;
+        # rect halves of THIS level probe at the same centre (range 8)
+        half = bw >> 1
+        sub = T.SUBSIZE[(Partition.SPLIT, bs)]
+        next_nodes = []
+        next_centers = {}
+        jobs, metas = [], []
+        for (r0, c0) in nodes:
+            if r0 >= mi_rows or c0 >= mi_cols:
+                continue
+            got = cache.get((r0, c0, int(bs)))
+            ctr = got[1] if got is not None else centers[(r0, c0)]
+            has_rows, has_cols = MI.partition_rule(
+                bs, r0, c0, mi_rows, mi_cols)
+            can_none = (has_rows and has_cols) and int(bs) <= int(max_bs)
+            can_split = int(bs) > int(min_bs)
+            if can_none and can_split:
+                for part in (Partition.HORZ, Partition.VERT):
+                    rsub = T.SUBSIZE[(part, bs)]
+                    rw, rh = T.BLOCK_WH[rsub]
+                    offs = (((0, 0), (half, 0))
+                            if part == Partition.HORZ
+                            else ((0, 0), (0, half)))
+                    for dr, dc in offs:
+                        rr, cc = r0 + dr, c0 + dc
+                        if rr >= mi_rows or cc >= mi_cols:
+                            continue
+                        key = (rr, cc, int(rsub))
+                        if key not in cache:
+                            jobs.append((cc * 8, rr * 8, rw, rh, ctr[0],
+                                         ctr[1], 8, 1))
+                            metas.append((key, cc * 8, rr * 8))
+            for dr, dc in ((0, 0), (0, half), (half, 0), (half, half)):
+                nn = (r0 + dr, c0 + dc)
+                if nn not in next_centers:
+                    next_centers[nn] = ctr
+                    next_nodes.append(nn)
+        run(jobs, metas, cache)
+        nodes = next_nodes
+        centers = next_centers
+
+
 def decide_partition_tree(st: FrameState, refs, qindex: int,
                           search_range: int, min_bs: BlockSize,
                           max_bs: BlockSize, log2_tile_cols: int = 0):
@@ -408,6 +539,8 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
             and getattr(st, "_prev_mvs", None) is None):
         min_bs = BlockSize.BLOCK_8X8
     mi_rows, mi_cols = st.mi_rows, st.mi_cols
+    _batch_probe_tree(st, refs, search_range, min_bs, max_bs,
+                      mi_rows, mi_cols)
 
     def node(mi_row, mi_col, bsize, center):
         if mi_row >= mi_rows or mi_col >= mi_cols:
@@ -430,26 +563,30 @@ def decide_partition_tree(st: FrameState, refs, qindex: int,
                                           8, center)
             pl = st.planes[0]
             px, py = mi_col * 8, mi_row * 8
+            sub_cache = getattr(st, "_sub8_cache", None) or {}
+
+            def sub_sad(kind, j, src_view, sx, sy):
+                got = sub_cache.get((mi_row, mi_col, kind, j))
+                if got is not None:
+                    return got[0]
+                _, _, s = me_ops.full_pel_search(
+                    src_view, refs[0], sx, sy, BORDER, 4, mv8)
+                return s
+
             s4 = []
             for j in range(4):
                 xo, yo = (j % 2) * 4, (j // 2) * 4
                 src4 = pl.source[py + yo : py + yo + 4,
                                  px + xo : px + xo + 4]
-                _, _, s = me_ops.full_pel_search(
-                    src4, refs[0], px + xo, py + yo, BORDER, 4, mv8)
-                s4.append(s)
+                s4.append(sub_sad("s4", j, src4, px + xo, py + yo))
             rect_bias = max(4, split_bias >> 1)
             sv = sh_ = 0
-            for xo in (0, 4):  # VERT: two 4-wide halves, one MV each
+            for i, xo in enumerate((0, 4)):  # VERT: two 4-wide halves
                 src48 = pl.source[py : py + 8, px + xo : px + xo + 4]
-                _, _, s = me_ops.full_pel_search(
-                    src48, refs[0], px + xo, py, BORDER, 4, mv8)
-                sv += s
-            for yo in (0, 4):  # HORZ: two 4-tall halves
+                sv += sub_sad("v", i, src48, px + xo, py)
+            for i, yo in enumerate((0, 4)):  # HORZ: two 4-tall halves
                 src84 = pl.source[py + yo : py + yo + 4, px : px + 8]
-                _, _, s = me_ops.full_pel_search(
-                    src84, refs[0], px, py + yo, BORDER, 4, mv8)
-                sh_ += s
+                sh_ += sub_sad("h", i, src84, px, py + yo)
             cands = [(cost8 if can_none else 1 << 60, Partition.NONE,
                       bsize),
                      (split_bias + sum(s4), Partition.SPLIT,

@@ -27,8 +27,9 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120)
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+             "-march=native", "-funroll-loops", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=180)
         return True
     except Exception:
         return False
@@ -127,6 +128,19 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    if hasattr(lib, "inv_txfm_add_batch"):
+        lib.inv_txfm_add_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "sad_search_batch"):
+        lib.sad_search_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32)]
     lib.subpel_refine_rect.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -463,8 +477,62 @@ def native_mc_sse_avg(ref0_padded, ref1_padded, border: int, mi_row: int,
         _filters_addr()))
 
 
+def native_inv_txfm_add(coeffs, pred, n: int, tx_type: int):
+    """Batched exact inverse transform + pred add (bit-identical to
+    ops/txfm's Python butterflies).  coeffs/pred: (..., n, n); returns
+    uint8 of the same shape, or None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "inv_txfm_add_batch"):
+        return None
+    c = np.asarray(coeffs)
+    shape = c.shape
+    c = np.ascontiguousarray(c.reshape(-1, n, n), np.int32)
+    p = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(pred, np.uint8), shape)
+        .reshape(-1, n, n))
+    out = np.empty_like(p)
+    lib.inv_txfm_add_batch(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, tx_type, c.shape[0])
+    return out.reshape(shape)
+
+
+def native_sad_search_batch(src_plane, ref_padded, border: int, jobs):
+    """Batched rect full-pel searches (one call per partition-tree
+    level; zero-mv guard applied in C).  jobs: (N, 7) int32 rows
+    (px, py, w, h, cy, cx, r).  Returns (N, 3) int32 (dy, dx, sad) or
+    None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sad_search_batch"):
+        return None
+    src = np.asarray(src_plane)
+    ref = np.asarray(ref_padded)
+    if src.dtype != np.uint8 or src.strides[1] != 1:
+        src = np.ascontiguousarray(src, np.uint8)
+    if ref.dtype != np.uint8 or ref.strides[1] != 1:
+        ref = np.ascontiguousarray(ref, np.uint8)
+    jobs = np.ascontiguousarray(jobs, np.int32)
+    n = jobs.shape[0]
+    out = np.zeros((n, 3), np.int32)
+    lib.sad_search_batch(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(src.strides[0]),
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(ref.strides[0]),
+        border, ref.shape[0], ref.shape[1],
+        jobs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
 def native_sad_search_rect(src_block, region, region_stride: int, r: int):
-    """Rect full-pel exhaustive search; src_block may be a strided view."""
+    """Rect full-pel exhaustive search.
+
+    src_block and region may be strided VIEWS (row stride passed
+    through; no copies — the per-call ascontiguousarray copy was the
+    top per-probe overhead of the M0-M4 partition descent)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -472,7 +540,10 @@ def native_sad_search_rect(src_block, region, region_stride: int, r: int):
     if src.dtype != np.uint8 or src.strides[1] != 1:
         src = np.ascontiguousarray(src, np.uint8)
     h, w = src.shape
-    reg = np.ascontiguousarray(region, dtype=np.uint8)
+    reg = np.asarray(region)
+    if reg.dtype != np.uint8 or reg.strides[1] != 1:
+        reg = np.ascontiguousarray(region, dtype=np.uint8)
+        region_stride = reg.strides[0]
     best = np.zeros(3, np.int32)
     lib.sad_full_search_rect(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.strides[0],

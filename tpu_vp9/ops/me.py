@@ -29,11 +29,14 @@ def full_pel_search(src_block, ref_padded, px: int, py: int, border: int,
     cx = int(np.clip(cx, r - border - px, wp - border - px - w - r))
     y0 = border + py + cy - r
     x0 = border + px + cx - r
-    region = np.ascontiguousarray(
-        ref_padded[y0 : y0 + h + 2 * r, x0 : x0 + w + 2 * r])
+    # strided VIEW into the padded plane: the native search takes a row
+    # stride, so the per-call region copy (the dominant per-probe cost
+    # of the M0-M4 partition descent) is unnecessary
+    region = ref_padded[y0 : y0 + h + 2 * r, x0 : x0 + w + 2 * r]
     from tpu_vp9.native import native_sad_search_rect
 
-    res = native_sad_search_rect(src_block, region, region.shape[1], r)
+    res = native_sad_search_rect(src_block, region,
+                                 ref_padded.strides[0], r)
     if res is not None:
         dy, dx, sad = res
         return cy + dy, cx + dx, sad

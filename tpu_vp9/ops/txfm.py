@@ -426,6 +426,14 @@ def inv_txfm2d(coeffs, tx_size: TxSize, tx_type: TxType, xp=np):
 def inv_txfm_add(coeffs, pred, tx_size: TxSize, tx_type: TxType, xp=np):
     """Reconstruct: clip(pred + round(inv_txfm)) exactly as a decoder."""
     n = TX_N[TxSize(tx_size)]
+    if xp is np:
+        # native butterflies (bit-identical; the Python per-block
+        # butterflies were the top wall-time of the M0-M4 host encode)
+        from tpu_vp9.native import native_inv_txfm_add
+
+        out = native_inv_txfm_add(coeffs, pred, n, int(TxType(tx_type)))
+        if out is not None:
+            return out
     res = inv_txfm2d(coeffs, tx_size, tx_type, xp)
     res = _rpot(res, FINAL_SHIFT[n])
     out = pred.astype(res.dtype) + res

@@ -1005,11 +1005,12 @@ class RtSession:
                               dc_q, ac_q, lam, *lf_args)
 
         outs, refs = one(refs)
-        jax.block_until_ready(refs)
+        _ = np.asarray(outs["m32"]["rate"])  # true sync (axon
+        # block_until_ready can return before remote completion)
         t0 = time.perf_counter()
         for _ in range(iters):
             outs, refs = one(refs)
-        jax.block_until_ready(refs)
+        _ = np.asarray(outs["m32"]["rate"])
         return iters / (time.perf_counter() - t0)
 
 
