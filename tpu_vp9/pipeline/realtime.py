@@ -457,18 +457,21 @@ class RtSession:
         self.golden_interval = golden_interval
         self.mesh_shape = mesh_shape  # multi-chip tile-column sharding
         if mesh_shape is not None:
-            # the sharded step runs the uniform 32 grid (split16/golden
-            # tool descent is single-chip-only for now)
+            # sharded sessions keep the GOLDEN anchor (halo-exchanged
+            # like LAST; byte-identical to single-chip, r5); the
+            # masked split16 descent stays single-chip-only — its
+            # global top-K probe selection has no shard-invariant
+            # fixed-shape formulation yet
             from tpu_vp9.utils.trace import notice
 
-            if self.split16 or golden:
-                notice("mesh-sharded realtime session: split16/golden "
-                       "tools disabled (uniform 32 grid)")
+            if self.split16:
+                notice("mesh-sharded realtime session: split16 descent "
+                       "disabled (uniform 32 grid + GOLDEN)")
             self.split16 = False
-            self.golden = golden = False
             from tpu_vp9.pipeline.tpu_shard import make_rt_step_sharded
 
-            self._step = make_rt_step_sharded(self.g, mesh_shape)
+            self._step = make_rt_step_sharded(self.g, mesh_shape,
+                                              golden=golden)
         else:
             import os
 

@@ -230,17 +230,19 @@ def _block_sq_sum(src_blocks):
 
 
 def _fullpel_sse(ref_padded, src_blocks, pos_y, pos_x, mv_r_q3, mv_c_q3,
-                 n: int):
+                 n: int, x_base: int = 0):
     """SSE at the rounded full-pel position (no interpolation) — a
     cheap MD score for candidates that have no search-map entry (e.g.
-    the GOLDEN reference's prev-MV candidate)."""
+    the GOLDEN reference's prev-MV candidate).  x_base: global plane
+    column of ref_padded's first non-border column (tile shards)."""
     fy = (mv_r_q3 + 4) >> 3
     fx = (mv_c_q3 + 4) >> 3
 
     def slice_one(y, x):
         return jax.lax.dynamic_slice(ref_padded, (y, x), (n, n))
 
-    blocks = jax.vmap(slice_one)(BORDER + pos_y + fy, BORDER + pos_x + fx)
+    blocks = jax.vmap(slice_one)(BORDER + pos_y + fy,
+                                 BORDER + pos_x + fx - x_base)
     d = blocks.astype(jnp.float32) - src_blocks.astype(jnp.float32)
     return (d * d).sum(axis=2).astype(jnp.int32).sum(axis=1)
 

@@ -93,7 +93,8 @@ def _halo_exchange(ref_loc, axis_name: str, halo: int, n_shards: int):
 def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
                        prev_mv, geom: Geom, n_tiles: int, tile_idx,
                        x_base_y, x_base_c, dc_q, ac_q, lam, filters,
-                       n: int = 32, zone_rows: int = None, y_base: int = 0):
+                       n: int = 32, zone_rows: int = None, y_base: int = 0,
+                       gold_h=None, rates=None):
     """Shard-local encode_zone against halo-extended refs.
 
     n/zone_rows/y_base select the zone (the uniform 32 grid or the
@@ -153,9 +154,50 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
         edge = jnp.where(tile_idx == 0, jnp.zeros_like(edge), edge)
     else:
         edge = jnp.zeros_like(new2[:, -1])
-    mv_r, mv_c, _ = _candidate_decide(
+    mv_r, mv_c, cost_last = _candidate_decide(
         ssem, src2m, sse_zero, sse_new, mv_r, mv_c, prev_mv, rows,
-        cols_loc, r_map, q3s, scale, lam, left_edge=edge)
+        cols_loc, r_map, q3s, scale, lam, left_edge=edge, rates=rates)
+
+    # GOLDEN anchor: identical candidate math to encode_zone's golden
+    # block (ZERO exact on the halo-local anchor + prev-MV full-pel
+    # score), so mesh streams keep the full M8 toolset byte-identically
+    b_loc = rows * cols_loc
+    ref_sel = jnp.zeros((b_loc,), jnp.int8)
+    if gold_h is not None:
+        from tpu_vp9.pipeline.tpu_encdec import (
+            CAND_RATE_PROXY, _fullpel_sse,
+        )
+
+        zero = jnp.zeros_like(mv_r)
+        g_cands_r = jnp.stack([zero, prev_mv[:, 0]])
+        g_cands_c = jnp.stack([zero, prev_mv[:, 1]])
+        g_sse0 = _zero_sse(gold_h[0], src_blocks, y_base, 0, rows,
+                           cols_loc, n)
+        g_sse1 = _fullpel_sse(gold_h[0], src_blocks, pos_y, pos_x,
+                              prev_mv[:, 0], prev_mv[:, 1], n,
+                              x_base=x_base_y)
+        g_sses = jnp.stack([g_sse0, g_sse1])
+        if rates is not None:
+            mc_ = rates["mode_cost"]
+            g_rate = jnp.stack([mc_[2], mc_[0]])[:, None]
+            lam_f = rates["lam_bits"]
+            g_costs = (g_sses.astype(jnp.float32)
+                       + lam_f * g_rate.astype(jnp.float32) / 256.0)
+            ref_extra = rates["ref_cost"].astype(jnp.float32) \
+                * lam_f / 256.0
+        else:
+            rz, _, _, rp, _ = CAND_RATE_PROXY
+            lam_f = lam.astype(jnp.float32)
+            g_costs = (g_sses.astype(jnp.float32)
+                       + lam_f * jnp.array([[rz], [rp]], jnp.float32))
+            ref_extra = jnp.array([0.0, 2.0, 2.0], jnp.float32) * lam_f
+        g_best = jnp.argmin(g_costs, axis=0)
+        g_bidx = (g_best, jnp.arange(b_loc))
+        g_cost = g_costs[g_bidx] + ref_extra[1]
+        use_gold = g_cost < (cost_last + ref_extra[0])
+        ref_sel = use_gold.astype(jnp.int8)
+        mv_r = jnp.where(use_gold, g_cands_r[g_bidx], mv_r)
+        mv_c = jnp.where(use_gold, g_cands_c[g_bidx], mv_c)
 
     # window-based MC (bit-identical to the full-plane gather; the
     # shard windows equal the single-chip windows, so MVs and
@@ -171,7 +213,22 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
                                  y_base // 2, col_px_c, r=CHROMA_WIN_R)
     wv = _extract_search_windows(ref_v_h, nc, rows, cols_loc,
                                  y_base // 2, col_px_c, r=CHROMA_WIN_R)
-    pred_y = mc_predict_from_wins(wins, pos_y, pos_x, mv_r, mv_c, n, 0,
+    wy_mc = wins
+    if gold_h is not None:
+        gwy = _extract_search_windows(
+            gold_h[0], n, rows, cols_loc, y_base,
+            np.arange(cols_loc, dtype=np.int64) * n)
+        gwu = _extract_search_windows(gold_h[1], nc, rows, cols_loc,
+                                      y_base // 2, col_px_c,
+                                      r=CHROMA_WIN_R)
+        gwv = _extract_search_windows(gold_h[2], nc, rows, cols_loc,
+                                      y_base // 2, col_px_c,
+                                      r=CHROMA_WIN_R)
+        msel = (ref_sel == 1)[:, None, None]
+        wy_mc = jnp.where(msel, gwy, wy_mc)
+        wu = jnp.where(msel, gwu, wu)
+        wv = jnp.where(msel, gwv, wv)
+    pred_y = mc_predict_from_wins(wy_mc, pos_y, pos_x, mv_r, mv_c, n, 0,
                                   g.mi_rows, g.mi_cols, filters, WIN_R)
     pred_u = mc_predict_from_wins(wu, pos_yc, pos_xc, mv_r, mv_c, nc, 1,
                                   g.mi_rows, g.mi_cols, filters,
@@ -195,6 +252,7 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
     rate = (lv_y != 0).sum() + (lv_u != 0).sum() + (lv_v != 0).sum()
     return {
         "mv": jnp.stack([mv_r, mv_c], axis=-1).astype(jnp.int16),
+        "ref": ref_sel,
         "skip": skip,
         "eob_y": eob_y, "eob_u": eob_u, "eob_v": eob_v,
         "lv_y": lv_y, "lv_u": lv_u, "lv_v": lv_v,
@@ -205,7 +263,8 @@ def _encode_zone_shard(src_y, src_u, src_v, ref_y_h, ref_u_h, ref_v_h,
     }
 
 
-def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
+def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int,
+                             golden: bool = False):
     """Jitted multi-chip P-frame step over mesh axes ('frame', 'tile').
 
     Input/output layout (leading axis = frames, sharded over 'frame'):
@@ -235,9 +294,16 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
     filters = T.subpel_filters(T.InterpFilter.EIGHTTAP)
 
     def one_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
-                  prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+                  prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim,
+                  gold_y=None, gold_u=None, gold_v=None, rates_in=None):
         from jax import lax
 
+        rates = None
+        if rates_in is not None:
+            rates = {"mode_cost": rates_in[0], "joint_cost": rates_in[1],
+                     "nmv_row": rates_in[2], "nmv_col": rates_in[3],
+                     "ref_cost": rates_in[4], "lam_bits": rates_in[5],
+                     "mv_cost_max": 1023}
         tile_idx = lax.axis_index("tile")
         x0 = tile_idx * (g.pad_w // n_tiles)
         # halo exchange of the reachable-pixel region over the tile
@@ -251,20 +317,30 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
         rv = jnp.pad(rv, ((BORDER, BORDER), (0, 0)), mode="edge")
         x_base_y = x0 + (BORDER - halo_y)
         x_base_c = x0 // 2 + (BORDER - halo_c)
+        gold_h = None
+        if golden:
+            gy = _halo_exchange(gold_y, "tile", halo_y, n_tiles)
+            gu = _halo_exchange(gold_u, "tile", halo_c, n_tiles)
+            gv = _halo_exchange(gold_v, "tile", halo_c, n_tiles)
+            gold_h = (jnp.pad(gy, ((BORDER, BORDER), (0, 0)), mode="edge"),
+                      jnp.pad(gu, ((BORDER, BORDER), (0, 0)), mode="edge"),
+                      jnp.pad(gv, ((BORDER, BORDER), (0, 0)), mode="edge"))
         out = _encode_zone_shard(src_y, src_u, src_v, ry, ru, rv,
                                  prev_mv, g, n_tiles, tile_idx,
                                  x_base_y, x_base_c,
-                                 dc_q, ac_q, lam, filters)
+                                 dc_q, ac_q, lam, filters,
+                                 gold_h=gold_h, rates=rates)
         dist = out.pop("dist")
         rate = out.pop("rate")
         if g.strip:
             out16 = _encode_zone_shard(
                 src_y, src_u, src_v, ry, ru, rv, prev_mv16, g, n_tiles,
                 tile_idx, x_base_y, x_base_c, dc_q, ac_q, lam, filters,
-                n=16, zone_rows=1, y_base=g.strip_y)
+                n=16, zone_rows=1, y_base=g.strip_y,
+                gold_h=gold_h, rates=rates)
             dist = dist + out16.pop("dist")
             rate = rate + out16.pop("rate")
-            for k in ("mv", "skip", "eob_y", "eob_u", "eob_v",
+            for k in ("mv", "ref", "skip", "eob_y", "eob_u", "eob_v",
                       "lv_y", "lv_u", "lv_v"):
                 out[f"m16_{k}"] = out16[k]
             out["rec_y"] = jnp.concatenate(
@@ -309,22 +385,36 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
         return out, (new_ry, new_ru, new_rv)
 
     def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
-             prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+             prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim,
+             *gold_and_rates):
         # the frame mesh axis shards the leading dim; each frame shard
         # loops its local frames with lax.map
-        def body(sy, su, sv, ry, ru, rv, pm, pm16, *scal):
-            def per_frame(args):
-                return one_frame(*args, *scal)
+        def body(sy, su, sv, ry, ru, rv, pm, pm16, *rest):
+            scal = rest[:6]
+            if golden:
+                gy, gu, gv = rest[6:9]
+                rates_v = rest[9:15]
+            else:
+                rates_v = None
 
-            return jax.lax.map(per_frame,
-                               (sy, su, sv, ry, ru, rv, pm, pm16))
+            def per_frame(args):
+                if golden:
+                    return one_frame(*args[:8], *scal,
+                                     gold_y=args[8], gold_u=args[9],
+                                     gold_v=args[10], rates_in=rates_v)
+                return one_frame(*args, *scal, rates_in=None)
+
+            frames_in = (sy, su, sv, ry, ru, rv, pm, pm16)
+            if golden:
+                frames_in = frames_in + (gy, gu, gv)
+            return jax.lax.map(per_frame, frames_in)
 
         shp = P("frame", None, "tile")
         shc = P("frame", None, "tile")
         shb = P("frame", "tile")
         rep = P()
         out_block = {k: shb for k in
-                     ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                     ("mv", "ref", "skip", "eob_y", "eob_u", "eob_v",
                       "lv_y", "lv_u", "lv_v")}
         if g.strip:
             for k in list(out_block):
@@ -334,18 +424,26 @@ def make_pframe_step_sharded(geom: Geom, mesh, n_tiles: int):
         out_block["rec_v"] = shc
         out_block["dist"] = P("frame")
         out_block["rate"] = P("frame")
+        n_scal = 6 + (6 if golden else 0)
+        in_specs = (shp, shc, shc, shp, shc, shc, shb, shb,
+                    rep, rep, rep, rep, rep, rep)
+        if golden:
+            in_specs = in_specs + (shp, shc, shc) + (rep,) * 6
+        args = (src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
+                prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim)
+        if golden:
+            args = args + tuple(gold_and_rates)
         return shard_map(
             body, mesh=mesh,
-            in_specs=(shp, shc, shc, shp, shc, shc, shb, shb,
-                      rep, rep, rep, rep, rep, rep),
+            in_specs=in_specs,
             out_specs=(out_block, (shp, shc, shc)),
-        )(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv, prev_mv16,
-          dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim)
+        )(*args)
 
     return jax.jit(step, donate_argnums=(3, 4, 5))
 
 
-def make_rt_step_sharded(geom: Geom, mesh_shape, split16: bool = False):
+def make_rt_step_sharded(geom: Geom, mesh_shape, split16: bool = False,
+                         golden: bool = False):
     """Product adapter: the multi-chip tile-column step behind RtSession.
 
     Presents the same call signature as ``make_pframe_step`` (single
@@ -374,7 +472,7 @@ def make_rt_step_sharded(geom: Geom, mesh_shape, split16: bool = False):
             f"mesh requests {n_tiles} devices, {len(devs)} available")
     mesh = Mesh(np.asarray(devs[:n_tiles]).reshape(1, n_tiles),
                 ("frame", "tile"))
-    base = make_pframe_step_sharded(geom, mesh, n_tiles)
+    base = make_pframe_step_sharded(geom, mesh, n_tiles, golden=golden)
     g = geom
     B = BORDER
     rows, cols = g.rows32, g.cols32
@@ -390,21 +488,30 @@ def make_rt_step_sharded(geom: Geom, mesh_shape, split16: bool = False):
                   .transpose(1, 0, 2, *range(3, 3 + len(lead))) \
                   .reshape(rows * n_tiles * cols_loc, *lead)
 
-    def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
-             prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim):
+    def step(src_y, src_u, src_v, ref_y, ref_u, ref_v, *rest):
+        # rest layout mirrors make_pframe_step's golden variant:
+        # [gold_y, gold_u, gold_v,] prev32, prev16, scalars[, rates x6]
+        i = 3 if golden else 0
+        gold = rest[:3] if golden else ()
+        (prev_mv32, prev_mv16, dc_q, ac_q, lam, lf_lvl, lf_lim,
+         lf_mblim) = rest[i : i + 8]
+        rates = rest[i + 8 :]
         if g.strip:
             pm16 = prev_mv16[None]  # strip row: raster == shard-major
         else:
             import jax.numpy as jnp
 
             pm16 = jnp.zeros((1, n_tiles, 2), prev_mv32.dtype)
+        extra = ()
+        if golden:
+            extra = tuple(p[B:-B, B:-B][None] for p in gold) + tuple(rates)
         outs, (nry, nru, nrv) = base(
             src_y[None], src_u[None], src_v[None],
             ref_y[B:-B, B:-B][None], ref_u[B:-B, B:-B][None],
             ref_v[B:-B, B:-B][None], to_shard_major(prev_mv32)[None],
-            pm16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim)
+            pm16, dc_q, ac_q, lam, lf_lvl, lf_lim, lf_mblim, *extra)
         m32 = {k: to_raster(outs[k][0]) for k in
-               ("mv", "skip", "eob_y", "eob_u", "eob_v",
+               ("mv", "ref", "skip", "eob_y", "eob_u", "eob_v",
                 "lv_y", "lv_u", "lv_v")}
         m32["dist"] = outs["dist"][0]
         m32["rate"] = outs["rate"][0]
@@ -412,7 +519,7 @@ def make_rt_step_sharded(geom: Geom, mesh_shape, split16: bool = False):
         out = {"m32": m32, "rec_y": rec_y, "rec_u": rec_u, "rec_v": rec_v}
         if g.strip:
             out["m16"] = {k: outs[f"m16_{k}"][0] for k in
-                          ("mv", "skip", "eob_y", "eob_u", "eob_v",
+                          ("mv", "ref", "skip", "eob_y", "eob_u", "eob_v",
                            "lv_y", "lv_u", "lv_v")}
         new_refs = (
             extend_borders_device(rec_y, g.width, g.height),
