@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nch", dest="channels", type=int, default=1)
     p.add_argument("-speed-ctrl", dest="speed_ctrl", type=int, default=0)
     p.add_argument("-trace", dest="trace", type=int, default=0)
+    p.add_argument("-distributed", dest="distributed", default="",
+                   help="multi-host GOP-parallel over DCN: "
+                        "coordinator:port,num_processes,process_id "
+                        "(every process gets the full stream; CQP + "
+                        "fixed intra period only)")
     p.add_argument("-gop-parallel", dest="gop_parallel", type=int,
                    default=1)
     p.add_argument("-tile-columns", dest="tile_columns", type=int,
@@ -248,6 +253,47 @@ def _run_gop_parallel(args, cfg, frames, width, height, fps_num,
     return 0
 
 
+def _run_distributed(args, cfg, frames, width, height, fps_num,
+                     fps_den) -> int:
+    """-distributed coordinator:port,n,i — multi-host GOP-parallel
+    over DCN (jax.distributed; see pipeline/distributed.py for the
+    RC-state contract: chunks are independent CQP GOP intervals, the
+    reference's PARALLEL_GOP_MAX_NUMBER reservation,
+    EbRateControlProcess.c:4556).  Every process writes the full
+    presentation-order stream (byte-identical to sequential)."""
+    from tpu_vp9.pipeline.distributed import encode_gop_distributed
+
+    try:
+        coord, n_s, i_s = args.distributed.rsplit(",", 2)
+        n_proc, pid = int(n_s), int(i_s)
+    except ValueError:
+        print("error: -distributed wants coordinator:port,n,i",
+              file=sys.stderr)
+        return 1
+    frames = list(frames)
+    if args.frames:
+        frames = frames[: args.frames]
+    overrides = _read_qp_file(args) or {}
+    t0 = time.time()
+    pkts = encode_gop_distributed(frames, cfg, coordinator=coord,
+                                  num_processes=n_proc, process_id=pid,
+                                  qp_overrides=overrides)
+    elapsed = max(time.time() - t0, 1e-9)
+    total_bytes = sum(len(p[0]) for p in pkts)
+    if args.bitstream:
+        with open(args.bitstream, "wb") as out_fh:
+            write_ivf_header(out_fh, width, height, fps_num, fps_den)
+            for data, pts, _dts, _k, _q in pkts:
+                write_ivf_frame(out_fh, data, pts)
+            patch_ivf_frame_count(out_fh, len(pkts))
+    n = max(len(frames), 1)
+    kbps = total_bytes * 8 * (fps_num / max(fps_den, 1)) / n / 1000
+    print(f"SUMMARY: {len(frames)} frames, {len(frames) / elapsed:.2f} "
+          f"fps, {kbps:.1f} kbps, avg {total_bytes // n} B/frame, "
+          f"distributed {pid + 1}/{n_proc}")
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -279,6 +325,18 @@ def main(argv=None) -> int:
         from tpu_vp9.utils.trace import enable as _trace_enable
 
         _trace_enable(True)
+
+    if args.distributed:
+        from tpu_vp9.config import RateControlMode
+
+        dcfg = cfg.derive()
+        if (dcfg.rate_control_mode != RateControlMode.CQP
+                or dcfg.intra_period < 0):
+            print("error: -distributed requires CQP + fixed intra period",
+                  file=sys.stderr)
+            return 1
+        return _run_distributed(args, dcfg, frames, width, height,
+                                fps_num, fps_den)
 
     if args.gop_parallel > 1:
         from tpu_vp9.config import RateControlMode
