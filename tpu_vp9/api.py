@@ -223,7 +223,10 @@ class Vp9Encoder:
                         golden=(int(cfg.enc_mode) <= 8
                                 and not cfg.tpu_mesh_shape),
                         mesh_shape=(tuple(cfg.tpu_mesh_shape)
-                                    if cfg.tpu_mesh_shape else None))
+                                    if cfg.tpu_mesh_shape else None),
+                        # tune SQ: per-SB variance-adaptive rate-lambda
+                        # (QPM analogue) in device MD
+                        aq=int(cfg.tune) == 0)
                 except ValueError as exc:
                     if cfg.tpu_realtime == 1:
                         raise RuntimeError(

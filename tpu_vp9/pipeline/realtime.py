@@ -124,7 +124,8 @@ def classify_and_fill_state(frame, geom: Geom, host_out: dict,
         skip = bool(z["skip"][bi])
         ref_id = LAST
         if "ref" in z and int(z["ref"][bi]):
-            ref_id = int(RefFrame.GOLDEN)
+            ref_id = (int(RefFrame.ALTREF) if int(z["ref"][bi]) == 2
+                      else int(RefFrame.GOLDEN))
         mv_list, mode_context = MV.find_mv_refs(
             st.mig, mi_row, mi_col, bsize, ref_id,
             st.mig.tile_mi_start, st.mig.tile_mi_end, prev_mvs=prev_mvs)
@@ -435,7 +436,8 @@ class RtSession:
                  frame_parallel_decoding: bool = False,
                  want_recon: bool = True, loop_filter: bool = True,
                  split16: bool = False, golden: bool = False,
-                 golden_interval: int = 8, mesh_shape=None):
+                 golden_interval: int = 8, mesh_shape=None,
+                 aq: bool = False):
         import jax.numpy as jnp
 
         from tpu_vp9.ops.loopfilter import sharpness_limits
@@ -479,8 +481,14 @@ class RtSession:
             # full-plane transfer (A/B baseline for the blob path)
             blob = (None if os.environ.get("TPU_VP9_NO_SCAN_PREFIX") == "1"
                     else self.want_recon)
+            # descent budget: K = B32/descend_frac probe-selected
+            # parents (ADP); TPU_VP9_DESCEND_FRAC overrides (1 = full
+            # descent, the quality operating point)
+            dfrac = int(os.environ.get("TPU_VP9_DESCEND_FRAC", "4"))
             self._step = make_pframe_step(self.g, split16=self.split16,
-                                          golden=golden, blob_recon=blob)
+                                          golden=golden, blob_recon=blob,
+                                          aq=aq and golden,
+                                          descend_frac=dfrac)
         # device keyframe wavefront (incl. strip geometries; mesh
         # sessions run it replicated — keyframes are rare and the
         # wavefront is latency-bound, so sharding it isn't worth ICI

@@ -223,6 +223,22 @@ def _mc_sad(ref_padded, src_blocks, pos_y, pos_x, mv_r, mv_c, n, mi_rows,
     return (d * d).sum(axis=(1, 2))
 
 
+def _sb_lambda_scale(src_blocks, src2):
+    """Per-SB variance-adaptive rate-lambda scale (the QPM/BEA
+    analogue of EbModeDecisionConfigurationProcess.c:2746 — with
+    SEG_SUPPORT compiled out the reference modulates LAMBDA, not the
+    quantizer): flat/dark blocks get a lower rate-lambda (more bits
+    where artifacts show), busy blocks a higher one.  Gentle +-2x
+    clamp, geometric-mean-normalised inside the frame."""
+    b, n, _ = src_blocks.shape
+    mean = src_blocks.astype(jnp.float32).sum(axis=(1, 2)) / (n * n)
+    var = jnp.maximum(
+        src2.astype(jnp.float32) / (n * n) - mean * mean, 0.0)
+    logv = jnp.log(var + 16.0)
+    scale = jnp.exp((logv - logv.mean()) * 0.25)
+    return jnp.clip(scale, 0.5, 2.0)
+
+
 def _block_sq_sum(src_blocks):
     """Exact per-block sum(src^2) as int32 (f32 row sums stay < 2^24)."""
     s = src_blocks.astype(jnp.float32)
@@ -1510,7 +1526,8 @@ def _scatter_blocks(blocks, rows: int, cols: int, n: int):
 def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
                 geom: Geom, n: int, dc_q, ac_q, lam, filters,
                 full16: bool = False, gold=None, alt=None, rates=None,
-                return_me: bool = False, parent_me=None):
+                return_me: bool = False, parent_me=None,
+                aq: bool = False):
     """MD + recon for one uniform zone (block size n).
 
     prev_mv: (B, 2) int32 q3 from the previous frame (search centers).
@@ -1531,6 +1548,11 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     y0 = 0 if (n == 32 or full16) else g.strip_y
     src_blocks = _extract_blocks(src_y, y0, rows, cols, n)
     src2 = _block_sq_sum(src_blocks)
+    if aq and rates is not None:
+        # per-SB variance-adaptive rate-lambda (tune SQ; QPM analogue)
+        rates = dict(rates,
+                     lam_bits=rates["lam_bits"]
+                     * _sb_lambda_scale(src_blocks, src2))
 
     # --- exhaustive full-pel SSE search (MXU) + exhaustive quarter-pel,
     # from one statically-gathered window per block (or, for the full16
@@ -1603,7 +1625,10 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
         wins = _extract_search_windows(ref_y, n, rows, cols, y0,
                                        np.arange(cols, dtype=np.int64) * n)
         sse_zero = _zero_sse(ref_y, src_blocks, y0, 0, rows, cols, n)
-        if n == 32:
+        import os as _os
+
+        flat = _os.environ.get("TPU_VP9_FLAT_SEARCH") == "1"
+        if n == 32 and not flat:
             # hierarchical: 2x-decimated exhaustive + full-res refine
             c_y, c_x, dyr, dxr, loc, ssem, src2m = hier_search(
                 src_blocks, wins, n)
@@ -1637,11 +1662,12 @@ def encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv,
     if gold is not None or alt is not None:
         if rates is not None:
             lam_f = rates["lam_bits"]
-            ref_extra = rates["ref_cost"].astype(jnp.float32) \
+            ref_extra = rates["ref_cost"].astype(jnp.float32)[:, None] \
                 * lam_f / 256.0
         else:
             lam_f = lam.astype(jnp.float32)
-            ref_extra = jnp.array([0.0, 2.0, 2.0], jnp.float32) * lam_f
+            ref_extra = jnp.array([0.0, 2.0, 2.0],
+                                  jnp.float32)[:, None] * lam_f
         best_cost = cost_last + ref_extra[0]
         zero = jnp.zeros_like(mv_r)
     if gold is not None:
@@ -2052,7 +2078,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
                 prev_mv16, geom: Geom, dc_q, ac_q, lam, lf_lvl, lf_lim,
                 lf_mblim, filters, split16: bool = False, gold=None,
                 alt=None, rates=None, blob_recon=None,
-                descend_frac: int = 4):
+                descend_frac: int = 4, aq: bool = False):
     """One full device P-frame encode step (jit under a static geom).
 
     src planes: padded (pad_h, pad_w)/(pad_h/2, pad_w/2) uint8 device
@@ -2068,7 +2094,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     out32 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                         prev_mv32, g, 32, dc_q, ac_q, lam, filters,
                         gold=gold, alt=alt, rates=rates,
-                        return_me=split16)
+                        return_me=split16, aq=aq)
     outs = {"m32": out32}
     rec_y = out32["rec_y"]
     rec_u = out32["rec_u"]
@@ -2130,7 +2156,7 @@ def pframe_step(src_y, src_u, src_v, ref_y, ref_u, ref_v, prev_mv32,
     if g.strip:
         out16 = encode_zone(src_y, src_u, src_v, ref_y, ref_u, ref_v,
                             prev_mv16, g, 16, dc_q, ac_q, lam, filters,
-                            gold=gold, alt=alt, rates=rates)
+                            gold=gold, alt=alt, rates=rates, aq=aq)
         outs["m16"] = out16
         rec_y = jnp.concatenate([rec_y, out16["rec_y"]], axis=0)
         rec_u = jnp.concatenate([rec_u, out16["rec_u"]], axis=0)
@@ -2171,7 +2197,7 @@ import functools
 def make_pframe_step(geom: Geom, split16: bool = False,
                      golden: bool = False, blob_recon=None,
                      altref: bool = False, with_rates: bool = False,
-                     descend_frac: int = 4):
+                     descend_frac: int = 4, aq: bool = False):
     """Jitted device step closed over the static geometry (memoized:
     sessions sharing a geometry share the compiled executable).
 
@@ -2205,7 +2231,7 @@ def make_pframe_step(geom: Geom, split16: bool = False,
                                lf_lvl, lf_lim, lf_mblim, filters,
                                split16=split16, gold=gold, alt=alt,
                                rates=rates, blob_recon=blob_recon,
-                               descend_frac=descend_frac)
+                               descend_frac=descend_frac, aq=aq)
 
         return jax.jit(step, donate_argnums=(3, 4, 5))
 
