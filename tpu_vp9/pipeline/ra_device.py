@@ -93,19 +93,36 @@ class DeviceRaSession:
             self.intra_period >= 0
             and self._since_key > self.intra_period)
         if is_key:
-            out.extend(self._encode_key(frame, poc))
+            # hold the key one frame: the adaptive keyframe quantizer
+            # needs the FOLLOWING picture's zz-staticness (the host RA
+            # path's QP_SCALING_MODE_1 hold, api._ra_drain)
+            self._pending_key = (frame, poc)
             self._since_key = 1
             return out
         self._since_key += 1
+        if getattr(self, "_pending_key", None) is not None:
+            out.extend(self._encode_pending_key(next_frame=frame))
         self._buf[poc] = frame
         top = self.base_poc + self.gop_len
         if poc == top:
             out.extend(self._encode_minigop())
         return out
 
+    def _encode_pending_key(self, next_frame=None):
+        kf, kpoc = self._pending_key
+        self._pending_key = None
+        staticness = None
+        if next_frame is not None:
+            from tpu_vp9.pipeline.rc_curves import zz_staticness
+
+            staticness = zz_staticness(kf.y, next_frame.y, self.w, self.h)
+        return self._encode_key(kf, kpoc, staticness=staticness)
+
     def flush(self):
         """Encode any buffered tail as a shortened (low-delay) run."""
         out = []
+        if getattr(self, "_pending_key", None) is not None:
+            out.extend(self._encode_pending_key())
         while self._buf:
             # encode remaining frames as gop_len-1 chains (pure P)
             pocs = sorted(self._buf)
@@ -117,9 +134,18 @@ class DeviceRaSession:
 
     # -- keyframe --------------------------------------------------------
 
-    def _encode_key(self, frame, poc: int):
+    def _encode_key(self, frame, poc: int, staticness=None):
+        from tpu_vp9.pipeline import rc_curves as C
+
         rt = self._rt
-        qidx = layer_qindex(self.base_qindex, 0, 4, tune=self.tune)
+        # keyframe quantizer rides the I-slice qp-scaling curves of the
+        # host RA path (_cqp_qindex is_key / adaptive kf qindex)
+        if staticness is not None:
+            qidx = C.adaptive_kf_qindex(self.base_qindex, staticness[0],
+                                        staticness[1], self.w, self.h)
+        else:
+            qidx = C.qp_scaling_qindex(self.base_qindex, True, 0,
+                                       tune=self.tune, five_level=False)
         ef = rt._encode_key(frame, poc, qidx)
         self.fc = rt._fc
         self.dpb.slot_of.clear()
