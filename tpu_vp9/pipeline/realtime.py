@@ -236,27 +236,31 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
         for zone in zones:
             hz = host[zone]
             of_cnt = int(hz["of_cnt"])
+            if of_cnt:
+                clean = False
             idx = hz["of_idx"]
             sel = idx >= 0
-            if of_cnt and of_cnt > sel.sum():
-                clean = False
-                if not _fetch_overflow_tier2(hz, outs[zone], of_cnt):
+            flag = hz.get("of_flag")
+            covered = set(int(i) for i in idx[sel])
+            # blocks the int16 prefix rows can't serve exactly: eob
+            # beyond OF_K2 (flag bit 1) or overflowed the buffer
+            tier2 = [int(i) for i in
+                     (np.nonzero(flag)[0] if flag is not None else [])
+                     if (int(flag[i]) & 2) or int(i) not in covered]
+            hz["of_idx"] = idx[sel]
+            for k in ("of_lv_y", "of_lv_u", "of_lv_v"):
+                hz[k] = hz[k][sel]
+            if tier2:
+                if not _fetch_overflow_tier2(hz, outs[zone],
+                                             np.asarray(tier2)):
                     from tpu_vp9.utils.trace import notice
 
-                    # more overflow than even the tier-2 gather holds
-                    # (very rare): whole-plane fallback for this zone
-                    notice("rt scan-prefix overflow buffer exceeded "
-                           f"({of_cnt} blocks); full-plane fetch")
+                    notice("rt overflow tier-2 gather exceeded "
+                           f"({len(tier2)} blocks); full-plane fetch")
                     for k in ("lv_y", "lv_u", "lv_v"):
                         hz[k] = np.asarray(outs[zone][k])
                     for k in ("lvs_y", "lvs_u", "lvs_v"):
                         hz.pop(k, None)
-            else:
-                if of_cnt:
-                    clean = False
-                hz["of_idx"] = idx[sel]
-                for k in ("lv_y", "lv_u", "lv_v"):
-                    hz["of_" + k] = hz["of_" + k][sel]
     _expand_m16f(host, geom)
     host["scan_ks"] = ((SCAN_PREFIX_K[32], SCAN_PREFIX_K[16],
                         SCAN_PREFIX_K[16], SCAN_PREFIX_K[8])
@@ -273,24 +277,23 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
 OF_TIER2 = 256  # static row count of the second-tier overflow gather
 
 
-def _fetch_overflow_tier2(hz, zdev, of_cnt: int) -> bool:
-    """Batched device gather of ALL overflowing blocks' full level rows
-    (static OF_TIER2 padding -> one cached executable + one ~0.5 MB
-    transfer), replacing the 4 MB whole-plane fallback whenever the
-    in-step top-k buffer is too small.  Returns False if even OF_TIER2
-    rows don't suffice."""
-    if of_cnt > OF_TIER2 or "of_flag" not in hz:
+def _fetch_overflow_tier2(hz, zdev, idx) -> bool:
+    """Batched device gather of the given blocks' FULL 2-D level rows
+    (static OF_TIER2 padding -> one cached executable + one small
+    transfer), for blocks the in-blob int16 prefixes can't serve.
+    Returns False if more than OF_TIER2 rows are asked for."""
+    idx = np.asarray(idx, np.int64)
+    if idx.size > OF_TIER2:
         return False
     import jax.numpy as jnp
 
-    idx = np.nonzero(hz["of_flag"])[0]
     pad = np.zeros((OF_TIER2,), np.int32)
     pad[: idx.size] = idx
     padj = jnp.asarray(pad)
     rows = [np.asarray(jnp.take(zdev[k], padj, axis=0))
             for k in ("lv_y", "lv_u", "lv_v")]
-    hz["of_idx"] = idx
-    for k, r in zip(("of_lv_y", "of_lv_u", "of_lv_v"), rows):
+    hz["of2_idx"] = idx
+    for k, r in zip(("of2_lv_y", "of2_lv_u", "of2_lv_v"), rows):
         hz[k] = r[: idx.size]
     return True
 
@@ -314,12 +317,12 @@ def _expand_m16f(host, geom: Geom):
     for k in list(z):
         if k in ("of_cnt",):
             continue
-        if k == "of_idx":
+        if k in ("of_idx", "of2_idx"):
             idx = z[k]
             z[k] = np.where(idx >= 0, cidx[np.clip(idx, 0, None)], -1)
             continue
-        if k.startswith("of_"):
-            continue  # overflow rows follow of_idx, already child rows
+        if k.startswith("of_") or k.startswith("of2_"):
+            continue  # overflow rows follow their idx, already child rows
         arr = z[k]
         full = np.zeros((b16,) + arr.shape[1:], arr.dtype)
         full[cidx] = arr
@@ -341,13 +344,18 @@ def _reconstruct_levels(host, geom: Geom):
                            ("lv_v", "lvs_v", n // 2)):
             pre = np.asarray(z[sk], np.int16)
             nb, kk = pre.shape
-            scan = np.asarray(
-                T.scan_order(_ts[nn], TxType.DCT_DCT)[0])[:kk]
+            order = np.asarray(T.scan_order(_ts[nn], TxType.DCT_DCT)[0])
             full = np.zeros((nb, nn * nn), np.int16)
-            full[:, scan] = pre
+            full[:, order[:kk]] = pre
             full = full.reshape(nb, nn, nn)
-            if "of_idx" in z:
-                full[z["of_idx"]] = z["of_" + pk]
+            if "of_idx" in z and len(z["of_idx"]):
+                rows = np.asarray(z["of_" + pk], np.int16)
+                m, k2 = rows.shape
+                r2 = np.zeros((m, nn * nn), np.int16)
+                r2[:, order[:k2]] = rows
+                full[z["of_idx"]] = r2.reshape(m, nn, nn)
+            if "of2_idx" in z and len(z["of2_idx"]):
+                full[z["of2_idx"]] = z["of2_" + pk]
             z[pk] = full
 
 
