@@ -242,11 +242,11 @@ def _device_out_to_host(outs, geom: Geom, want_recon: bool):
             sel = idx >= 0
             flag = hz.get("of_flag")
             covered = set(int(i) for i in idx[sel])
-            # blocks the int16 prefix rows can't serve exactly: eob
-            # beyond OF_K2 (flag bit 1) or overflowed the buffer
+            # blocks beyond the in-blob full-row buffer go through the
+            # tier-2 batched gather
             tier2 = [int(i) for i in
                      (np.nonzero(flag)[0] if flag is not None else [])
-                     if (int(flag[i]) & 2) or int(i) not in covered]
+                     if int(i) not in covered]
             hz["of_idx"] = idx[sel]
             for k in ("of_lv_y", "of_lv_u", "of_lv_v"):
                 hz[k] = hz[k][sel]
@@ -292,9 +292,15 @@ def _fetch_overflow_tier2(hz, zdev, idx) -> bool:
     padj = jnp.asarray(pad)
     rows = [np.asarray(jnp.take(zdev[k], padj, axis=0))
             for k in ("lv_y", "lv_u", "lv_v")]
-    hz["of2_idx"] = idx
-    for k, r in zip(("of2_lv_y", "of2_lv_u", "of2_lv_v"), rows):
-        hz[k] = r[: idx.size]
+    prev = hz.get("of2_idx")
+    if prev is not None and len(prev):
+        hz["of2_idx"] = np.concatenate([np.asarray(prev, np.int64), idx])
+        for k, r in zip(("of2_lv_y", "of2_lv_u", "of2_lv_v"), rows):
+            hz[k] = np.concatenate([hz[k], r[: idx.size]], axis=0)
+    else:
+        hz["of2_idx"] = idx
+        for k, r in zip(("of2_lv_y", "of2_lv_u", "of2_lv_v"), rows):
+            hz[k] = r[: idx.size]
     return True
 
 
@@ -349,11 +355,7 @@ def _reconstruct_levels(host, geom: Geom):
             full[:, order[:kk]] = pre
             full = full.reshape(nb, nn, nn)
             if "of_idx" in z and len(z["of_idx"]):
-                rows = np.asarray(z["of_" + pk], np.int16)
-                m, k2 = rows.shape
-                r2 = np.zeros((m, nn * nn), np.int16)
-                r2[:, order[:k2]] = rows
-                full[z["of_idx"]] = r2.reshape(m, nn, nn)
+                full[z["of_idx"]] = z["of_" + pk]
             if "of2_idx" in z and len(z["of2_idx"]):
                 full[z["of2_idx"]] = z["of2_" + pk]
             z[pk] = full

@@ -587,7 +587,6 @@ SCAN_PREFIX_K = {32: 96, 16: 64, 8: 32}
 # beyond OF_BUF_M or eob > OF_K2 fall to a tier-2 batched device
 # gather, then whole planes)
 OF_BUF_M = 64
-OF_K2 = 256
 
 
 # ---------------------------------------------------------------------------
@@ -1884,27 +1883,19 @@ def _scan_prefix_overflow(lv_y, lv_u, lv_v, sc_y, sc_u, sc_v, eob_y,
           | (jnp.abs(sc_y[:, :ky]) > 127).any(axis=1)
           | (jnp.abs(sc_u[:, :kuv]) > 127).any(axis=1)
           | (jnp.abs(sc_v[:, :kuv]) > 127).any(axis=1))
-    # tier-2 flag: the int16 prefix itself is insufficient
-    of2 = (eob_y > OF_K2) | (eob_u > OF_K2) | (eob_v > OF_K2)
     nb = of.shape[0]
     m_of = min(OF_BUF_M, nb)
     of_val, of_idx = jax.lax.top_k(of.astype(jnp.int32), m_of)
-    k2y = min(OF_K2, sc_y.shape[1])
-    k2c = min(OF_K2, sc_u.shape[1])
     return {
         "lvs_y": sc_y[:, :ky].astype(jnp.int8),
         "lvs_u": sc_u[:, :kuv].astype(jnp.int8),
         "lvs_v": sc_v[:, :kuv].astype(jnp.int8),
         "of_cnt": of.sum().astype(jnp.int32),
-        "of_flag": (of.astype(jnp.uint8)
-                    + 2 * of2.astype(jnp.uint8)),
+        "of_flag": of.astype(jnp.uint8),
         "of_idx": jnp.where(of_val > 0, of_idx, -1).astype(jnp.int32),
-        "of_lv_y": jnp.take(sc_y[:, :k2y].astype(jnp.int16), of_idx,
-                            axis=0),
-        "of_lv_u": jnp.take(sc_u[:, :k2c].astype(jnp.int16), of_idx,
-                            axis=0),
-        "of_lv_v": jnp.take(sc_v[:, :k2c].astype(jnp.int16), of_idx,
-                            axis=0),
+        "of_lv_y": jnp.take(lv_y, of_idx, axis=0),
+        "of_lv_u": jnp.take(lv_u, of_idx, axis=0),
+        "of_lv_v": jnp.take(lv_v, of_idx, axis=0),
     }
 
 
