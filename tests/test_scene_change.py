@@ -55,3 +55,47 @@ def test_no_false_cuts_on_still():
                                   v=np.full((48, 64), 128, np.uint8)))
         kinds.append(enc.get_packet().is_keyframe)
     assert kinds == [True, False, False, False, False]
+
+
+def test_fade_not_cut():
+    """Luminance ramps must NOT trigger (FADE_TH rejection,
+    EbPictureDecisionProcess.c:281)."""
+    from tpu_vp9.pipeline.picture_decision import SceneChangeDetector
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 200, (192, 256)).astype(np.int16)
+    det = SceneChangeDetector()
+    fired = []
+    for t in range(12):
+        y = np.clip(base + 2 * t, 0, 255).astype(np.uint8)  # slow fade
+        fired.append(det.is_scene_change(y))
+    assert not any(fired)
+
+
+def test_noise_insertion_not_cut():
+    """Noise appearing on a high-variance scene rides the noisy-scene
+    threshold (NOISE_VARIANCE_TH gate) and must not cut."""
+    from tpu_vp9.pipeline.picture_decision import SceneChangeDetector
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (192, 256)).astype(np.int16)
+    det = SceneChangeDetector()
+    fired = []
+    for t in range(8):
+        noise = rng.integers(-6, 7, base.shape) if t >= 4 else 0
+        y = np.clip(base + noise, 0, 255).astype(np.uint8)
+        fired.append(det.is_scene_change(y))
+    assert not any(fired)
+
+
+def test_regional_cut_triggers():
+    """A true full-frame content change trips the 50% region count."""
+    from tpu_vp9.pipeline.picture_decision import SceneChangeDetector
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 110, (192, 256)).astype(np.uint8)
+    b = rng.integers(140, 255, (192, 256)).astype(np.uint8)
+    det = SceneChangeDetector()
+    assert det.is_scene_change(a) is False
+    assert det.is_scene_change(a) is False
+    assert det.is_scene_change(b) is True
