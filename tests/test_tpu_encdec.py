@@ -14,7 +14,7 @@ from tpu_vp9.bitstream.ivf import (
     patch_ivf_frame_count, write_ivf_frame, write_ivf_header,
 )
 from tpu_vp9.decoder.decoder import decode_ivf
-from tpu_vp9.pipeline.realtime import encode_stream_rt
+from tpu_vp9.pipeline.realtime import RtSession, encode_stream_rt
 from tpu_vp9.utils.yuv import synthetic_frames
 
 
@@ -423,3 +423,51 @@ def test_rt_golden_picks_anchor_on_occlusion():
         if (ef.state.mig.f_ref0 == 2).any():
             used_golden = True
     assert used_golden
+
+
+def test_rt_staged_input_and_async_ser_deterministic():
+    """r5: pre-staged device input + the async host-serialization
+    worker must produce byte-identical streams run-to-run and against
+    the unstaged send path."""
+    w, h = 128, 96
+    frames = list(synthetic_frames(w, h, 6, seed=12, motion=True))
+
+    def run(staged):
+        sess = RtSession(w, h, want_recon=False, split16=True,
+                         golden=True)
+        out = []
+        if staged:
+            out += sess.send(frames[0], qindex=120)
+            for s in [sess.stage(f) for f in frames[1:]]:
+                out += sess.send(s, qindex=120)
+        else:
+            for f in frames:
+                out += sess.send(f, qindex=120)
+        out += sess.flush()
+        return [e.payload for e in out]
+
+    a = run(False)
+    b = run(False)
+    c = run(True)
+    assert a == b == c
+
+
+def test_rt_aq_tune_sq_roundtrip():
+    """r5: per-SB variance-adaptive rate-lambda (QPM analogue, tune SQ)
+    must stay conformant."""
+    w, h = 128, 96
+    frames = list(synthetic_frames(w, h, 4, seed=13, motion=True))
+    sess = RtSession(w, h, want_recon=True, split16=True, golden=True,
+                     aq=True)
+    enc = []
+    for f in frames:
+        enc += sess.send(f, qindex=120)
+    enc += sess.flush()
+    buf = io.BytesIO()
+    write_ivf_header(buf, w, h, 30, 1)
+    for i, e in enumerate(enc):
+        write_ivf_frame(buf, e.payload, i)
+    patch_ivf_frame_count(buf, len(enc))
+    buf.seek(0)
+    dec = list(decode_ivf(buf))
+    check_exact(frames, enc, dec, w, h)
